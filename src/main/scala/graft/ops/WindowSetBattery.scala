@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window, sort/limit, and set-operation families (SURVEY.md §2.5-2.7). */
+object WindowSetBattery {
+
+  /** `row_number() OVER (PARTITION … ORDER …)` + rn=1 pick
+    * (reference: flows/queries/update_partition.sql:136-151 —
+    * first-position child's thumbnail). Latest order per customer. */
+  val windowRn = Q(
+    "q_window_rn",
+    Some(
+      "SELECT o_custkey, o_orderkey, o_orderdate FROM (" +
+        "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+        "FROM orders) WHERE rn = 1 ORDER BY 1"),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Td(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    }
+  )
+
+  /** Priority-CASE ordered lateral `LIMIT 1` — rank by a priority
+    * expression, keep the top row per group
+    * (reference: flows/queries/update_partition.sql:62-74 — format
+    * priority newspaper > image > other). */
+  val windowPriority = Q(
+    "q_window_priority",
+    Some(
+      "SELECT o_custkey, o_orderkey, o_orderpriority FROM (" +
+        "SELECT o_custkey, o_orderkey, o_orderpriority, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY " +
+        "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 3 END, " +
+        "o_orderdate, o_orderkey) AS rn FROM orders) WHERE rn = 1 ORDER BY 1"),
+    (s, dir) => {
+      val prio = when(col("o_orderpriority") === "1-URGENT", 1)
+        .when(col("o_orderpriority") === "2-HIGH", 2)
+        .otherwise(3)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(prio, col("o_orderdate"), col("o_orderkey"))
+      Td(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_custkey"))
+    }
+  )
+
+  /** Global sort + top-k (reference:
+    * flows/arc_db_load_index_tables_flow.py:47 ORDER BY cnt ASC; top-k is
+    * the bounded variant Spark executes as TakeOrderedAndProject). */
+  val topK = Q(
+    "q_topk",
+    Some(
+      "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"),
+    (s, dir) =>
+      Td(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+  )
+
+  /** Record limit / offset (reference: typescript/src/stream.ts:51-62 —
+    * RECORD_LIMIT debug knob; offset = skip first N statements). */
+  val limitOffset = Q(
+    "q_limit_offset",
+    Some(
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 10"),
+    (s, dir) =>
+      Td(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .offset(10)
+        .limit(20)
+  )
+
+  /** `UNION ALL` of differently-filtered branches → unionByName
+    * (reference: flows/queries/update_partition.sql:96,129,286; SPARQL
+    * UNION branches av-audio.sparql:231-520). */
+  val unionAll = Q(
+    "q_union_all",
+    Some(
+      "SELECT tag, count(*) AS cnt, round(sum(o_totalprice),2) AS total FROM (" +
+        "SELECT 'urgent' AS tag, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "UNION ALL SELECT 'fulfilled' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F') " +
+        "GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val o = Td(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("tag"), col("o_totalprice"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(lit("fulfilled").as("tag"), col("o_totalprice"))
+      a.unionByName(b)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("tag"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll)
+}
