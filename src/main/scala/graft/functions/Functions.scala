@@ -29,8 +29,10 @@ object Functions {
     val num = "(\\d+(?:\\.\\d+)?)"
     val full = s"^-?P(?:${num}Y)?(?:${num}M)?(?:${num}W)?(?:${num}D)?" +
       s"(?:T(?:${num}H)?(?:${num}M)?(?:${num}S)?)?$$"
+    // regexp_extract yields "" for an absent component; nullif keeps the
+    // cast off that value so ANSI mode (Spark 4 default) cannot throw.
     def part(group: Int, factor: Double): Column =
-      coalesce(regexp_extract(c, full, group).cast("double"), lit(0.0)) * factor
+      coalesce(nullif(regexp_extract(c, full, group), lit("")).cast("double"), lit(0.0)) * factor
     val seconds =
       part(1, 365.0 * 86400) + part(2, 30.0 * 86400) + part(3, 7.0 * 86400) +
         part(4, 86400.0) + part(5, 3600.0) + part(6, 60.0) + part(7, 1.0)
@@ -45,9 +47,10 @@ object Functions {
     when(year(c) < 1, make_date(lit(1), month(c), dayofmonth(c))).otherwise(c)
 
   /** Invalid date string → null (reference: typescript/src/database.ts:127-131
-    * nulls non-`Date` values bound for date columns; Spark's `to_date`
-    * already returns null on unparseable input — wrapped for intent). */
-  def dateOrNull(c: Column): Column = to_date(c)
+    * nulls non-`Date` values bound for date columns). `try_to_timestamp`
+    * is the ANSI-safe parse (plain `to_date` throws on malformed input
+    * under Spark 4's default ANSI mode). */
+  def dateOrNull(c: Column): Column = to_date(try_to_timestamp(c))
 
   /** Absent boolean → false (reference: typescript/src/database.ts:132-135). */
   def booleanDefault(c: Column): Column = coalesce(c.cast("boolean"), lit(false))

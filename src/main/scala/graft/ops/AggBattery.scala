@@ -118,18 +118,31 @@ object AggBattery {
 
   /** `MAX` over `UNION ALL` of two derived sources
     * (reference: flows/queries/update_partition.sql:84-102 — duration =
-    * max(file durations ∪ fragment end-start)). */
+    * max(file durations ∪ fragment end-start)).
+    *
+    * The `* 0.1` scale factor is computed in DECIMAL on both sides:
+    * double arithmetic + `round` diverges between engines on half-way
+    * representations, decimal arithmetic is exact and rounds identically
+    * (HALF_UP == round-half-away for both). The final value is cast back
+    * to double so the serialized representation is scale-free. */
   val maxUnion = Q(
     "q_max_union",
     Some(
-      "SELECT k, round(max(v),2) AS max_v FROM (" +
-        "SELECT l_orderkey AS k, l_extendedprice AS v FROM lineitem " +
-        "UNION ALL SELECT o_orderkey AS k, o_totalprice * 0.1 AS v FROM orders) " +
+      "SELECT k, CAST(round(max(v),2) AS DOUBLE) AS max_v FROM (" +
+        "SELECT l_orderkey AS k, CAST(l_extendedprice AS DECIMAL(18,4)) AS v FROM lineitem " +
+        "UNION ALL SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) * 0.1 AS v FROM orders) " +
         "GROUP BY k ORDER BY k"),
     (s, dir) => {
-      val a = Td(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
-      val b = Td(s, dir, "orders").select(col("o_orderkey").as("k"), (col("o_totalprice") * 0.1).as("v"))
-      a.unionByName(b).groupBy(col("k")).agg(round(max(col("v")), 2).as("max_v")).orderBy(col("k"))
+      val a = Td(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice").cast("decimal(18,4)").as("v"))
+      val b = Td(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("decimal(18,4)") * lit(new java.math.BigDecimal("0.1"))).as("v"))
+      a.unionByName(b, allowMissingColumns = false)
+        .groupBy(col("k"))
+        .agg(round(max(col("v")), 2).cast("double").as("max_v"))
+        .orderBy(col("k"))
     }
   )
 

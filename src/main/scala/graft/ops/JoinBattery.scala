@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 
 /** Join operator family (SURVEY.md §2.3).
   *
-  * Dimension tables (nation/region/customer at this scale) are
-  * `broadcast()` so the big fact side never shuffles for them — at 100 TB
-  * the fact table is lineitem-shaped and the dimensions still fit in an
-  * executor, so the hint holds.
+  * Broadcast policy (design-for-100×): only *bounded* dimensions are
+  * `broadcast()` — nation (25 rows) and region (5 rows) at any scale
+  * factor, and pre-filtered slices known to stay small. Fact-proportional
+  * tables (customer, orders, lineitem) are never force-broadcast: at the
+  * 100 TB target they are tens of GB and would OOM executors; AQE picks
+  * shuffled-hash/sort-merge for them at runtime.
   */
 object JoinBattery {
 
@@ -24,7 +26,8 @@ object JoinBattery {
         "JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"),
     (s, dir) =>
       Td(s, dir, "orders")
-        .join(broadcast(Td(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        // customer grows with the fact data — AQE picks its join strategy
+        .join(Td(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Td(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Td(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
@@ -33,32 +36,45 @@ object JoinBattery {
   )
 
   /** `OPTIONAL { … }` → left outer join
-    * (reference: typescript/queries/organization.sparql:69-126). */
+    * (reference: typescript/queries/organization.sparql:69-126).
+    *
+    * Aggregate-before-join: orders is pre-aggregated to one row per
+    * custkey and only then joined to customer, so the shuffle moves the
+    * per-key aggregate (≤1 row/key) instead of the full fact table —
+    * the fan-out factor cheaper at 100×. */
   val leftOuter = Q(
     "q_left_outer",
     Some(
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
-    (s, dir) =>
+    (s, dir) => {
+      val perKey = Td(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
       Td(s, dir, "customer")
-        .join(Td(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"))
+        .join(perKey, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_orders"))
         .orderBy(col("c_custkey"))
+    }
   )
 
-  /** `RIGHT JOIN` (reference: flows/queries/update_partition.sql:298). */
+  /** `RIGHT JOIN` (reference: flows/queries/update_partition.sql:298).
+    * Same aggregate-before-join shape as q_left_outer: the right-outer
+    * preservation of customer happens after orders is collapsed per key. */
   val rightOuter = Q(
     "q_right_outer",
     Some(
       "SELECT c_custkey, round(coalesce(sum(o_totalprice), 0), 2) AS total " +
         "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
-    (s, dir) =>
-      Td(s, dir, "orders")
+    (s, dir) => {
+      val perKey = Td(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("t"))
+      perKey
         .join(Td(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
-        .groupBy(col("c_custkey"))
-        .agg(round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .select(col("c_custkey"), round(coalesce(col("t"), lit(0.0)), 2).as("total"))
         .orderBy(col("c_custkey"))
+    }
   )
 
   /** `EXISTS` → left semi join

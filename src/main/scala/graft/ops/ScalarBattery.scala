@@ -158,13 +158,16 @@ object ScalarBattery {
   val jsonPath = Q(
     "q_json_path",
     Some(
-      "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k, " +
+      "SELECT event_type, avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k, " +
         "count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1"),
     (s, dir) =>
       Td(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("avg_k"),
+          // avg over longs = exact integer sum / exact count → one double
+          // division, bit-identical in Spark and DuckDB; `round` on the
+          // result is what diverges at half-way doubles, so none here.
+          avg(get_json_object(col("props"), "$.k").cast("long")).as("avg_k"),
           count(lit(1)).as("cnt"))
         .orderBy(col("event_type"))
   )
@@ -186,22 +189,89 @@ object ScalarBattery {
 
   /** Event-time span per user — seconds between first and last event
     * (duration arithmetic family, reference:
-    * flows/queries/update_partition.sql:98 `schema_end_time - schema_start_time`). */
+    * flows/queries/update_partition.sql:98 `schema_end_time - schema_start_time`).
+    *
+    * `events.ts` is Parquet TIMESTAMP(NANOS); Spark reads it only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Bench/Verify
+    * sessions), surfacing the column as nanoseconds-since-epoch LONG.
+    * Both sides truncate to microseconds *before* aggregating (DuckDB
+    * reads ns-parquet at µs precision, so µs is the common resolution);
+    * the span is then an exact integer µs difference divided once by 1e6
+    * — deterministic in both engines, no rounding step. `div` keeps the
+    * ns→µs step in integer arithmetic: ns magnitudes (~1.7e18) overflow
+    * double's 2^53 exact range, so a float division would corrupt it. */
   val durationSpan = Q(
     "q_duration_span",
     Some(
-      "SELECT user_id, round(epoch(max(ts)) - epoch(min(ts)), 3) AS span_sec, count(*) AS cnt " +
-        "FROM events GROUP BY 1 ORDER BY 1"),
+      "SELECT user_id, (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_sec, " +
+        "count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1"),
     (s, dir) =>
       Td(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          round(max(col("ts")).cast("double") - min(col("ts")).cast("double"), 3).as("span_sec"),
+          ((max(expr("ts div 1000")) - min(expr("ts div 1000"))) / lit(1000000.0)).as("span_sec"),
           count(lit(1)).as("cnt"))
         .orderBy(col("user_id"))
   )
 
+  /** ISO-8601 duration parse → seconds (reference:
+    * typescript/src/stream.ts:30-31 `toSeconds(parseDuration(v))` for
+    * xsd:duration literals). Duration strings are synthesized from
+    * lineitem numerics so the oracle can state the expected seconds in
+    * closed form — the parse itself runs only on the Spark side, which is
+    * exactly what the check must exercise. Rows with returnflag 'R' feed
+    * garbage to assert the null-on-unparseable contract. */
+  val durationParse = Q(
+    "q_duration_parse",
+    Some(
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_returnflag = 'R' THEN NULL ELSE " +
+        "l_linenumber * 86400 + (l_partkey % 24) * 3600 + l_quantity END AS dur_sec " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY 1, 2"),
+    (s, dir) => {
+      val iso = when(col("l_returnflag") === "R", lit("not-a-duration"))
+        .otherwise(concat(
+          lit("P"), col("l_linenumber"), lit("DT"),
+          col("l_partkey") % 24, lit("H"), col("l_quantity"), lit("S")))
+      Td(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          F.isoDurationSeconds(iso).as("dur_sec"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  /** Type-coercion battery: year-clamp (year < 1 forced to year 1,
+    * reference: typescript/src/stream.ts:35-39), invalid-date→null
+    * (database.ts:127-131), absent-boolean→false (database.ts:132-135).
+    * Dates are shifted back 1997 years so roughly half land before year 1
+    * and exercise the clamp. */
+  val typeCoerce = Q(
+    "q_type_coerce",
+    Some(
+      "SELECT o_orderkey, CASE WHEN year(o_orderdate) - 1997 < 1 " +
+        "THEN make_date(1, month(o_orderdate), least(day(o_orderdate), 28)) " +
+        "ELSE make_date(year(o_orderdate) - 1997, month(o_orderdate), least(day(o_orderdate), 28)) END AS clamped, " +
+        "TRY_CAST(o_orderpriority AS DATE) AS bad_date, " +
+        "coalesce(CASE WHEN o_totalprice < 100000 THEN NULL ELSE TRUE END, FALSE) AS flag " +
+        "FROM orders WHERE o_orderkey % 50 = 0 ORDER BY 1"),
+    (s, dir) => {
+      val shifted = make_date(
+        year(col("o_orderdate")) - 1997,
+        month(col("o_orderdate")),
+        least(dayofmonth(col("o_orderdate")), lit(28)))
+      Td(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(
+          col("o_orderkey"),
+          F.clampYear(shifted).as("clamped"),
+          F.dateOrNull(col("o_orderpriority")).as("bad_date"),
+          F.booleanDefault(when(col("o_totalprice") < 100000, lit(null))
+            .otherwise(lit(true))).as("flag"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     valuesIn, notIn, strFilters, sinceFilter, likeSuffix, scalarBind, slug,
-    nullBind, jsonPath, dateOps, durationSpan)
+    nullBind, jsonPath, dateOps, durationSpan, durationParse, typeCoerce)
 }
