@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ColType, Ns, TableSpec}
+import graft.pivot.SubjectPivot
+import graft.view.Patterns
+
+/** Quad-path operator family: subject pivot, triple-pattern match, and
+  * property paths `/` `|` `^` (SURVEY.md §2.2 #10, §2.3 #21-23,
+  * §2.4 #32) — exercised under the DuckDB oracle gate.
+  *
+  * The driver testdata has no quad tables, so each query first *melts*
+  * relational rows into view-shaped quads (`urn:kg-to-postgres:` routing
+  * + one quad per column, FIXTURES.md §A) with a codegen'd
+  * `explode(array(struct…))` — a narrow transformation, no shuffle —
+  * and then runs the real engine operators on the quads. The oracle
+  * states the expected result directly over the relational tables, so
+  * the melt→match→pivot round-trip is what's being checked.
+  */
+object QuadBattery {
+
+  private val ns = Ns.KgToPostgres
+  private def q(pred: Column, obj: Column, lang: Column): Column =
+    struct(pred.as("predicate"), obj.cast("string").as("obj"), lang.as("lang"))
+  private val noLang = lit(null).cast("string")
+
+  /** Customer/orders/nation rows → one unified quad DataFrame.
+    * Customer carries deliberate multi-value cases: an `nl`-tagged
+    * uppercase name (must override, stream.ts:97-103) and a second
+    * `zz_`-prefixed segment value (deterministic min must drop it). */
+  def melt(s: SparkSession, dir: String): DataFrame = {
+    val c = Td(s, dir, "customer").select(
+      concat(lit("urn:c/"), col("c_custkey")).as("subject"),
+      explode(array(
+        q(lit(Ns.TableName), lit("graph.customer_view"), noLang),
+        q(lit(ns + "c_name"), col("c_name"), noLang),
+        q(lit(ns + "c_name"), upper(col("c_name")), lit("nl")),
+        q(lit(ns + "c_mktsegment"), col("c_mktsegment"), noLang),
+        q(lit(ns + "c_mktsegment"), concat(lit("zz_"), col("c_mktsegment")), noLang),
+        q(lit(ns + "c_nationkey"), col("c_nationkey"), noLang),
+        q(lit("urn:p/nk"), concat(lit("urn:n/"), col("c_nationkey")), noLang)
+      )).as("t"))
+    val o = Td(s, dir, "orders").select(
+      concat(lit("urn:o/"), col("o_orderkey")).as("subject"),
+      explode(array(
+        q(lit("urn:p/cust"), concat(lit("urn:c/"), col("o_custkey")), noLang),
+        q(lit("urn:p/status"), col("o_orderstatus"), noLang),
+        q(lit("urn:p/priority"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_orderpriority")), noLang)
+      )).as("t"))
+    val n = Td(s, dir, "nation").select(
+      concat(lit("urn:n/"), col("n_nationkey")).as("subject"),
+      explode(array(
+        q(lit("urn:p/n_name"), col("n_name"), noLang)
+      )).as("t"))
+    c.unionByName(o).unionByName(n)
+      .filter(col("t.obj").isNotNull) // absent optional values melt to no quad
+      .select(col("subject"), col("t.predicate").as("predicate"),
+        col("t.obj").as("obj"), col("t.lang").as("lang"),
+        lit(null).cast("string").as("datatype"),
+        lit(null).cast("string").as("graph"))
+  }
+
+  /** Subject pivot round-trip: melt → `SubjectPivot.pivotTable` →
+    * wide rows. Checks `:tableName` routing, nl-override, deterministic
+    * first-value, and int coercion against a closed-form oracle
+    * (reference: typescript/src/stream.ts:77-107). */
+  val quadPivot = Q(
+    "q_quad_pivot",
+    Some(
+      "SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS id, upper(c_name) AS c_name, " +
+        "c_mktsegment, c_nationkey FROM customer ORDER BY 1"),
+    (s, dir) => {
+      val spec = TableSpec("graph.customer_view", Seq(
+        "c_name" -> ColType.Str, "c_mktsegment" -> ColType.Str,
+        "c_nationkey" -> ColType.IntT))
+      SubjectPivot.pivotTable(melt(s, dir), spec)
+        .select(col("subject").as("id"), col("c_name"), col("c_mktsegment"),
+          col("c_nationkey"))
+        .orderBy(col("id"))
+    }
+  )
+
+  /** Triple-pattern match with a shared variable: `?o :cust ?c . ?c
+    * :c_mktsegment ?seg` — object→subject navigation join over quads
+    * (reference: typescript/queries/av-audio.sparql:194-204). */
+  val quadPattern = Q(
+    "q_quad_pattern",
+    Some(
+      "SELECT c_mktsegment AS seg, count(*) AS cnt FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val quads = melt(s, dir)
+      val cust = Patterns.po(quads, "urn:p/cust", "c")
+      val seg = Patterns.po(quads, ns + "c_mktsegment", "seg")
+        .filter(!col("seg").startsWith("zz_"))
+      cust.join(seg, cust("c") === seg("s"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("seg"))
+    }
+  )
+
+  /** Property path `/` (sequence) through two mid-nodes:
+    * `?o :cust/:nk ?n . ?n :n_name ?nm`
+    * (reference: organization.sparql:106, av-audio.sparql:253). */
+  val pathSeq = Q(
+    "q_path_seq",
+    Some(
+      "SELECT n_name, count(*) AS cnt FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val quads = melt(s, dir)
+      val toNation = Patterns.seqPath(quads, "urn:p/cust", "urn:p/nk", "n")
+      val name = Patterns.po(quads, "urn:p/n_name", "n_name")
+      toNation.join(name, toNation("n") === name("s"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_name"))
+    }
+  )
+
+  /** Property path `|` (alternative): `?o :priority|:status ?v` — the
+    * union-of-branches semantics (reference: person.sparql:55,
+    * newspaper.sparql:188). Urgent orders contribute both branches. */
+  val pathAlt = Q(
+    "q_path_alt",
+    Some(
+      "SELECT v, count(*) AS cnt FROM (" +
+        "SELECT o_orderpriority AS v FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "UNION ALL SELECT o_orderstatus AS v FROM orders) GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Patterns.altPath(melt(s, dir), "urn:p/priority", "urn:p/status", "v")
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("v"))
+  )
+
+  /** Property path `^` (inverse): `?c ^:cust ?o` — orders reaching each
+    * customer through the inverted role (reference: person.sparql:77,
+    * iiif.sparql:96). */
+  val pathInv = Q(
+    "q_path_inv",
+    Some(
+      "SELECT 'urn:c/' || CAST(o_custkey AS VARCHAR) AS c, count(*) AS cnt " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Patterns.invPath(melt(s, dir), "urn:p/cust", "o")
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("s").as("c"), col("cnt"))
+        .orderBy(col("c"))
+  )
+
+  val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv)
+}

@@ -8,7 +8,8 @@ package graft.ops
   */
 object Registry {
   def all: Seq[Q] =
-    AggBattery.all ++ JoinBattery.all ++ ScalarBattery.all ++ WindowSetBattery.all
+    AggBattery.all ++ JoinBattery.all ++ ScalarBattery.all ++
+      WindowSetBattery.all ++ QuadBattery.all
 
   def byName: Map[String, Q] = {
     val qs = all

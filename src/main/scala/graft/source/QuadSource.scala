@@ -1,0 +1,88 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Quad readers — the engine's ingestion layer (SURVEY.md §2.1 #1-3).
+  *
+  * The reference downloads its view graph as gzipped Turtle and parses it
+  * in a single Node stream (typescript/src/2_database_load.ts:62-70,
+  * 132-138). Turtle is not splittable, so the Spark-native ingest formats
+  * are (a) quads at rest as Parquet — columnar, partition-prunable by
+  * `graph` — and (b) N-Triples/N-Quads text, which is line-oriented and
+  * therefore splits across executors for free. The N-T parser below is
+  * pure `functions._` expressions, so it runs inside whole-stage codegen
+  * and scales with the scan: no driver-side parsing, no UDF.
+  */
+object QuadSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("subject", StringType),
+    StructField("predicate", StringType),
+    StructField("obj", StringType),
+    StructField("lang", StringType),
+    StructField("datatype", StringType),
+    StructField("graph", StringType)))
+
+  /** Quads at rest (columnar). Partition the directory by `graph` (the
+    * per-org metadata graphs, av-audio.sparql:185-190) and org-scoped
+    * runs prune partitions instead of scanning the full corpus. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  // One N-Triples/N-Quads statement:
+  //   <s> <p> <o> [<g>] .                         (IRI object)
+  //   <s> <p> "lit"[@lang | ^^<dt>] [<g>] .       (literal object)
+  // Blank-node subjects (_:b0) are accepted as opaque tokens.
+  private val line =
+    """^\s*(<[^>]+>|_:\S+)\s+<([^>]+)>\s+(<[^>]+>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]+>)?)\s*(<[^>]+>)?\s*\.\s*$"""
+
+  /** Line-oriented N-Triples (or N-Quads when a 4th term is present) →
+    * quad DataFrame. Splittable: `spark.read.text` distributes line
+    * ranges; every transformation below is a codegen'd expression.
+    * Malformed lines and comments are dropped (the reference's parser
+    * rejects invalid statements, stream.ts:131-134). */
+  def ntriples(spark: SparkSession, path: String): DataFrame =
+    fromNtLines(spark.read.text(path).toDF("value"))
+
+  /** Same parser over an existing one-string-column DataFrame (tests,
+    * streaming sources). */
+  def fromNtLines(lines: DataFrame): DataFrame = {
+    val parsed = lines
+      .select(
+        regexp_extract(col("value"), line, 1).as("s_raw"),
+        regexp_extract(col("value"), line, 2).as("predicate"),
+        regexp_extract(col("value"), line, 3).as("o_raw"),
+        regexp_extract(col("value"), line, 4).as("g_raw"))
+      .filter(col("predicate") =!= "")
+    val subject = when(col("s_raw").startsWith("<"),
+      regexp_extract(col("s_raw"), "^<(.*)>$", 1)).otherwise(col("s_raw"))
+    val isIri = col("o_raw").startsWith("<")
+    val isBlank = col("o_raw").startsWith("_:")
+    val litValue = regexp_extract(col("o_raw"), """^"((?:[^"\\]|\\.)*)"""", 1)
+    // Minimal N-T escape set: \" \\ \n \r \t (W3C N-Triples grammar).
+    val unescaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(litValue, """\\n""", "\n"),
+            """\\r""", "\r"),
+          """\\t""", "\t"),
+        """\\"""", "\""),
+      """\\\\""", """\\""")
+    val obj = when(isIri, regexp_extract(col("o_raw"), "^<(.*)>$", 1))
+      .when(isBlank, col("o_raw"))
+      .otherwise(unescaped)
+    val lang = nullif(regexp_extract(col("o_raw"), """"@([A-Za-z][A-Za-z0-9-]*)$""", 1), lit(""))
+    val datatype = nullif(regexp_extract(col("o_raw"), """\^\^<([^>]+)>$""", 1), lit(""))
+    val graph = nullif(regexp_extract(col("g_raw"), "^<(.*)>$", 1), lit(""))
+    parsed.select(
+      subject.as("subject"),
+      col("predicate"),
+      obj.as("obj"),
+      lang.as("lang"),
+      datatype.as("datatype"),
+      graph.as("graph"))
+  }
+}

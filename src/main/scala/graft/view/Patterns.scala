@@ -1,0 +1,66 @@
+package graft.view
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Ns
+
+/** Graph-pattern primitives — the Spark re-expression of SPARQL WHERE
+  * machinery (SURVEY.md §2.2 #10, §2.3 #18-25).
+  *
+  * A triple pattern `?s <p> ?o` is a predicate-filtered slice of the quad
+  * table; shared variables between patterns become equi-joins. Each slice
+  * carries (s, o, lang) under caller-chosen aliases so multi-pattern
+  * pipelines read like the SPARQL they implement.
+  *
+  * Scale notes: every `po` slice pushes `predicate = <iri>` into the
+  * Parquet scan; pattern joins shuffle on the join variable. Star joins
+  * around one entity variable co-partition on `s` after the first
+  * shuffle, so Catalyst reuses the exchange across patterns of the same
+  * subject.
+  */
+object Patterns {
+
+  /** `?s <pred> ?o` → DataFrame(s, value, value_lang). */
+  def po(quads: DataFrame, pred: String, as: String): DataFrame =
+    quads.filter(col("predicate") === pred)
+      .select(col("subject").as("s"), col("obj").as(as), col("lang").as(s"${as}_lang"))
+
+  /** `?s rdf:type <cls>` → DataFrame(s). */
+  def typed(quads: DataFrame, cls: String): DataFrame =
+    quads.filter(col("predicate") === Ns.RdfType && col("obj") === cls)
+      .select(col("subject").as("s"))
+
+  /** Property path `/` (sequence): `?s <p1>/<p2> ?o` through an anonymous
+    * mid-node (reference: typescript/queries/organization.sparql:106
+    * `org:hasSite/org:siteAddress`; av-audio.sparql:253). */
+  def seqPath(quads: DataFrame, p1: String, p2: String, as: String): DataFrame = {
+    val a = po(quads, p1, "mid")
+    val b = po(quads, p2, as)
+    a.join(b, a("mid") === b("s"))
+      .select(a("s").as("s"), b(as), b(s"${as}_lang"))
+  }
+
+  /** Property path `|` (alternative): union of both predicate branches
+    * (reference: typescript/queries/person.sparql:55
+    * `schema:license|(rel:isp/schema:license)`). */
+  def altPath(quads: DataFrame, p1: String, p2: String, as: String): DataFrame =
+    po(quads, p1, as).unionByName(po(quads, p2, as))
+
+  /** Property path `^` (inverse): subject/object roles swapped
+    * (reference: typescript/queries/person.sparql:77 `^schema:mentions`;
+    * iiif.sparql:96). */
+  def invPath(quads: DataFrame, pred: String, as: String): DataFrame =
+    quads.filter(col("predicate") === pred)
+      .select(col("obj").as("s"), col("subject").as(as), lit(null).cast("string").as(s"${as}_lang"))
+
+  /** OPTIONAL { ?s <pred> ?o } with the nl-preferred single-value rule —
+    * one row per s, for left-joining onto a base match
+    * (reference: organization.sparql:69-126 OPTIONAL blocks feeding
+    * single columns; nl rule stream.ts:97-103). */
+  def optionalSingle(quads: DataFrame, pred: String, as: String): DataFrame =
+    po(quads, pred, as)
+      .groupBy(col("s"))
+      .agg(graft.functions.Functions
+        .langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
+}
