@@ -9,7 +9,8 @@ package graft.ops
 object Registry {
   def all: Seq[Q] =
     AggBattery.all ++ JoinBattery.all ++ ScalarBattery.all ++
-      WindowSetBattery.all ++ QuadBattery.all
+      WindowSetBattery.all ++ QuadBattery.all ++ TextBattery.all ++
+      SimBattery.all
 
   def byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, as a training-data pipeline needs them:
+  *  - `bruteTopK` — exact cosine top-k of a *small probe set* against
+  *    the corpus. The probe side is broadcast, so the "cross" is a
+  *    broadcast nested-loop over one corpus scan: no shuffle of the big
+  *    side, cost = |corpus| × |probes| dot products. The right baseline,
+  *    and the right tool whenever |probes| is bounded.
+  *  - `lshTopK` — random-hyperplane LSH: deterministic ±1 hyperplanes
+  *    (seeded driver-side, embedded as literals), bucket = sign bits;
+  *    candidates via bucket equi-join (plus optional single-bit
+  *    multi-probe for recall), exact re-rank inside buckets. This is the
+  *    scale path: shuffle ∝ corpus, never all-pairs.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** `Σ aᵢ·bᵢ` in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k per probe. `probes` must be small (it is
+    * broadcast). Returns (probe_id, neighbor_id, cos, rank). */
+  def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Deliberate broadcast cross: |probes| bounded ⇒ BroadcastNestedLoop
+    // over one corpus scan, no shuffle of the big side.
+    val scored = c.crossJoin(p)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic Gaussian hyperplanes: `planes × dim`, fixed seed — no
+    * runtime randomness, so plans and results are reproducible. Gaussian
+    * (not ±1) so sparse/one-hot vectors don't land exactly on a
+    * hyperplane (a zero dot product makes the sign bit degenerate). */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  private def bucketOf(vec: Column, hp: Array[Array[Double]]): Column =
+    hp.zipWithIndex.map { case (w, i) =>
+      val wLit = array(w.map(lit): _*)
+      when(dot(vec, wLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** LSH-bucketed cosine top-k: candidates share the probe's bucket or
+    * any single-bit-flipped bucket (multi-probe, recall boost), exact
+    * cosine re-rank inside the candidate set. Never a cross product —
+    * the candidate join is an equi-join on bucket id. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              planes: Int = 12, seed: Long = 42L, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketOf(col(vecCol), hp).as("bucket"))
+    // Multi-probe: each probe also visits the `planes` buckets one bit
+    // away, trading `planes`+1 candidate lookups for recall near the
+    // hyperplane boundaries.
+    val probeBuckets = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      bucketOf(col(vecCol), hp).as("b0"))
+      .select(col("probe_id"), col("pv"),
+        explode(array(lit(0L) +: (0 until planes).map(i => lit(1L << i)): _*)).as("flip"),
+        col("b0"))
+      .select(col("probe_id"), col("pv"),
+        col("b0").bitwiseXOR(col("flip")).as("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+}

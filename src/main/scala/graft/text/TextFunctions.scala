@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * normalization, tokenization, shingling, quality stats, and a
+  * stopword-hit language heuristic. All pure `functions._` expressions —
+  * codegen'd, no UDFs, no shuffles; each is a per-row map over the
+  * corpus, so the only scale cost is the scan itself.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace — the
+    * canonical form used by dedup hashing and shingling. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** BPE-ish regex tokenization of the *raw* text: word pieces or single
+    * non-space symbols — the usual pre-tokenizer shape for token
+    * counting against an LLM-style vocabulary. */
+  def regexTokens(c: Column): Column =
+    regexp_extract_all(c, lit("""[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"""), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** k-word shingles of the normalized text; texts shorter than k words
+    * collapse to one whole-text shingle so every doc has ≥1. */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+      .otherwise(array(normalize(c)))
+  }
+
+  /** Count of regex hits — helper for stopword scoring. */
+  def hits(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Quality-scoring columns (length, token stats, punctuation and
+    * stopword ratios) — the standard cheap filters a pretraining
+    * pipeline runs before anything expensive. */
+  def punctCount(c: Column): Column = hits(c, """[^\w\s]""")
+  def stopwordCount(c: Column): Column =
+    hits(lower(c), """\b(the|a|an|and|of|to|in|is|it|that)\b""")
+
+  /** Stopword-hit language heuristic: score a few high-frequency
+    * function words per language, pick the argmax, 'und' when nothing
+    * hits. A real pipeline swaps in character-n-gram profiles; the
+    * *shape* (per-row scoring → argmax, no shuffle) is what scales. */
+  def langId(c: Column): Column = {
+    val l = lower(c)
+    val en = hits(l, """\b(the|and|of|to|is)\b""")
+    val de = hits(l, """\b(der|die|das|und|ist)\b""")
+    val fr = hits(l, """\b(le|la|les|et|est)\b""")
+    val nl = hits(l, """\b(de|het|een|en|is)\b""")
+    val best = greatest(en, de, fr, nl)
+    when(best === 0, "und")
+      .when(en === best, "en")
+      .when(nl === best, "nl")
+      .when(de === best, "de")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: minimum shingle hash (winnowing-style
+    * representative) — stable under small edits away from the minimum.
+    * md5-based so an external SQL engine can reproduce it. */
+  def fingerprint(c: Column, k: Int = 3): Column =
+    array_min(transform(shingles(c, k), s => md5(s)))
+}

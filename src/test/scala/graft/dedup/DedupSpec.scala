@@ -1,0 +1,88 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+import graft.SparkSuite
+
+/** Near-dup/exact dedup semantics on planted fixtures. */
+class DedupSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+  private val fixture = docs(
+    1L -> base,
+    2L -> base, // exact duplicate of 1
+    3L -> base.replace("morning", "evening"), // near-duplicate of 1
+    4L -> "completely different content about distributed query engines and shuffle partitioning strategies at scale",
+    5L -> "Totally unrelated short text")
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(fixture, "doc_id", "text").collect()
+    val dupGroup = out.find(_.getAs[Long]("dup_cnt") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keeper_id") == 1L)
+    assert(out.length == 4) // 5 docs, one pair collapsed
+  }
+
+  test("exact dedup is normalization-insensitive (case/punct)") {
+    val f = docs(1L -> "Hello,   World!", 2L -> "hello world", 3L -> "other")
+    val out = Dedup.exact(f, "doc_id", "text").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("dup_cnt")).max == 2L)
+  }
+
+  test("minhash LSH finds planted near-dup, not unrelated docs") {
+    val pairs = Dedup.minhashNearDup(fixture, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L))) // exact pair survives
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near pair bucketed
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(5L) })
+  }
+
+  test("minhash jaccard is exact on the verified pairs") {
+    val out = Dedup.minhashNearDup(fixture, "doc_id", "text",
+      minJaccard = 0.0)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(out((1L, 2L)) == 1.0) // identical shingle sets
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+  }
+
+  test("no CartesianProduct in the LSH plan") {
+    val plan = Dedup.minhashNearDup(fixture, "doc_id", "text")
+      .queryExecution.executedPlan
+    val cartesian = plan.collect { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty, "LSH candidate generation must be an equi-join")
+  }
+
+  test("simhash: identical docs hash equal, near docs within small hamming") {
+    val h = Dedup.simhash(fixture, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    val hamming13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(hamming13 <= 8, s"near-dup hamming was $hamming13")
+    val hamming14 = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(hamming14 > 8, s"unrelated hamming was $hamming14")
+  }
+
+  test("simhash near-dup pairs via chunk candidates") {
+    val pairs = Dedup.simhashNearDup(fixture, "doc_id", "text", maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+import graft.SparkSuite
+
+/** Planted-neighbor checks for brute-force and LSH cosine top-k. */
+class SimilaritySpec extends SparkSuite {
+
+  // 8-dim fixture: 100 is a planted exact duplicate of 1; 101 a slightly
+  // perturbed near-neighbor of 2; the rest point elsewhere.
+  private def vecs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f)),
+      (100L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (101L, Array(0.1f, 1f, 0f, 0f, 0f, 1f, 0.1f, 0f)),
+      (102L, Array(-1f, 0f, 0f, 0f, -1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-1 finds the planted duplicate") {
+    val out = Similarity.bruteTopK(vecs, vecs.filter("vec_id IN (1, 2)"), k = 1,
+      idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    assert(out(1L)._1 == 100L)
+    assert(math.abs(out(1L)._2 - 1.0) < 1e-12)
+    assert(out(2L)._1 == 101L)
+  }
+
+  test("LSH finds the planted duplicate through bucket candidates") {
+    val out = Similarity.lshTopK(vecs, vecs.filter("vec_id IN (1, 2)"), k = 1,
+      planes = 8, dim = 8)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(out(1L) == 100L)
+    assert(out(2L) == 101L)
+  }
+
+  test("LSH plan contains no CartesianProduct") {
+    val plan = Similarity.lshTopK(vecs, vecs.filter("vec_id = 1"), k = 3,
+      planes = 8, dim = 8).queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "candidate generation must be a bucket equi-join")
+  }
+
+  test("opposite vector ranks last in brute force") {
+    val ranked = Similarity.bruteTopK(vecs, vecs.filter("vec_id = 1"), k = 6)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(ranked.head.getAs[Long]("neighbor_id") == 100L)
+    assert(ranked.last.getAs[Long]("neighbor_id") == 102L)
+  }
+}
