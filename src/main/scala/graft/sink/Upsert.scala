@@ -1,0 +1,95 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Tables, TableSpec}
+
+/** Merge/upsert writer family (SURVEY.md §2.9 #74-77, #80).
+  *
+  * The reference merges per-table temp tables into targets with three
+  * strategies (typescript/src/database.ts:168-254):
+  *  - full sync: `TRUNCATE … CASCADE` + `INSERT SELECT *` (:178-184)
+  *  - incremental, child tables: `DELETE` every row whose *entity key*
+  *    appears in the staged batch, then insert — child rows have no
+  *    stable identity, so replacement is per touched entity (:186-212)
+  *  - incremental, PK tables: `MERGE INTO` / `INSERT … ON CONFLICT
+  *    DO UPDATE` (:214-223)
+  * applied in FK topological order (2_database_load.ts:188-207).
+  *
+  * Here each strategy is a pure DataFrame → DataFrame merge (tested for
+  * idempotence) plus a parquet-backed writer. Scale notes: both merges
+  * are one anti-join shuffle on the key — at 100 TB the win is
+  * partitioning the target by the merge key so only touched partitions
+  * rewrite (dynamic partition overwrite); the pure-merge semantics stay
+  * identical.
+  */
+object Upsert {
+
+  /** Incremental child-table merge: replace *all* rows of every entity
+    * touched by the staged batch (database.ts:186-212). Getting this
+    * wrong per-PK instead of per-entity silently duplicates child rows
+    * (SURVEY.md §7.4). */
+  def keyClearMerge(target: DataFrame, staged: DataFrame, entityKey: String): DataFrame = {
+    val touched = staged.select(col(entityKey)).distinct()
+    target.join(touched, Seq(entityKey), "left_anti")
+      .unionByName(staged)
+  }
+
+  /** PK upsert: staged wins on key collision, untouched target rows
+    * survive (MERGE INTO matched→UPDATE / not-matched→INSERT,
+    * database.ts:214-223). */
+  def pkMerge(target: DataFrame, staged: DataFrame, pk: Seq[String]): DataFrame =
+    target.join(staged.select(pk.map(col): _*).distinct(), pk, "left_anti")
+      .unionByName(staged)
+
+  /** Pick the merge strategy the reference would for this table. */
+  def merge(target: DataFrame, staged: DataFrame, spec: TableSpec,
+            fullSync: Boolean): DataFrame =
+    if (fullSync) staged // TRUNCATE + INSERT ≡ staged replaces target
+    else spec.entityKey match {
+      case Some(k) => keyClearMerge(target, staged, k)
+      case None    => pkMerge(target, staged, spec.pk)
+    }
+
+  /** Orphan cleanup (SURVEY.md §2.3 #30): keep child rows whose FK
+    * exists in the parent (the anti of the reference's two quick-fix
+    * DELETEs, database.ts:300-355). */
+  def dropOrphans(child: DataFrame, parent: DataFrame,
+                  fk: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(fk)).distinct(), Seq(fk), "left_semi")
+
+  /** Apply staged batches to current table states in FK topo order
+    * (2_database_load.ts:188-207). Missing staged tables pass through;
+    * missing targets are created from staged. Returns the new state per
+    * table, ordered. */
+  def applyAll(current: Map[String, DataFrame], staged: Map[String, DataFrame],
+               specs: Seq[TableSpec], fullSync: Boolean): Seq[(String, DataFrame)] =
+    Tables.topoOrder(specs).flatMap { spec =>
+      (current.get(spec.name), staged.get(spec.name)) match {
+        case (Some(t), Some(s)) => Some(spec.name -> merge(t, s, spec, fullSync))
+        case (None, Some(s))    => Some(spec.name -> s)
+        case (Some(t), None)    => Some(spec.name -> t)
+        case (None, None)       => None
+      }
+    }
+
+  /** Parquet-backed upsert: read current state (if any), merge, write a
+    * fresh snapshot, atomically swap directories. The tmp-write + rename
+    * avoids Spark's read-your-own-input overwrite hazard and gives the
+    * dual-write ordering the reference gets from transactions
+    * (arc_db_delete_flow.py:56-61). */
+  def mergeAndWrite(spark: SparkSession, path: String, staged: DataFrame,
+                    spec: TableSpec, fullSync: Boolean): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(path))
+    val merged =
+      if (!exists || fullSync) staged
+      else merge(spark.read.parquet(path), staged, spec, fullSync = false)
+    val tmp = new Path(path + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (exists) fs.delete(new Path(path), true)
+    fs.rename(tmp, new Path(path))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+import graft.model.{ColType, Tables, TableSpec}
+
+/** Merge-strategy properties (SURVEY.md §5 #3: upsert idempotence,
+  * incremental ≡ full on the union). */
+class UpsertSpec extends SparkSuite {
+
+  private def df(rows: Seq[(String, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "intellectual_entity_id", "v")
+  }
+
+  private def rows(d: DataFrame): Set[(String, String, String)] =
+    d.select("id", "intellectual_entity_id", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private val target = df(Seq(
+    ("r1", "ie1", "old-a"), ("r2", "ie1", "old-b"), ("r3", "ie2", "keep")))
+  private val staged = df(Seq(("r9", "ie1", "new-a")))
+
+  test("keyClearMerge replaces ALL child rows of touched entities") {
+    val out = rows(Upsert.keyClearMerge(target, staged, "intellectual_entity_id"))
+    // both ie1 rows must go, even though only one staged row arrived
+    assert(out == Set(("r3", "ie2", "keep"), ("r9", "ie1", "new-a")))
+  }
+
+  test("pkMerge: staged wins on PK, others survive") {
+    val st = df(Seq(("r1", "ie1", "updated"), ("r4", "ie3", "inserted")))
+    val out = rows(Upsert.pkMerge(target, st, Seq("id")))
+    assert(out == Set(
+      ("r1", "ie1", "updated"), ("r2", "ie1", "old-b"),
+      ("r3", "ie2", "keep"), ("r4", "ie3", "inserted")))
+  }
+
+  test("merges are idempotent: f(f(x)) = f(x)") {
+    val once = Upsert.keyClearMerge(target, staged, "intellectual_entity_id")
+    val twice = Upsert.keyClearMerge(once, staged, "intellectual_entity_id")
+    assert(rows(once) == rows(twice))
+    val p1 = Upsert.pkMerge(target, staged, Seq("id"))
+    val p2 = Upsert.pkMerge(p1, staged, Seq("id"))
+    assert(rows(p1) == rows(p2))
+  }
+
+  test("incremental after full == full on union (disjoint entities)") {
+    val batch2 = df(Seq(("r5", "ie9", "late")))
+    val incremental = Upsert.keyClearMerge(
+      Upsert.keyClearMerge(df(Nil), target, "intellectual_entity_id"),
+      batch2, "intellectual_entity_id")
+    val full = target.unionByName(batch2)
+    assert(rows(incremental) == rows(full))
+  }
+
+  test("dropOrphans keeps only FK-satisfied children") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(("ie1", "x")).toDF("id", "pv")
+    val out = Upsert.dropOrphans(target, parent, "intellectual_entity_id", "id")
+    assert(rows(out).map(_._2) == Set("ie1"))
+    assert(rows(out).map(_._1) == Set("r1", "r2"))
+  }
+
+  test("applyAll runs in FK topo order and merges per strategy") {
+    val s = spark
+    import s.implicits._
+    val parentSpec = TableSpec("t.parent", Seq("id" -> ColType.Str))
+    val childSpec = TableSpec("t.child", Seq("intellectual_entity_id" -> ColType.Str),
+      pk = Nil, entityKey = Some("intellectual_entity_id"), deps = Seq("t.parent"))
+    val current = Map(
+      "t.child" -> target,
+      "t.parent" -> Seq(("ie1", "p")).toDF("id", "v"))
+    val stagedM = Map(
+      "t.child" -> staged,
+      "t.parent" -> Seq(("ie2", "p2")).toDF("id", "v"))
+    val out = Upsert.applyAll(current, stagedM, Seq(childSpec, parentSpec), fullSync = false)
+    assert(out.map(_._1) == Seq("t.parent", "t.child")) // parent first
+    assert(rows(out.toMap.apply("t.child")) ==
+      Set(("r3", "ie2", "keep"), ("r9", "ie1", "new-a")))
+    assert(out.toMap.apply("t.parent").count() == 2)
+  }
+
+  test("mergeAndWrite round-trips through parquet with a dir swap") {
+    val tmp = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val spec = TableSpec("t.child", Seq("v" -> ColType.Str),
+      pk = Nil, entityKey = Some("intellectual_entity_id"))
+    Upsert.mergeAndWrite(spark, tmp, target, spec, fullSync = true)
+    Upsert.mergeAndWrite(spark, tmp, staged, spec, fullSync = false)
+    val out = rows(spark.read.parquet(tmp).select("id", "intellectual_entity_id", "v"))
+    assert(out == Set(("r3", "ie2", "keep"), ("r9", "ie1", "new-a")))
+  }
+
+  test("registry topo order puts every dep before its dependents") {
+    val order = Tables.topoOrder().map(_.name).zipWithIndex.toMap
+    Tables.all.foreach { t =>
+      t.deps.filter(order.contains).foreach { d =>
+        assert(order(d) < order(t.name), s"${t.name} before its dep $d")
+      }
+    }
+  }
+}
