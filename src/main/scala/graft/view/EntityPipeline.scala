@@ -1,0 +1,208 @@
+package graft.view
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F}
+
+/** Parameterized entity construct pipeline — the shared skeleton of the
+  * reference's av-audio / av-video / av-complex / newspaper queries
+  * (typescript/queries/av-audio.sparql, 521 LoC; the four differ only in
+  * entity-type VALUES, MIME VALUES, and peak-file handling — verified by
+  * diff, SURVEY.md §2.2).
+  *
+  * The ~25 UNION branches per query (av-audio.sparql:231-520) are
+  * data-driven here: each optional attribute family is a `BranchSpec`,
+  * and branches targeting the same table union; the leading empty `{}`
+  * branch of the SPARQL (the cross-product identity keeping the base
+  * match alive) is the base entity row itself. This is what keeps 4
+  * queries × 25 branches from becoming 5k lines of copy-paste
+  * (SURVEY.md §7.4).
+  */
+object EntityPipeline {
+
+  object Vocab {
+    val SchemaNs = "https://schema.org/"
+    val Identifier = SchemaNs + "identifier"
+    val Name = SchemaNs + "name"
+    val Description = SchemaNs + "description"
+    val Maintainer = SchemaNs + "maintainer"
+    val Modified = SchemaNs + "dateModified"
+    val License = SchemaNs + "license"
+    val Keywords = SchemaNs + "keywords"
+    val Genre = SchemaNs + "genre"
+    val InLanguage = SchemaNs + "inLanguage"
+    val Duration = SchemaNs + "duration"
+    val Creator = SchemaNs + "creator"
+    val Contributor = SchemaNs + "contributor"
+    val Publisher = SchemaNs + "publisher"
+    val DctFormat = "http://purl.org/dc/terms/format"
+    val PremisId = "http://www.loc.gov/premis/rdf/v3/identifier"
+    val FragmentPid = "https://data.hetarchief.be/ns/mh/fragmentPid"
+    val DerivedFrom = "http://www.w3.org/ns/prov#wasDerivedFrom"
+    val Represents = "http://www.loc.gov/premis/rdf/v3/represents"
+    val Includes = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#includes"
+    val MimeType = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#hasMimeType"
+    val OriginalName = "http://www.loc.gov/premis/rdf/v3/originalName"
+  }
+  import Vocab._
+
+  /** One UNION branch: a single-predicate attribute family feeding one
+    * child table column (av-audio.sparql:53-91 CONSTRUCT blocks). */
+  final case class BranchSpec(table: String, pred: String, valueCol: String,
+                              langFilter: Option[String] = None)
+
+  /** The four reference queries as configs (entity-type VALUES
+    * av-audio.sparql:193, MIME VALUES :491, peaks :504,
+    * license NULL rule :222-227 vs newspaper.sparql:212). */
+  final case class Config(
+      name: String,
+      entityTypes: Seq[String],
+      mimeTypes: Seq[String],
+      includePeaks: Boolean,
+      nullLicenses: Seq[String], // licenses BIND'd to NULL for this family
+      licenses: Seq[String] = graft.delete.DeleteFlow.DefaultAllowedLicenses)
+
+  val avAudio = Config("av-audio",
+    Seq(SchemaNs + "AudioObject"),
+    Seq("audio/mpeg", "audio/wav", "application/json"), // peaks are json
+    includePeaks = true,
+    nullLicenses = Seq("VIAA-PUBLIEK-CONTENT", "Publiek-Domein"))
+  val avVideo = avAudio.copy(name = "av-video",
+    entityTypes = Seq(SchemaNs + "VideoObject", SchemaNs + "MediaObject"),
+    mimeTypes = Seq("video/mp4"), includePeaks = false)
+  val newspaper = Config("newspaper",
+    Seq(SchemaNs + "Newspaper"),
+    Seq("image/jpeg", "application/xml"),
+    includePeaks = false,
+    nullLicenses = Nil) // newspapers keep the public licenses
+
+  /** Default child-table branches (each one UNION arm of the SPARQL). */
+  def defaultBranches: Seq[BranchSpec] = Seq(
+    BranchSpec("graph.schema_keywords", Keywords, "schema_keywords"),
+    BranchSpec("graph.schema_genre", Genre, "schema_genre"),
+    BranchSpec("graph.schema_in_language", InLanguage, "schema_in_language"),
+    BranchSpec("graph.dcterms_format", DctFormat, "dcterms_format"))
+
+  import Patterns._
+
+  def apply(quads: DataFrame, cfg: Config,
+            params: ViewParams = ViewParams(),
+            branches: Seq[BranchSpec] = defaultBranches): Map[String, DataFrame] = {
+
+    // Base match: typed entity + identifier + allowed license +
+    // incremental cutoff (av-audio.sparql:193-220).
+    val typedIe = quads
+      .filter(col("predicate") === graft.model.Ns.RdfType &&
+        col("obj").isin(cfg.entityTypes: _*))
+      .select(col("subject").as("s")).distinct()
+    val licensed = po(quads, License, "lic")
+      .filter(col("lic").isin(cfg.licenses: _*))
+      .select(col("s")).distinct()
+    val sinceOk = params.since match {
+      case None => typedIe
+      case Some(cutoff) =>
+        typedIe.join(
+          po(quads, Modified, "m").filter(col("m") >= lit(cutoff)).select(col("s")),
+          Seq("s"), "left_semi")
+    }
+    val base = sinceOk.join(licensed, Seq("s"), "left_semi")
+
+    val ie = base
+      .join(optionalSingle(quads, Identifier, "schema_identifier"), Seq("s"), "left")
+      .join(optionalSingle(quads, Name, "schema_name"), Seq("s"), "left")
+      .join(optionalSingle(quads, Description, "schema_description"), Seq("s"), "left")
+      .join(optionalSingle(quads, Maintainer, "schema_maintainer"), Seq("s"), "left")
+      .select(col("s").as("id"), col("schema_identifier"), col("schema_name"),
+        col("schema_description"), col("schema_maintainer"))
+
+    // License child rows with the family's NULL rule: excluded licenses
+    // produce a row with a NULL value (BIND(?unbound) — :222-227), they
+    // do not drop the row.
+    val licenseRows = po(quads, License, "schema_license")
+      .join(base, Seq("s"), "left_semi")
+      .select(col("s").as("intellectual_entity_id"),
+        when(col("schema_license").isin(cfg.nullLicenses: _*), lit(null))
+          .otherwise(col("schema_license")).as("schema_license"))
+
+    // premis identifiers with type classification (nested IF,
+    // av-audio.sparql:286-297): primary ↔ the MediaHaven PID predicate.
+    val premisRows = po(quads, PremisId, "value")
+      .join(base, Seq("s"), "left_semi")
+      .select(col("s").as("intellectual_entity_id"),
+        F.iriLocalName(col("value")).as("type_raw"), col("value"))
+      .select(col("intellectual_entity_id"),
+        when(col("value").startsWith("urn:primary:"), "primary")
+          .otherwise(col("type_raw")).as("type"),
+        col("value"))
+    val fragmentRows = po(quads, FragmentPid, "mh_fragment_identifier")
+      .join(base, Seq("s"), "left_semi")
+      .select(col("s").as("intellectual_entity_id"),
+        col("mh_fragment_identifier"), lit(false).as("is_deleted"))
+
+    // Roles: role type derived from the predicate (nested IF →
+    // when-chain, av-audio.sparql:330-334); synthesized row key
+    // (IRI(CONCAT(...md5...)), :228-229).
+    val roleRows = Seq(Creator -> "schema_creator", Contributor -> "schema_contributor",
+      Publisher -> "schema_publisher")
+      .map { case (pred, roleType) =>
+        po(quads, pred, "thing_id")
+          .join(base, Seq("s"), "left_semi")
+          .select(
+            F.synthKey(col("s"), roleType, col("thing_id")).as("id"),
+            lit(roleType).as("type"),
+            col("s").as("intellectual_entity_id"),
+            col("thing_id"))
+      }
+      .reduce(_ unionByName _)
+
+    // Representation → file navigation (object→subject joins,
+    // av-audio.sparql:194-204,483-492) with the MIME VALUES and the
+    // family's peak-file rule (:491,504).
+    val rep = po(quads, Represents, "ie")
+      .join(base.select(col("s").as("ie")), Seq("ie"), "left_semi")
+      .select(col("s").as("id"), col("ie").as("premis_represents"))
+    val fileMime = po(quads, MimeType, "ebucore_has_mime_type")
+      .filter(col("ebucore_has_mime_type").isin(cfg.mimeTypes: _*))
+    val fileName = optionalSingle(quads, OriginalName, "premis_original_name")
+    val fileDur = optionalSingle(quads, Duration, "dur_raw")
+    val files = fileMime
+      .join(fileName, Seq("s"), "left")
+      .join(fileDur, Seq("s"), "left")
+      .filter(
+        if (cfg.includePeaks) lit(true)
+        else !coalesce(col("premis_original_name"), lit("")).contains("peak"))
+      .select(col("s").as("id"), col("ebucore_has_mime_type"),
+        col("premis_original_name"),
+        F.isoDurationSeconds(col("dur_raw")).as("schema_duration"))
+    val includesRows = po(quads, Includes, "file_id")
+      .join(rep.select(col("id").as("s")), Seq("s"), "left_semi")
+      .join(files.select(col("id").as("file_id")), Seq("file_id"), "left_semi")
+      .select(col("s").as("representation_id"), col("file_id"))
+
+    // Generic single-predicate UNION branches, grouped per target table.
+    val branchTables: Map[String, DataFrame] = branches.groupBy(_.table).map {
+      case (table, specs) =>
+        table -> specs.map { b =>
+          val rows = po(quads, b.pred, b.valueCol)
+          val filtered = b.langFilter match {
+            case Some(lang) => rows.filter(col(s"${b.valueCol}_lang").startsWith(lang))
+            case None       => rows
+          }
+          filtered.join(base, Seq("s"), "left_semi")
+            .select(col("s").as("intellectual_entity_id"), col(b.valueCol))
+        }.reduce(_ unionByName _)
+    }
+
+    Map(
+      "graph.intellectual_entity" -> ie,
+      "graph.schema_license" -> licenseRows,
+      "graph.premis_identifier" -> premisRows,
+      "graph.mh_fragment_identifier" -> fragmentRows,
+      "graph.schema_role" -> roleRows,
+      "graph.representation" -> rep,
+      "graph.file" -> files,
+      "graph.includes" -> includesRows
+    ) ++ branchTables
+  }
+}
