@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+import graft.SparkSuite
+
+/** Plan-shape audit (design-for-100×): assertions that the *plans* of
+  * registered queries keep the properties the scale story depends on —
+  * predicate pushdown reaching the parquet scan, no accidental cartesian
+  * products, no force-broadcast of fact-proportional tables.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String) =
+    Registry.byName(name).run(spark, dir).queryExecution
+
+  test("quad pivot pushes the predicate isin filter into the scan") {
+    // The pruned-predicate filter must sit below the aggregate, not
+    // above it: the whole point is scanning only declared predicates.
+    val optimized = planOf("q_quad_pivot").optimizedPlan.toString
+    assert(optimized.contains("urn:kg-to-postgres:tableName"),
+      "routing predicate filter missing from optimized plan")
+  }
+
+  test("no registered query plans a CartesianProduct (brute-force ANN excepted)") {
+    val allowed = Set("q_ann_cosine") // deliberate broadcast NLJ baseline
+    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan
+      val cart = plan.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("parquet scans prune columns (ReadSchema subset) for scalar queries") {
+    // q_scalar_bind projects 3 supplier columns; the scan must not read
+    // the whole table schema.
+    val scan = planOf("q_scalar_bind").executedPlan.toString
+    val readSchema = "ReadSchema: struct<s_suppkey:bigint,s_name:string,s_acctbal:double"
+    assert(scan.contains(readSchema), s"column pruning lost:\n$scan")
+  }
+
+  test("since filter reaches the parquet scan as a pushed filter") {
+    val scan = planOf("q_since_filter").executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"since filter not pushed:\n$scan")
+  }
+}
