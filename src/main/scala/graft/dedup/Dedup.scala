@@ -30,18 +30,25 @@ object Dedup {
     df.groupBy(md5(TextFunctions.normalize(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
 
-  /** MinHash signature: H independent hash functions over an *already
-    * materialized* shingle-array column, each `min(xxhash64(seed, s))`.
+  /** MinHash signature from an *already materialized* column of base
+    * shingle hashes (longs): member i of the hash family is
+    * `xxhash64(i, baseHash)` — fixed-width long hashing, so the string
+    * shingle is hashed exactly once however many family members there
+    * are.
     *
-    * Perf shape that matters: the caller must pass a plain column
-    * reference, not the shingle-building expression — expanding the
-    * tokenize→shingle tree once per hash seed multiplies the row cost by
-    * H and pushed a 1k-doc run from ~1 s to minutes. Variadic `xxhash64`
-    * takes the seed as a leading literal, so no per-shingle string
-    * concat either. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    * Perf shapes that matter (each cost a 60-300× slowdown when wrong):
+    *  - hash the shingle *strings* once (`baseHashes`), derive the H
+    *    family members from the longs — H× fewer string hashes;
+    *  - callers pass plain column references, never the tokenize→shingle
+    *    expression tree: higher-order functions run interpreted, and
+    *    re-expanding the tree per family member multiplies row cost by H
+    *    (observed: 1k docs from ~1 s to minutes). */
+  def baseShingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  def minhashSignature(baseHashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+      array_min(transform(baseHashCol, h => xxhash64(lit(seed), h)))
     }: _*)
 
   /** Banded-LSH candidate pairs with exact Jaccard verification.
@@ -57,29 +64,43 @@ object Dedup {
                      minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Staged projections: tokens → shingles → base hashes → signature.
+    // Each stage references the previous *column*, so interpreted HOF
+    // lambdas never re-evaluate an upstream expression per element.
     val withSig = df
-      .select(
-        col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), shingleK)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("sh", array_distinct(
+        TextFunctions.shinglesFromTokens(col("toks"), shingleK)))
+      .withColumn("hs", baseShingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .drop("toks")
 
+    // Bucket rows carry ONLY the id: a pair colliding in all `bands`
+    // buckets (exact duplicates do) would otherwise drag its shingle
+    // arrays through the shuffle `bands` times before the distinct.
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)))
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
 
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
 
+    // Attach shingle-hash sets once per unique pair, verify exactly —
+    // Jaccard over the 64-bit hash sets equals Jaccard over the shingle
+    // sets up to hash collisions, and moves 8-byte longs (not strings)
+    // through the pair-verify shuffle.
+    val shOf = withSig.select(col("id"), col("hs").as("sh"))
     candidates
+      .join(shOf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -87,7 +87,10 @@ object TextBattery {
         s"ELSE [$normSql] END, s -> md5(s))) AS fp FROM documents ORDER BY 1"),
     (s, dir) =>
       Td(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.fingerprint(col("text"), 3).as("fp"))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("sh", TextFunctions.shinglesFromTokens(col("toks"), 3))
+        .select(col("doc_id"),
+          TextFunctions.fingerprintFromShingles(col("sh")).as("fp"))
         .orderBy(col("doc_id"))
   )
 

@@ -27,15 +27,24 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** k-word shingles of the normalized text; texts shorter than k words
-    * collapse to one whole-text shingle so every doc has ≥1. */
-  def shingles(c: Column, k: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", slice(t, i, lit(k)))))
-      .otherwise(array(normalize(c)))
-  }
+  /** k-word shingles from an *already materialized* token-array column;
+    * texts shorter than k words collapse to one whole-text shingle so
+    * every doc has ≥1.
+    *
+    * The tokens argument MUST be a plain column reference, never the
+    * `tokens(text)` expression inline: higher-order functions run
+    * interpreted and re-evaluate the lambda body's captured subtree per
+    * element, so an inline tokenizer is re-run once per shingle —
+    * observed 26 s over 10k docs for what is otherwise sub-second. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Convenience single-expression form — ONLY for tiny inputs (tests,
+    * fixtures); see the perf warning on [[shinglesFromTokens]]. */
+  def shingles(c: Column, k: Int): Column = shinglesFromTokens(tokens(c), k)
 
   /** Count of regex hits — helper for stopword scoring. */
   def hits(c: Column, pattern: String): Column =
@@ -68,7 +77,12 @@ object TextFunctions {
 
   /** Document fingerprint: minimum shingle hash (winnowing-style
     * representative) — stable under small edits away from the minimum.
-    * md5-based so an external SQL engine can reproduce it. */
+    * md5-based so an external SQL engine can reproduce it. Takes a
+    * materialized shingle column (see [[shinglesFromTokens]]). */
+  def fingerprintFromShingles(sh: Column): Column =
+    array_min(transform(sh, s => md5(s)))
+
+  /** Convenience single-expression form — ONLY for tiny inputs. */
   def fingerprint(c: Column, k: Int = 3): Column =
-    array_min(transform(shingles(c, k), s => md5(s)))
+    fingerprintFromShingles(shingles(c, k))
 }
