@@ -108,6 +108,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup: semantic duplicates via random-hyperplane
+    * buckets (candidates = same sign-bit bucket, an equi-join) verified
+    * with exact cosine. The embedding-space sibling of MinHash: same
+    * bucket-join shape, so the same 100 TB story. Recall is tunable with
+    * `planes` (fewer planes → bigger buckets → higher recall, more
+    * verify work). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, minCosine: Double = 0.95,
+                       planes: Int = 12, seed: Long = 42L): DataFrame = {
+    import graft.sim.Similarity
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** 64-bit SimHash: explode tokens, hash each, and for every bit sum
     * +1/-1 across the doc; bit j of the result is 1 iff the sum is
     * positive. Single explode + one groupBy shuffle, 64 cheap aggs. */

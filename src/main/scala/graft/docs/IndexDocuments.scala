@@ -69,4 +69,26 @@ object IndexDocuments {
     * arc_db_load_index_tables_flow.py:70-74 → `partitionBy("index")`). */
   def writePartitioned(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").partitionBy("index").parquet(path)
+
+  /** Partition-scoped refresh (SURVEY.md §2.9 #79): dynamic partition
+    * overwrite rewrites ONLY the partitions present in `docs` — the
+    * Spark form of the reference's per-org partition truncate+rebuild
+    * (arc_db_load_index_tables_flow.py:77-112). Other orgs' partitions
+    * are untouched. */
+  def overwriteTouchedPartitions(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("index")
+      .parquet(path)
+
+  /** Drop partitions for orgs with no remaining records — the delete
+    * flow's empty-partition cleanup (arc_db_delete_flow.py:97-130). */
+  def dropPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                     indexes: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    indexes.foreach { idx =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/index=$idx"), true)
+    }
+  }
 }

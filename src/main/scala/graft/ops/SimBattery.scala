@@ -67,5 +67,23 @@ object SimBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta)
+  /** Embedding-cosine near-dup over the corpus ∪ a planted duplicate
+    * slice: same bucket-equi-join shape as MinHash LSH, cosine verify.
+    * Rows-only driver check; semantics in DedupSpec/SimilaritySpec. */
+  val neardupEmbedding = Q(
+    "q_neardup_embedding",
+    None,
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      graft.dedup.Dedup.embeddingNearDup(planted, "vec_id", "embedding",
+        dim = 64, minCosine = 0.99)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding)
 }

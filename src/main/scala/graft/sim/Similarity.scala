@@ -67,6 +67,11 @@ object Similarity {
       when(dot(vec, wLit) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** Public bucket expression for callers composing their own LSH joins
+    * (e.g. embedding near-dup in [[graft.dedup.Dedup]]). */
+  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
+    bucketOf(vec, hyperplanes(planes, dim, seed))
+
   /** LSH-bucketed cosine top-k: candidates share the probe's bucket or
     * any single-bit-flipped bucket (multi-probe, recall boost), exact
     * cosine re-rank inside the candidate set. Never a cross product —

@@ -50,6 +50,14 @@ class SimilaritySpec extends SparkSuite {
       "candidate generation must be a bucket equi-join")
   }
 
+  test("embedding near-dup finds planted duplicate via bucket join") {
+    val pairs = graft.dedup.Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      dim = 8, minCosine = 0.95, planes = 6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 100L))) // exact duplicate, cosine 1.0
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(102L) }) // opposite
+  }
+
   test("opposite vector ranks last in brute force") {
     val ranked = Similarity.bruteTopK(vecs, vecs.filter("vec_id = 1"), k = 6)
       .collect().sortBy(_.getAs[Int]("rank"))
