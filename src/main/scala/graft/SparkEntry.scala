@@ -3,9 +3,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops.Registry
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed index-document job: decorrelated child
+    * aggregates + window pick + JSON assembly — the engine's signature
+    * shape. */
   def entry(spark: SparkSession): DataFrame =
-    graft.ops.JoinBattery.joinChain.run(spark, "/root/testdata/sf0.001")
+    graft.ops.DocsBattery.indexDoc.run(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.byName.map { case (n, q) => n -> q.run }

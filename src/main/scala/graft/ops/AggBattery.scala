@@ -238,7 +238,32 @@ object AggBattery {
         .orderBy(col("c_custkey"))
   )
 
+  /** `jsonb_object_agg(key, values)` → map_from_entries + to_json — the
+    * dynamic-key object {collection_type → [names]}
+    * (reference: flows/queries/update_partition.sql:313-323). Entries
+    * are sorted before map construction: JSON key order follows map
+    * insertion order in both engines, and collect_list order is not
+    * deterministic across partitions. */
+  val objectAgg = Q(
+    "q_object_agg",
+    Some(
+      "SELECT o_orderstatus, to_json(map_from_entries(list_sort(list(" +
+        "struct_pack(k := o_orderpriority, v := cnt))))) AS prio_map FROM (" +
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1, 2) " +
+        "GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Td(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(to_json(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderpriority").as("k"), col("cnt").as("v"))))))
+          .as("prio_map"))
+        .orderBy(col("o_orderstatus"))
+  )
+
   val all: Seq[Q] = Seq(
     aggSum, aggHaving, collectSet, collectList, condAgg, stringAggOrdered,
-    maxUnion, boolOr, anyClassify, correlatedCount, twoLevelAgg, jsonDoc)
+    maxUnion, boolOr, anyClassify, correlatedCount, twoLevelAgg, jsonDoc,
+    objectAgg)
 }

@@ -75,6 +75,12 @@ object Upsert {
       }
     }
 
+  /** Staging (SURVEY.md §2.1 #6): the reference stages batches in
+    * UNLOGGED constraint-free temp tables (create_temp_table.sql:1).
+    * The Spark analogue is a truncated-lineage snapshot: downstream
+    * merges re-read the staged data, not the pipeline that built it. */
+  def stage(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** Parquet-backed upsert: read current state (if any), merge, write a
     * fresh snapshot, atomically swap directories. The tmp-write + rename
     * avoids Spark's read-your-own-input overwrite hazard and gives the
