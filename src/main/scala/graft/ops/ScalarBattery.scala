@@ -235,7 +235,8 @@ object ScalarBattery {
       Td(s, dir, "lineitem")
         .filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
-          F.isoDurationSeconds(iso).as("dur_sec"))
+          // the native codegen expression, under the oracle gate
+          graft.functions.IsoDurationSecondsExpr(iso).as("dur_sec"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )

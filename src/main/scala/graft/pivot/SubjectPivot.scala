@@ -49,7 +49,10 @@ object SubjectPivot {
       case ColType.TimestampT => try_to_timestamp(c)
       case ColType.IntT       => guarded("^-?\\d+$", "int")
       case ColType.DoubleT    => guarded("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$", "double")
-      case ColType.DurationSeconds => F.isoDurationSeconds(c)
+      case ColType.DurationSeconds =>
+        // native codegen expression (same semantics as the composed
+        // form — NativeDurationSpec proves equality)
+        graft.functions.IsoDurationSecondsExpr(c)
       case ColType.DecimalT   =>
         coalesce(guarded("^-?\\d+(\\.\\d+)?$", "decimal(5,4)"),
           lit(new java.math.BigDecimal("0.0")))

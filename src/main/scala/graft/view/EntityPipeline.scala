@@ -174,7 +174,7 @@ object EntityPipeline {
         else !coalesce(col("premis_original_name"), lit("")).contains("peak"))
       .select(col("s").as("id"), col("ebucore_has_mime_type"),
         col("premis_original_name"),
-        F.isoDurationSeconds(col("dur_raw")).as("schema_duration"))
+        graft.functions.IsoDurationSecondsExpr(col("dur_raw")).as("schema_duration"))
     val includesRows = po(quads, Includes, "file_id")
       .join(rep.select(col("id").as("s")), Seq("s"), "left_semi")
       .join(files.select(col("id").as("file_id")), Seq("file_id"), "left_semi")
