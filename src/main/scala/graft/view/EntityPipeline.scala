@@ -71,6 +71,10 @@ object EntityPipeline {
   val avVideo = avAudio.copy(name = "av-video",
     entityTypes = Seq(SchemaNs + "VideoObject", SchemaNs + "MediaObject"),
     mimeTypes = Seq("video/mp4"), includePeaks = false)
+  val avComplex = avAudio.copy(name = "av-complex",
+    entityTypes = Seq(SchemaNs + "MediaObject", SchemaNs + "CreativeWork"),
+    mimeTypes = Seq("video/mp4", "audio/mpeg", "application/json"),
+    includePeaks = true)
   val newspaper = Config("newspaper",
     Seq(SchemaNs + "Newspaper"),
     Seq("image/jpeg", "application/xml"),

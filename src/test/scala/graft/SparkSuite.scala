@@ -13,6 +13,8 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSuite {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
