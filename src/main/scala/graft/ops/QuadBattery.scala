@@ -155,5 +155,42 @@ object QuadBattery {
         .orderBy(col("c"))
   )
 
-  val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv)
+  /** A full construct pipeline under the oracle gate: customers melted
+    * into organization-vocabulary source quads (rdf:type + nl-tagged
+    * label + OR- identifier + optional attributes), run through
+    * `OrganizationPipeline`, compared against the closed-form relational
+    * answer. This checks the *composed* pipeline — base-match semi-joins,
+    * OPTIONAL left joins, lang filter, regex bind — not just its
+    * primitives. */
+  val orgPipeline = Q(
+    "q_org_pipeline",
+    Some(
+      "SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS id, " +
+        "c_mktsegment AS dcterms_description, CAST(NULL AS VARCHAR) AS foaf_homepage, " +
+        "CAST(NULL AS VARCHAR) AS ha_org_sector, c_mktsegment AS org_classification, " +
+        "'OR-' || CAST(c_custkey AS VARCHAR) AS org_identifier, " +
+        "c_name AS skos_pref_label FROM customer ORDER BY 1"),
+    (s, dir) => {
+      import graft.view.OrganizationPipeline.{V => OV}
+      val cust = Td(s, dir, "customer")
+      val orgQuads = cust.select(
+        concat(lit("urn:c/"), col("c_custkey")).as("subject"),
+        explode(array(
+          q(lit(Ns.RdfType), lit(OV.Organization), noLang),
+          q(lit(OV.PrefLabel), col("c_name"), lit("nl")),
+          q(lit(OV.Identifier), concat(lit("OR-"), col("c_custkey")), noLang),
+          q(lit(OV.Description), col("c_mktsegment"), noLang),
+          q(lit(OV.Classification),
+            concat(lit("https://example.org/klass/"), col("c_mktsegment")), noLang)
+        )).as("t"))
+        .select(col("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      graft.view.OrganizationPipeline(orgQuads)("graph.organization")
+        .orderBy(col("id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv, orgPipeline)
 }
