@@ -26,14 +26,21 @@ import org.apache.spark.sql.functions._
 object IndexDocuments {
 
   /** One document row per root entity:
-    * (id, index, document, n_children, any_flag). */
+    * (id, index, document, n_children, any_flag, duration_sec). */
   def build(customer: DataFrame, orders: DataFrame): DataFrame = {
     // Lateral 1 (jsonb_agg shape): sorted child identifiers per entity.
     // Lateral 2 (count + bool_or shape): children count, deleted-ish flag.
+    // Lateral 3 (MAX over UNION ALL shape, update_partition.sql:84-102):
+    // duration in DECIMAL so the arithmetic is engine-exact.
+    // Lateral 4 (rights mapping, :263-273): license/status set → one
+    // rights-statement URL via when-chain over the aggregated set.
     val perKey = orders.groupBy(col("o_custkey")).agg(
       sort_array(collect_list(col("o_orderkey").cast("string"))).as("identifiers"),
       count(lit(1)).as("n_children"),
-      bool_or(col("o_orderstatus") === "F").as("any_flag"))
+      bool_or(col("o_orderstatus") === "F").as("any_flag"),
+      round(max(col("o_totalprice").cast("decimal(18,4)") *
+        lit(new java.math.BigDecimal("0.1"))), 2).cast("double").as("duration_sec"),
+      bool_or(col("o_orderpriority") === "1-URGENT").as("has_urgent"))
 
     // Window pick (update_partition.sql:136-151 shape): latest child.
     val w = Window.partitionBy(col("o_custkey"))
@@ -59,10 +66,15 @@ object IndexDocuments {
           coalesce(col("identifiers"), array().cast("array<string>")).as("identifiers"),
           coalesce(col("n_children"), lit(0L)).as("children"),
           coalesce(col("any_flag"), lit(false)).as("is_flagged"),
-          coalesce(col("cover_id"), lit("none")).as("cover")
+          coalesce(col("cover_id"), lit("none")).as("cover"),
+          when(coalesce(col("has_urgent"), lit(false)),
+            "https://rightsstatements.org/vocab/InC/1.0/")
+            .otherwise("https://creativecommons.org/publicdomain/mark/1.0/")
+            .as("rights")
         )).as("document"),
         coalesce(col("n_children"), lit(0L)).as("n_children"),
-        coalesce(col("any_flag"), lit(false)).as("any_flag"))
+        coalesce(col("any_flag"), lit(false)).as("any_flag"),
+        coalesce(col("duration_sec"), lit(0.0)).as("duration_sec"))
   }
 
   /** Partitioned write (LIST partition per org,

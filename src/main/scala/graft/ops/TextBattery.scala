@@ -127,6 +127,27 @@ object TextBattery {
         .orderBy(col("id_a"), col("id_b"))
   )
 
+  /** Composed corpus preparation (quality filter + exact-dedup keep) —
+    * oracle restates the filter conditions and the keep-min-id rule in
+    * SQL. Near-dup removal (not SQL-expressible) is covered by
+    * CorpusPrepSpec. */
+  val corpusPrep = Q(
+    "q_corpus_prep",
+    Some(
+      "WITH q AS (SELECT doc_id, lang, md5(" + normSql + ") AS h FROM documents " +
+        "WHERE length(text) >= 50 " +
+        raw"AND len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) >= 10 " +
+        raw"AND len(regexp_extract_all(text, '[^\w\s]')) * 5 <= length(text)) " +
+        "SELECT doc_id, lang FROM q WHERE doc_id = " +
+        "(SELECT min(doc_id) FROM q q2 WHERE q2.h = q.h) ORDER BY 1"),
+    (s, dir) =>
+      graft.text.CorpusPrep.prepare(
+        Td(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+  )
+
   val all: Seq[Q] = Seq(
-    dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash, neardupSimhash)
+    dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
+    neardupSimhash, corpusPrep)
 }
