@@ -192,5 +192,99 @@ object QuadBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv, orgPipeline)
+  /** The person/mentions pipeline under the oracle gate: orders melt
+    * into mention-vocabulary quads (entity —mentions→ mention node with
+    * confidence + name); the oracle restates the inverse-path join, the
+    * synthesized md5 row key, and the decimal confidence default in
+    * closed form. Odd orderkeys carry no confidence → typed 0.0. */
+  val personPipeline = Q(
+    "q_person_pipeline",
+    Some(
+      "SELECT 'urn:o/' || CAST(o_orderkey AS VARCHAR) || '/schema_mentions/' || " +
+        "md5('urn:m/' || CAST(o_orderkey AS VARCHAR)) AS id, " +
+        "'urn:o/' || CAST(o_orderkey AS VARCHAR) AS intellectual_entity_id, " +
+        "CASE WHEN o_orderkey % 2 = 0 " +
+        "THEN CAST('0.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(5,4)) " +
+        "ELSE CAST('0.0' AS DECIMAL(5,4)) END AS confidence, " +
+        "'urn:m/' || CAST(o_orderkey AS VARCHAR) AS thing_id " +
+        "FROM orders ORDER BY 2"),
+    (s, dir) => {
+      import graft.view.PersonPipeline.{V => PV}
+      val orders = Td(s, dir, "orders")
+      val quads = orders.select(
+        concat(lit("urn:o/"), col("o_orderkey")).as("ie"),
+        concat(lit("urn:m/"), col("o_orderkey")).as("m"),
+        col("o_orderkey"))
+        .select(explode(array(
+          struct(col("ie").as("subject"), lit(PV.Mentions).as("predicate"),
+            col("m").as("obj"), noLang.as("lang")),
+          struct(col("m").as("subject"), lit(PV.Confidence).as("predicate"),
+            when(col("o_orderkey") % 2 === 0,
+              concat(lit("0."), lpad(col("o_orderkey") % 100, 2, "0")))
+              .otherwise(lit(null)).as("obj"), noLang.as("lang"))
+        )).as("t"))
+        .filter(col("t.obj").isNotNull)
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      graft.view.PersonPipeline(quads)("graph.schema_mentions")
+        .orderBy(col("intellectual_entity_id"))
+    }
+  )
+
+  /** Delete-flag synthesis under the oracle gate: orders melt into
+    * fragment quads (modified date, tombstone for status F, the PID, the
+    * derived entity) and customers provide the license set (positive
+    * balance ⇒ licensed). The oracle is the UNION of the two branches:
+    * tombstoned-since and no-allowed-license-since
+    * (deletes.sparql:40-77). */
+  val deleteFlags = Q(
+    "q_delete_flags",
+    Some(
+      "SELECT DISTINCT * FROM (" +
+        "SELECT 'urn:ie/' || CAST(o_orderkey AS VARCHAR) AS intellectual_entity_id, " +
+        "'urn:f/' || CAST(o_orderkey AS VARCHAR) AS mh_fragment_identifier, TRUE AS is_deleted " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'F' " +
+        "UNION ALL " +
+        "SELECT 'urn:c/' || CAST(o_custkey AS VARCHAR), 'urn:f/' || CAST(o_orderkey AS VARCHAR), TRUE " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND c_acctbal <= 0) ORDER BY 1, 2"),
+    (s, dir) => {
+      import graft.delete.DeleteFlow.{V => DV}
+      val orders = Td(s, dir, "orders")
+      val customer = Td(s, dir, "customer")
+      val fragQuads = orders.select(
+        concat(lit("urn:f/"), col("o_orderkey")).as("f"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("mod"))
+        .select(explode(array(
+          struct(col("f").as("subject"), lit(DV.Modified).as("predicate"), col("mod").as("obj")),
+          struct(col("f").as("subject"), lit(DV.DateDeleted).as("predicate"),
+            when(col("o_orderstatus") === "F", col("mod")).as("obj")),
+          struct(col("f").as("subject"), lit(DV.Pid).as("predicate"),
+            col("o_orderkey").cast("string").as("obj")),
+          struct(col("f").as("subject"), lit(DV.DerivedFrom).as("predicate"),
+            concat(lit("urn:c/"), col("o_custkey")).as("obj"))
+        )).as("t"))
+      val licQuads = customer.select(
+        concat(lit("urn:c/"), col("c_custkey")).as("subject"),
+        lit(DV.License).as("predicate"),
+        when(col("c_acctbal") > 0, lit("VIAA-PUBLIEK-METADATA-ALL")).as("obj"))
+      val quads = fragQuads
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"))
+        .unionByName(licQuads)
+        .filter(col("obj").isNotNull)
+        .withColumn("lang", lit(null).cast("string"))
+        .withColumn("datatype", lit(null).cast("string"))
+        .withColumn("graph", lit(null).cast("string"))
+      graft.delete.DeleteFlow
+        .flagDeletes(quads, since = Some("1997-01-01"), prefixIdBase = "urn:ie/")
+        .orderBy(col("intellectual_entity_id"), col("mh_fragment_identifier"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
+    orgPipeline, personPipeline, deleteFlags)
 }
