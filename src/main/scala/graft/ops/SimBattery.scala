@@ -85,5 +85,19 @@ object SimBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding)
+  /** IVF-bucketed ANN: deterministic coarse quantizer (hash-seeded
+    * k-means, one refinement step), nprobe cell search, exact re-rank.
+    * Approximate ⇒ rows-only check; recall asserted in SimilaritySpec. */
+  val annIvf = Q(
+    "q_ann_ivf",
+    None,
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), topK = 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("probe_id"), col("rank"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding, annIvf)
 }

@@ -72,6 +72,73 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
     bucketOf(vec, hyperplanes(planes, dim, seed))
 
+  /** IVF (inverted-file) cosine top-k — the second scale path beside
+    * LSH: a coarse quantizer of `k` centroids partitions the corpus into
+    * cells; probes search only their `nprobe` nearest cells, with exact
+    * re-rank inside.
+    *
+    * Centroids are trained with one deterministic k-means refinement:
+    * seeds = the `k` hash-smallest corpus vectors (content-derived, no
+    * runtime randomness), one assign+mean step over the corpus. The
+    * driver holds only `k × dim` doubles; assignment is a codegen'd
+    * expression over centroid literals, cell search is a bucket
+    * equi-join — shuffle ∝ corpus, never all-pairs. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
+              k: Int = 16, nprobe: Int = 3, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Deterministic seeds: k vectors with smallest xxhash64(id).
+    val seeds = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
+    // One Lloyd step: assign to nearest seed, average per cell.
+    def centroidLits(cs: Array[Array[Double]]) =
+      cs.map(c => array(c.map(lit): _*))
+    def nearestCell(vec: Column, cs: Array[Array[Double]]): Column = {
+      val dots = array(centroidLits(cs).map(c => cosine(vec, c)): _*)
+      // argmax: position of the max similarity (1-based → 0-based)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val assigned = corpus.select(col(vecCol).as("v"),
+      nearestCell(col(vecCol), seeds).as("cell"))
+    val refined: Array[Array[Double]] = assigned
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.toMap match {
+        case m => (0 until k).map(i => m.getOrElse(i, seeds(i))).toArray
+      }
+
+    // Index the corpus by refined cell; probes visit nprobe cells.
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCell(col(vecCol), refined).as("cell"))
+    val probeSims = array(centroidLits(refined).map(c => cosine(col("pv"), c)): _*)
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("__sims", probeSims)
+      .withColumn("__ranked", reverse(array_sort(col("__sims"))))
+      .select(col("probe_id"), col("pv"), col("__sims"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__target"))
+      .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
+      .select(col("probe_id"), col("pv"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed cosine top-k: candidates share the probe's bucket or
     * any single-bit-flipped bucket (multi-probe, recall boost), exact
     * cosine re-rank inside the candidate set. Never a cross product —

@@ -58,6 +58,14 @@ class SimilaritySpec extends SparkSuite {
     assert(!pairs.exists { case (x, y) => Set(x, y).contains(102L) }) // opposite
   }
 
+  test("IVF finds the planted duplicate through its own cell") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter("vec_id IN (1, 2)"), topK = 1,
+      k = 3, nprobe = 2, dim = 8)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(out(1L) == 100L) // identical vectors share a cell by construction
+  }
+
   test("opposite vector ranks last in brute force") {
     val ranked = Similarity.bruteTopK(vecs, vecs.filter("vec_id = 1"), k = 6)
       .collect().sortBy(_.getAs[Int]("rank"))
