@@ -285,6 +285,39 @@ object QuadBattery {
     }
   )
 
+  /** The N-Triples parser under the oracle gate: customers are
+    * serialized to NT statement lines (IRI objects, lang-tagged and
+    * plain literals), parsed back through `QuadSource.fromNtLines`, and
+    * pivoted — the closed-form oracle checks the whole
+    * serialize→parse→pivot round-trip. */
+  val ntRoundtrip = Q(
+    "q_nt_roundtrip",
+    Some(
+      "SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS id, c_name, " +
+        "upper(c_mktsegment) AS seg_nl, c_nationkey FROM customer ORDER BY 1"),
+    (s, dir) => {
+      val cust = Td(s, dir, "customer")
+      def stmt(parts: Column*): Column = concat(parts :+ lit(" ."): _*)
+      val subj = concat(lit("<urn:c/"), col("c_custkey"), lit(">"))
+      val lines = cust.select(explode(array(
+        stmt(subj, lit(s" <${Ns.TableName}> "), lit("\"graph.customer_nt\"")),
+        stmt(subj, lit(s" <${ns}c_name> \""), col("c_name"), lit("\"")),
+        stmt(subj, lit(s" <${ns}seg_nl> \""), col("c_mktsegment"), lit("\"")),
+        stmt(subj, lit(s" <${ns}seg_nl> \""), upper(col("c_mktsegment")), lit("\"@nl")),
+        stmt(subj, lit(s" <${ns}c_nationkey> \""), col("c_nationkey"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+      )).as("value"))
+      val spec = TableSpec("graph.customer_nt", Seq(
+        "c_name" -> ColType.Str, "seg_nl" -> ColType.Str,
+        "c_nationkey" -> ColType.IntT))
+      SubjectPivot.pivotTable(
+        graft.source.QuadSource.fromNtLines(lines), spec)
+        .select(col("subject").as("id"), col("c_name"), col("seg_nl"),
+          col("c_nationkey"))
+        .orderBy(col("id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
-    orgPipeline, personPipeline, deleteFlags)
+    orgPipeline, personPipeline, deleteFlags, ntRoundtrip)
 }
