@@ -318,6 +318,50 @@ object QuadBattery {
     }
   )
 
+  /** The parameterized entity pipeline under the oracle gate: orders
+    * melt into entity-vocabulary quads (typed subject, identifier, name,
+    * license, modified date); fulfilled orders carry no allowed license
+    * and must be excluded by the license semi-join, stale orders by the
+    * since cutoff. The oracle restates base-match + OPTIONALs in closed
+    * form. */
+  val entityPipeline = Q(
+    "q_entity_pipeline",
+    Some(
+      "SELECT 'urn:e/' || CAST(o_orderkey AS VARCHAR) AS id, " +
+        "CAST(o_orderkey AS VARCHAR) AS schema_identifier, " +
+        "o_orderpriority AS schema_name, " +
+        "CAST(NULL AS VARCHAR) AS schema_description, " +
+        "CAST(NULL AS VARCHAR) AS schema_maintainer " +
+        "FROM orders WHERE o_orderstatus <> 'F' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' ORDER BY 1"),
+    (s, dir) => {
+      import graft.view.EntityPipeline
+      import EntityPipeline.{Vocab => EV}
+      val orders = Td(s, dir, "orders")
+      val e = concat(lit("urn:e/"), col("o_orderkey"))
+      val quads = orders.select(explode(array(
+        q(lit(Ns.RdfType), lit(EV.SchemaNs + "AudioObject"), noLang)
+          .withField("subject", e),
+        q(lit(EV.Identifier), col("o_orderkey"), noLang).withField("subject", e),
+        q(lit(EV.Name), col("o_orderpriority"), noLang).withField("subject", e),
+        q(lit(EV.Modified), date_format(col("o_orderdate"), "yyyy-MM-dd"), noLang)
+          .withField("subject", e),
+        q(lit(EV.License),
+          when(col("o_orderstatus") =!= "F", lit("VIAA-PUBLIEK-METADATA-ALL"))
+            .otherwise(lit("NOT-ALLOWED")), noLang).withField("subject", e)
+      )).as("t"))
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      val cfg = EntityPipeline.Config("gate", Seq(EV.SchemaNs + "AudioObject"),
+        mimeTypes = Nil, includePeaks = true, nullLicenses = Nil)
+      EntityPipeline(quads, cfg,
+        graft.view.ViewParams(since = Some("1996-01-01")))("graph.intellectual_entity")
+        .orderBy(col("id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
-    orgPipeline, personPipeline, deleteFlags, ntRoundtrip)
+    orgPipeline, personPipeline, deleteFlags, ntRoundtrip, entityPipeline)
 }
