@@ -105,5 +105,35 @@ object WindowSetBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll)
+  /** Gap-based sessionization over the event stream: a new session
+    * starts after a >30-minute silence per user (lag + flag-sum — the
+    * classic large-scale sessionize; conversation threading in a
+    * training-data pipeline has the same shape). All arithmetic is
+    * integer µs (ts is nanos-as-long, see q_duration_span), tie-broken
+    * on event_id, so both engines agree exactly. */
+  val sessionize = Q(
+    "q_sessionize",
+    Some(
+      "SELECT user_id, count(*) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (" +
+        "SELECT user_id, CASE WHEN lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM events) GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val us = expr("ts div 1000")
+      val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      Td(s, dir, "events")
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || (us - col("prev_us") > 1800000000L), 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("is_new")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll,
+    sessionize)
 }
