@@ -262,8 +262,30 @@ object AggBattery {
         .orderBy(col("o_orderstatus"))
   )
 
+  /** Min/max date range per entity — the `ha_des_min/max_date_created`
+    * aggregating-lateral shape (reference:
+    * flows/queries/update_partition.sql:76-102 date-range laterals;
+    * columns declared FIXTURES.md §B intellectual_entity). Dates are
+    * exact values, so the compare needs no rounding discipline. */
+  val dateRange = Q(
+    "q_date_range",
+    Some(
+      "SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS min_created, " +
+        "CAST(max(o_orderdate) AS DATE) AS max_created, " +
+        "count(DISTINCT CAST(o_orderdate AS DATE)) AS active_days " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Td(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderdate").cast("date")).as("min_created"),
+          max(col("o_orderdate").cast("date")).as("max_created"),
+          countDistinct(col("o_orderdate").cast("date")).as("active_days"))
+        .orderBy(col("o_custkey"))
+  )
+
   val all: Seq[Q] = Seq(
     aggSum, aggHaving, collectSet, collectList, condAgg, stringAggOrdered,
     maxUnion, boolOr, anyClassify, correlatedCount, twoLevelAgg, jsonDoc,
-    objectAgg)
+    objectAgg, dateRange)
 }
