@@ -203,9 +203,14 @@ object QuadBattery {
       "SELECT 'urn:o/' || CAST(o_orderkey AS VARCHAR) || '/schema_mentions/' || " +
         "md5('urn:m/' || CAST(o_orderkey AS VARCHAR)) AS id, " +
         "'urn:o/' || CAST(o_orderkey AS VARCHAR) AS intellectual_entity_id, " +
+        // DOUBLE (not DECIMAL) through the gate: DuckDB DECIMAL reaches the
+        // driver's pandas compare as float while Spark's decimal parquet
+        // stays "0.0700" — same class as the HUGEINT sum gotcha. The
+        // pipeline itself keeps DECIMAL(5,4) semantics; only the gate
+        // serialization widens.
         "CASE WHEN o_orderkey % 2 = 0 " +
-        "THEN CAST('0.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(5,4)) " +
-        "ELSE CAST('0.0' AS DECIMAL(5,4)) END AS confidence, " +
+        "THEN CAST(CAST('0.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(5,4)) AS DOUBLE) " +
+        "ELSE CAST(CAST('0.0' AS DECIMAL(5,4)) AS DOUBLE) END AS confidence, " +
         "'urn:m/' || CAST(o_orderkey AS VARCHAR) AS thing_id " +
         "FROM orders ORDER BY 2"),
     (s, dir) => {
@@ -229,6 +234,7 @@ object QuadBattery {
           lit(null).cast("string").as("datatype"),
           lit(null).cast("string").as("graph"))
       graft.view.PersonPipeline(quads)("graph.schema_mentions")
+        .withColumn("confidence", col("confidence").cast("double"))
         .orderBy(col("intellectual_entity_id"))
     }
   )

@@ -245,13 +245,16 @@ object ScalarBattery {
     * reference: typescript/src/stream.ts:35-39), invalid-date→null
     * (database.ts:127-131), absent-boolean→false (database.ts:132-135).
     * Dates are shifted back 1997 years so roughly half land before year 1
-    * and exercise the clamp. */
+    * and exercise the clamp. The clamped date is serialized as an ISO
+    * string on BOTH sides: pandas `datetime64[ns]` cannot represent
+    * year-1 dates, so a date-typed column diverges in the driver compare
+    * even when both engines computed the identical date. */
   val typeCoerce = Q(
     "q_type_coerce",
     Some(
-      "SELECT o_orderkey, CASE WHEN year(o_orderdate) - 1997 < 1 " +
+      "SELECT o_orderkey, CAST(CASE WHEN year(o_orderdate) - 1997 < 1 " +
         "THEN make_date(1, month(o_orderdate), least(day(o_orderdate), 28)) " +
-        "ELSE make_date(year(o_orderdate) - 1997, month(o_orderdate), least(day(o_orderdate), 28)) END AS clamped, " +
+        "ELSE make_date(year(o_orderdate) - 1997, month(o_orderdate), least(day(o_orderdate), 28)) END AS VARCHAR) AS clamped, " +
         "TRY_CAST(o_orderpriority AS DATE) AS bad_date, " +
         "coalesce(CASE WHEN o_totalprice < 100000 THEN NULL ELSE TRUE END, FALSE) AS flag " +
         "FROM orders WHERE o_orderkey % 50 = 0 ORDER BY 1"),
@@ -264,7 +267,7 @@ object ScalarBattery {
         .filter(col("o_orderkey") % 50 === 0)
         .select(
           col("o_orderkey"),
-          F.clampYear(shifted).as("clamped"),
+          date_format(F.clampYear(shifted), "yyyy-MM-dd").as("clamped"),
           F.dateOrNull(col("o_orderpriority")).as("bad_date"),
           F.booleanDefault(when(col("o_totalprice") < 100000, lit(null))
             .otherwise(lit(true))).as("flag"))
