@@ -138,11 +138,22 @@ object Tables {
     pk = Nil, entityKey = Some("representation_id"),
     deps = Seq("graph.representation", "graph.file"))
 
+  /** The denormalized search-document table, upserted keyed (id,index)
+    * (SURVEY.md §2.9 #80 — reference:
+    * flows/queries/update_partition.sql:362-366 `ON CONFLICT (id, index)
+    * DO UPDATE`): same entity under two org indexes is two rows, so the
+    * PK is composite and entityKey stays None (PK merge, not key-clear). */
+  val indexDocuments = TableSpec(
+    "graph.index_documents",
+    Seq("id" -> Str, "index" -> Str, "document" -> Str,
+      "n_children" -> IntT, "any_flag" -> Bool, "duration_sec" -> DoubleT),
+    pk = Seq("id", "index"))
+
   val all: Seq[TableSpec] = Seq(
     organization, organizationHasPreference, schemaContactPoint,
     schemaPostalAddress, organizationHasPostalAddress, intellectualEntity,
     dctermsFormat, mhFragmentIdentifier, schemaLicense, thing, schemaRole,
-    file, representation, includes)
+    file, representation, includes, indexDocuments)
 
   def byName: Map[String, TableSpec] = all.map(t => t.name -> t).toMap
 

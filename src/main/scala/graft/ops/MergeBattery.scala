@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{ColType, Tables, TableSpec}
+import graft.sink.Upsert
+
+/** The merge/upsert family under the DuckDB oracle gate (SURVEY.md §2.9
+  * #74-77, #80 — reference: typescript/src/database.ts:168-254).
+  *
+  * Each query stages a since-filtered slice of a testdata table as "the
+  * incremental batch", merges it into the full table through the real
+  * `Upsert.merge` dispatch, and the oracle states the expected post-merge
+  * table in closed form (anti-join ∪ staged). Rows carry a `src` marker
+  * so a wrong merge (old row surviving where staged must win, or a
+  * sibling child row surviving a key-clear) flips the hash, not just the
+  * row count.
+  */
+object MergeBattery {
+
+  /** Gate spec: lineitem as an entity-keyed child table — incremental
+    * merges must replace ALL rows of touched orders (database.ts:186-212). */
+  private val lineitemChild = TableSpec("gate.lineitem_child",
+    Seq("l_orderkey" -> ColType.IntT, "l_linenumber" -> ColType.IntT,
+      "src" -> ColType.Str),
+    pk = Nil, entityKey = Some("l_orderkey"))
+
+  /** Gate spec: orders as a PK table — MERGE INTO semantics
+    * (database.ts:214-223). */
+  private val ordersPk = TableSpec("gate.orders_pk",
+    Seq("id" -> ColType.IntT, "status" -> ColType.Str, "src" -> ColType.Str))
+
+  /** Key-clear merge: the staged batch is "every lineitem shipped since
+    * the cutoff"; the orders it touches lose their pre-cutoff lineitems
+    * too — that is the per-entity replacement contract. The oracle's
+    * NOT IN is exactly the anti-join. */
+  val upsertKeyClear = Q(
+    "q_upsert_keyclear",
+    Some(
+      "SELECT l_orderkey, l_linenumber, 'old' AS src FROM lineitem " +
+        "WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-01') " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'staged' FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-06-01' ORDER BY 1, 2"),
+    (s, dir) => {
+      val li = Td(s, dir, "lineitem")
+      val target = li.select(
+        col("l_orderkey"), col("l_linenumber"), lit("old").as("src"))
+      val staged = li
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), lit("staged").as("src"))
+      Upsert.merge(target, staged, lineitemChild, fullSync = false)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  /** PK merge: staged rows win on key collision (their status is
+    * rewritten to 'X'), untouched target rows survive as 'old'. */
+  val upsertPk = Q(
+    "q_upsert_pk",
+    Some(
+      "SELECT o_orderkey AS id, o_orderstatus AS status, 'old' AS src FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-06-01') " +
+        "UNION ALL " +
+        "SELECT o_orderkey, 'X', 'staged' FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-06-01' ORDER BY 1"),
+    (s, dir) => {
+      val o = Td(s, dir, "orders")
+      val target = o.select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        lit("old").as("src"))
+      val staged = o
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .select(col("o_orderkey").as("id"), lit("X").as("status"),
+          lit("staged").as("src"))
+      Upsert.merge(target, staged, ordersPk, fullSync = false)
+        .orderBy(col("id"))
+    }
+  )
+
+  /** Full sync: TRUNCATE + INSERT — the merged table IS the staged batch,
+    * regardless of what the target held (database.ts:178-184). The target
+    * here deliberately contains rows the staged batch lacks; surviving
+    * 'old' rows would flip rows *and* hash. */
+  val upsertFullSync = Q(
+    "q_upsert_fullsync",
+    Some(
+      "SELECT o_orderkey AS id, o_orderstatus AS status, 'staged' AS src " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01' ORDER BY 1"),
+    (s, dir) => {
+      val o = Td(s, dir, "orders")
+      val target = o.select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        lit("old").as("src"))
+      val staged = o
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          lit("staged").as("src"))
+      Upsert.merge(target, staged, ordersPk, fullSync = true)
+        .orderBy(col("id"))
+    }
+  )
+
+  /** Doc-table upsert keyed (id,index) (SURVEY.md §2.9 #80 — reference:
+    * flows/queries/update_partition.sql:362-366 `ON CONFLICT (id, index)
+    * DO UPDATE`): composite-PK merge through the registered
+    * `graph.index_documents` spec. Staged docs rewrite their document
+    * body; the composite key means the same id under a *different* index
+    * would NOT collide — the oracle's tuple NOT IN states exactly that. */
+  val docUpsert = Q(
+    "q_doc_upsert",
+    Some(
+      "SELECT c_custkey AS id, lower(c_mktsegment) AS \"index\", " +
+        "c_name AS document, 'old' AS src FROM customer WHERE c_custkey % 10 <> 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey, lower(c_mktsegment), upper(c_name), 'staged' " +
+        "FROM customer WHERE c_custkey % 10 = 0 ORDER BY 1, 2"),
+    (s, dir) => {
+      val c = Td(s, dir, "customer")
+      val target = c.select(
+        col("c_custkey").as("id"), lower(col("c_mktsegment")).as("index"),
+        col("c_name").as("document"), lit("old").as("src"))
+      val staged = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("id"), lower(col("c_mktsegment")).as("index"),
+          upper(col("c_name")).as("document"), lit("staged").as("src"))
+      Upsert.merge(target, staged, Tables.indexDocuments, fullSync = false)
+        .orderBy(col("id"), col("index"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert)
+}

@@ -81,21 +81,63 @@ object Upsert {
     * merges re-read the staged data, not the pipeline that built it. */
   def stage(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
-  /** Parquet-backed upsert: read current state (if any), merge, write a
-    * fresh snapshot, atomically swap directories. The tmp-write + rename
-    * avoids Spark's read-your-own-input overwrite hazard and gives the
-    * dual-write ordering the reference gets from transactions
-    * (arc_db_delete_flow.py:56-61). */
+  /** Hash-bucket partition column for partition-scoped merges. */
+  val BucketCol = "__bucket"
+
+  /** The key an incremental merge joins on: the entity key for
+    * key-clear tables, the PK for upsert tables. */
+  def mergeKeys(spec: TableSpec): Seq[String] = {
+    val keys = spec.entityKey.map(Seq(_)).getOrElse(spec.pk)
+    require(keys.nonEmpty,
+      s"${spec.name}: partition-scoped merge needs an entityKey or a PK")
+    keys
+  }
+
+  private def bucketOf(spec: TableSpec, numBuckets: Int) =
+    pmod(xxhash64(mergeKeys(spec).map(col): _*), lit(numBuckets)).cast("int")
+
+  /** Parquet-backed upsert, partition-scoped: the target lives
+    * partitioned by `__bucket = pmod(xxhash64(mergeKey), numBuckets)`, so
+    * an incremental batch touching 0.1% of entities rewrites only the
+    * bucket directories its keys hash into — not the full snapshot. At
+    * 100 TB this is the difference between an incremental sync moving
+    * ~gigabytes and moving the whole table; the pure-merge semantics are
+    * exactly `merge` either way (same key → same bucket → target row and
+    * staged row meet inside the pruned read).
+    *
+    * Full sync (or first write) still snapshots everything via tmp-write
+    * + atomic rename (read-your-own-input safety + the dual-write
+    * ordering the reference gets from transactions,
+    * arc_db_delete_flow.py:56-61). Incremental: read ONLY touched buckets
+    * (partition pruning), merge, localCheckpoint the result (cuts the
+    * lineage that would otherwise read the path being overwritten), and
+    * dynamic-partition-overwrite just those buckets. The touched-bucket
+    * collect is bounded by `numBuckets`, never by data size. */
   def mergeAndWrite(spark: SparkSession, path: String, staged: DataFrame,
-                    spec: TableSpec, fullSync: Boolean): Unit = {
+                    spec: TableSpec, fullSync: Boolean,
+                    numBuckets: Int = 64): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
-    val merged =
-      if (!exists || fullSync) staged
-      else merge(spark.read.parquet(path), staged, spec, fullSync = false)
-    val tmp = new Path(path + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (exists) fs.delete(new Path(path), true)
-    fs.rename(tmp, new Path(path))
+    val bucket = bucketOf(spec, numBuckets)
+    if (!exists || fullSync) {
+      val tmp = new Path(path + "__tmp")
+      staged.withColumn(BucketCol, bucket)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+      if (exists) fs.delete(new Path(path), true)
+      fs.rename(tmp, new Path(path))
+    } else {
+      val touched = staged.select(bucket.as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ numBuckets values
+      val targetTouched = spark.read.parquet(path)
+        .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+        .drop(BucketCol)
+      val merged = merge(targetTouched, staged, spec, fullSync = false)
+        .withColumn(BucketCol, bucket)
+      stage(merged) // lineage cut: the write below overwrites what it read
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(path)
+    }
   }
 }

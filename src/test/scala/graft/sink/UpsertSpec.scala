@@ -93,6 +93,45 @@ class UpsertSpec extends SparkSuite {
     assert(out == Set(("r3", "ie2", "keep"), ("r9", "ie1", "new-a")))
   }
 
+  test("incremental mergeAndWrite rewrites ONLY the touched bucket dirs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val tmp = java.nio.file.Files.createTempDirectory("upsert-bkt").toString + "/tbl"
+    val spec = TableSpec("t.child", Seq("v" -> ColType.Str),
+      pk = Nil, entityKey = Some("intellectual_entity_id"))
+    val buckets = 16
+    val seed = (1 to 200).map(i => (s"r$i", s"ie${i % 50}", s"v$i"))
+      .toDF("id", "intellectual_entity_id", "v")
+    Upsert.mergeAndWrite(spark, tmp, seed, spec, fullSync = true, numBuckets = buckets)
+
+    // part-file names per bucket dir: rewritten dirs get fresh names
+    def listing: Map[String, Set[String]] = {
+      val root = new java.io.File(tmp)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = listing
+    assert(before.size > 1, "seed must populate several buckets")
+
+    Upsert.mergeAndWrite(spark,
+      tmp, Seq(("rX", "ie1", "new")).toDF("id", "intellectual_entity_id", "v"),
+      spec, fullSync = false, numBuckets = buckets)
+    val after = listing
+
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("ie1")), lit(buckets)).cast("int")).head.getInt(0)
+    before.keys.filterNot(_ == s"__bucket=$touched").foreach { b =>
+      assert(before(b) == after(b), s"untouched $b must keep its files")
+    }
+    assert(before(s"__bucket=$touched") != after(s"__bucket=$touched"))
+
+    val out = rows(spark.read.parquet(tmp).select("id", "intellectual_entity_id", "v"))
+    assert(out.filter(_._2 == "ie1") == Set(("rX", "ie1", "new")))
+    assert(out.size == 200 - 4 + 1) // ie1 had 4 seed rows (1,51,101,151)
+  }
+
   test("registry topo order puts every dep before its dependents") {
     val order = Tables.topoOrder().map(_.name).zipWithIndex.toMap
     Tables.all.foreach { t =>
