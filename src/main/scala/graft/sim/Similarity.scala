@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *    scale path: shuffle ∝ corpus, never all-pairs.
   *
   * All vector math is `zip_with`/`aggregate` higher-order expressions —
-  * codegen'd, no UDFs.
+  * no UDFs, but note Spark evaluates higher-order functions
+  * *interpreted* (not whole-stage codegen), so every lambda here
+  * references materialized column attributes only; re-expanding an
+  * upstream expression inside a lambda multiplies row cost by the
+  * array length (see TextFunctions for the same rule on text).
   */
 object Similarity {
 
@@ -139,29 +143,37 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** LSH-bucketed cosine top-k: candidates share the probe's bucket or
-    * any single-bit-flipped bucket (multi-probe, recall boost), exact
-    * cosine re-rank inside the candidate set. Never a cross product —
-    * the candidate join is an equi-join on bucket id. */
+  /** LSH-bucketed cosine top-k: `tables` independent hyperplane sets
+    * (the classic L-table OR-construction — a neighbor is a candidate if
+    * it collides in ANY table), each probed at the probe's own bucket
+    * plus every single-bit flip (multi-probe), exact cosine re-rank over
+    * the candidate union. Never a cross product — the candidate join is
+    * an equi-join on (table, bucket).
+    *
+    * Scale shape: the corpus index is `tables`× the corpus (one bucket
+    * row per table) — the standard LSH memory-for-recall trade; shuffle
+    * stays ∝ corpus × tables, never all-pairs. Few short hyperplane
+    * tables beat one long one on weakly-clustered embeddings: collision
+    * probability per table is pᵖˡᵃⁿᵉˢ, and OR-ing tables drives recall
+    * toward 1 without fattening any single bucket. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              planes: Int = 12, seed: Long = 42L, dim: Int = 64,
+              planes: Int = 4, tables: Int = 8, seed: Long = 42L, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val hp = hyperplanes(planes, dim, seed)
+    val hps = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketOf(col(vecCol), hp).as("bucket"))
-    // Multi-probe: each probe also visits the `planes` buckets one bit
-    // away, trading `planes`+1 candidate lookups for recall near the
-    // hyperplane boundaries.
+      posexplode(array(hps.map(hp => bucketOf(col(vecCol), hp)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val probeBuckets = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      bucketOf(col(vecCol), hp).as("b0"))
-      .select(col("probe_id"), col("pv"),
+      posexplode(array(hps.map(hp => bucketOf(col(vecCol), hp)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "b0"))
+      .select(col("probe_id"), col("pv"), col("table"),
         explode(array(lit(0L) +: (0 until planes).map(i => lit(1L << i)): _*)).as("flip"),
         col("b0"))
-      .select(col("probe_id"), col("pv"),
+      .select(col("probe_id"), col("pv"), col("table"),
         col("b0").bitwiseXOR(col("flip")).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(probeBuckets), Seq("bucket"))
+    c.join(broadcast(probeBuckets), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cos", cosine(col("pv"), col("cv")))
