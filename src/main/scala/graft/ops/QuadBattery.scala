@@ -325,11 +325,16 @@ object QuadBattery {
   )
 
   /** The parameterized entity pipeline under the oracle gate: orders
-    * melt into entity-vocabulary quads (typed subject, identifier, name,
-    * license, modified date); fulfilled orders carry no allowed license
-    * and must be excluded by the license semi-join, stale orders by the
-    * since cutoff. The oracle restates base-match + OPTIONALs in closed
-    * form. */
+    * melt into entity-vocabulary quads covering the reference's UNION
+    * families (av-audio.sparql:231-394) — typed subject, identifier,
+    * name, license, modified date, nl/en abstract (the nl filter must
+    * drop the en literal), dateCreated, is-part-of, a spatial `/`-path
+    * through a mid node, a temporal literal, the copyright-holder
+    * prefLabel|name alternative (even orderkeys bind prefLabel, odd bind
+    * name — both arms live), and an EXISTS-captioning two-hop flag for
+    * open-status orders. Fulfilled orders carry no allowed license and
+    * must be excluded by the license semi-join, stale orders by the
+    * since cutoff. The oracle restates everything in closed form. */
   val entityPipeline = Q(
     "q_entity_pipeline",
     Some(
@@ -337,7 +342,17 @@ object QuadBattery {
         "CAST(o_orderkey AS VARCHAR) AS schema_identifier, " +
         "o_orderpriority AS schema_name, " +
         "CAST(NULL AS VARCHAR) AS schema_description, " +
-        "CAST(NULL AS VARCHAR) AS schema_maintainer " +
+        "CAST(NULL AS VARCHAR) AS schema_maintainer, " +
+        "'samenvatting ' || o_orderpriority AS schema_abstract, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS schema_date_created, " +
+        "CAST(NULL AS VARCHAR) AS schema_date_published, " +
+        "CAST(NULL AS VARCHAR) AS dcterms_available, " +
+        "CAST(NULL AS VARCHAR) AS schema_copyright_notice, " +
+        "'urn:col/' || CAST(o_custkey AS VARCHAR) AS relation_is_part_of, " +
+        "(o_orderstatus = 'O') AS has_open_captions, " +
+        "o_orderpriority AS schema_spatial, " +
+        "o_orderstatus AS schema_temporal, " +
+        "'CH-' || CAST(o_custkey AS VARCHAR) AS schema_copyright_holder " +
         "FROM orders WHERE o_orderstatus <> 'F' " +
         "AND o_orderdate >= TIMESTAMP '1996-01-01' ORDER BY 1"),
     (s, dir) => {
@@ -345,6 +360,9 @@ object QuadBattery {
       import EntityPipeline.{Vocab => EV}
       val orders = Td(s, dir, "orders")
       val e = concat(lit("urn:e/"), col("o_orderkey"))
+      val sp = concat(lit("urn:sp/"), col("o_orderkey"))
+      val ch = concat(lit("urn:ch/"), col("o_orderkey"))
+      val cap = concat(lit("urn:cap/"), col("o_orderkey"))
       val quads = orders.select(explode(array(
         q(lit(Ns.RdfType), lit(EV.SchemaNs + "AudioObject"), noLang)
           .withField("subject", e),
@@ -354,16 +372,52 @@ object QuadBattery {
           .withField("subject", e),
         q(lit(EV.License),
           when(col("o_orderstatus") =!= "F", lit("VIAA-PUBLIEK-METADATA-ALL"))
-            .otherwise(lit("NOT-ALLOWED")), noLang).withField("subject", e)
+            .otherwise(lit("NOT-ALLOWED")), noLang).withField("subject", e),
+        // nl abstract + en decoy: the lang filter must keep only nl
+        q(lit(EV.Abstract), concat(lit("samenvatting "), col("o_orderpriority")), lit("nl"))
+          .withField("subject", e),
+        q(lit(EV.Abstract), concat(lit("EN "), col("o_orderpriority")), lit("en"))
+          .withField("subject", e),
+        q(lit(EV.DateCreated), date_format(col("o_orderdate"), "yyyy-MM-dd"), noLang)
+          .withField("subject", e),
+        q(lit(EV.IsPartOfRel), concat(lit("urn:col/"), col("o_custkey")), noLang)
+          .withField("subject", e),
+        // spatial /-path: e --spatial--> sp --name--> clerk
+        q(lit(EV.Spatial), sp, noLang).withField("subject", e),
+        q(lit(EV.SchemaNs + "name"), col("o_orderpriority"), noLang).withField("subject", sp),
+        q(lit(EV.Temporal), col("o_orderstatus"), noLang).withField("subject", e),
+        // copyright holder: prefLabel|name alternative through a mid node
+        q(lit(EV.CopyrightHolder), ch, noLang).withField("subject", e),
+        q(lit(EV.PrefLabel),
+          when(col("o_orderkey") % 2 === 0, concat(lit("CH-"), col("o_custkey")))
+            .otherwise(lit(null)), noLang).withField("subject", ch),
+        q(lit(EV.SchemaNs + "name"),
+          when(col("o_orderkey") % 2 === 1, concat(lit("CH-"), col("o_custkey")))
+            .otherwise(lit(null)), noLang).withField("subject", ch),
+        // EXISTS flag: e --hasCaptioning--> cap --rdf:type--> OpenCaptions
+        q(lit(EV.HasCaptioning),
+          when(col("o_orderstatus") === "O", cap).otherwise(lit(null)), noLang)
+          .withField("subject", e),
+        q(lit(Ns.RdfType),
+          when(col("o_orderstatus") === "O", lit(EV.OpenCaptions))
+            .otherwise(lit(null)), noLang).withField("subject", cap)
       )).as("t"))
+        .filter(col("t.obj").isNotNull)
         .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
           col("t.obj").as("obj"), col("t.lang").as("lang"),
           lit(null).cast("string").as("datatype"),
           lit(null).cast("string").as("graph"))
       val cfg = EntityPipeline.Config("gate", Seq(EV.SchemaNs + "AudioObject"),
         mimeTypes = Nil, includePeaks = true, nullLicenses = Nil)
-      EntityPipeline(quads, cfg,
-        graft.view.ViewParams(since = Some("1996-01-01")))("graph.intellectual_entity")
+      val tables = EntityPipeline(quads, cfg,
+        graft.view.ViewParams(since = Some("1996-01-01")))
+      def one(table: String, as: String) = tables(table)
+        .select(col("intellectual_entity_id").as("id"), col(as))
+      tables("graph.intellectual_entity")
+        .join(one("graph.schema_spatial", "schema_spatial"), Seq("id"), "left")
+        .join(one("graph.schema_temporal", "schema_temporal"), Seq("id"), "left")
+        .join(one("graph.schema_copyright_holder", "schema_copyright_holder"),
+          Seq("id"), "left")
         .orderBy(col("id"))
     }
   )

@@ -32,6 +32,19 @@ object EntityPipeline {
     val Keywords = SchemaNs + "keywords"
     val Genre = SchemaNs + "genre"
     val InLanguage = SchemaNs + "inLanguage"
+    val Abstract = SchemaNs + "abstract"
+    val AlternateName = SchemaNs + "alternateName"
+    val DateCreated = SchemaNs + "dateCreated"
+    val DatePublished = SchemaNs + "datePublished"
+    val Spatial = SchemaNs + "spatial"
+    val Temporal = SchemaNs + "temporal"
+    val CopyrightNotice = SchemaNs + "copyrightNotice"
+    val CopyrightHolder = SchemaNs + "copyrightHolder"
+    val PrefLabel = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    val Available = "http://purl.org/dc/terms/available"
+    val IsPartOfRel = "https://data.hetarchief.be/ns/object/isPartOf"
+    val HasCaptioning = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#hasCaptioning"
+    val OpenCaptions = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#OpenCaptions"
     val Duration = SchemaNs + "duration"
     val Creator = SchemaNs + "creator"
     val Contributor = SchemaNs + "contributor"
@@ -47,10 +60,22 @@ object EntityPipeline {
   }
   import Vocab._
 
-  /** One UNION branch: a single-predicate attribute family feeding one
-    * child table column (av-audio.sparql:53-91 CONSTRUCT blocks). */
+  /** One UNION branch: an attribute family feeding one child table
+    * column (av-audio.sparql:53-91 CONSTRUCT blocks). `langFilter`
+    * models the nl-only literal branches (av-audio.sparql:235,277-283);
+    * `via` models a `/`-sequence path through a mid node
+    * (av-audio.sparql:253 `schema:spatial/schema:name`,
+    * :311-324 copyright holder → prefLabel|name — the `|` alternative is
+    * two BranchSpec rows targeting the same table, which the per-table
+    * union machinery merges exactly like the SPARQL `{} UNION`). */
   final case class BranchSpec(table: String, pred: String, valueCol: String,
-                              langFilter: Option[String] = None)
+                              langFilter: Option[String] = None,
+                              via: Option[String] = None)
+
+  /** An `EXISTS { ?s <p1>/<p2> <obj> }` boolean bind on the entity row
+    * (av-audio.sparql:392-394 `BIND(EXISTS { ?pc
+    * ebucore:hasCaptioning/rdf:type ebucore:OpenCaptions } AS …)`). */
+  final case class FlagSpec(flagCol: String, p1: String, p2: String, obj: String)
 
   /** The four reference queries as configs (entity-type VALUES
     * av-audio.sparql:193, MIME VALUES :491, peaks :504,
@@ -81,18 +106,41 @@ object EntityPipeline {
     includePeaks = false,
     nullLicenses = Nil) // newspapers keep the public licenses
 
-  /** Default child-table branches (each one UNION arm of the SPARQL). */
+  /** Default child-table branches — the reference's UNION attribute
+    * families (av-audio.sparql:231-324), data-driven: plain literals,
+    * nl-filtered literals, `/`-paths through mid nodes, and the
+    * copyright-holder prefLabel|name alternative as two rows on one
+    * table. */
   def defaultBranches: Seq[BranchSpec] = Seq(
     BranchSpec("graph.schema_keywords", Keywords, "schema_keywords"),
     BranchSpec("graph.schema_genre", Genre, "schema_genre"),
     BranchSpec("graph.schema_in_language", InLanguage, "schema_in_language"),
-    BranchSpec("graph.dcterms_format", DctFormat, "dcterms_format"))
+    BranchSpec("graph.dcterms_format", DctFormat, "dcterms_format"),
+    // nl-only literal branches (av-audio.sparql:233-236,277-283)
+    BranchSpec("graph.schema_alternate_name", AlternateName,
+      "schema_alternate_name", langFilter = Some("nl")),
+    // sequence-path branch (av-audio.sparql:253 spatial/name)
+    BranchSpec("graph.schema_spatial", SchemaNs + "name", "schema_spatial",
+      via = Some(Spatial)),
+    BranchSpec("graph.schema_temporal", Temporal, "schema_temporal"),
+    // copyright holder: prefLabel | name through the holder node
+    // (av-audio.sparql:311-324) — two rows, one table, unioned
+    BranchSpec("graph.schema_copyright_holder", PrefLabel,
+      "schema_copyright_holder", via = Some(CopyrightHolder)),
+    BranchSpec("graph.schema_copyright_holder", SchemaNs + "name",
+      "schema_copyright_holder", via = Some(CopyrightHolder)))
+
+  /** Default EXISTS-flag binds (av-audio.sparql:392-394 captioning). */
+  def defaultFlags: Seq[FlagSpec] = Seq(
+    FlagSpec("has_open_captions", HasCaptioning, graft.model.Ns.RdfType,
+      OpenCaptions))
 
   import Patterns._
 
   def apply(quads: DataFrame, cfg: Config,
             params: ViewParams = ViewParams(),
-            branches: Seq[BranchSpec] = defaultBranches): Map[String, DataFrame] = {
+            branches: Seq[BranchSpec] = defaultBranches,
+            flags: Seq[FlagSpec] = defaultFlags): Map[String, DataFrame] = {
 
     // Base match: typed entity + identifier + allowed license +
     // incremental cutoff (av-audio.sparql:193-220).
@@ -112,13 +160,31 @@ object EntityPipeline {
     }
     val base = sinceOk.join(licensed, Seq("s"), "left_semi")
 
-    val ie = base
-      .join(optionalSingle(quads, Identifier, "schema_identifier"), Seq("s"), "left")
-      .join(optionalSingle(quads, Name, "schema_name"), Seq("s"), "left")
-      .join(optionalSingle(quads, Description, "schema_description"), Seq("s"), "left")
-      .join(optionalSingle(quads, Maintainer, "schema_maintainer"), Seq("s"), "left")
-      .select(col("s").as("id"), col("schema_identifier"), col("schema_name"),
-        col("schema_description"), col("schema_maintainer"))
+    // Entity-row scalar OPTIONALs (av-audio.sparql:221-300): plain
+    // single-value binds, nl-filtered literals (description/abstract,
+    // :277-283), dates, availability, copyright notice, is-part-of —
+    // each an aggregate-to-one left join, so the base row never fans out.
+    val ieScalars: Seq[(String, String, Option[String])] = Seq(
+      (Identifier, "schema_identifier", None),
+      (Name, "schema_name", None),
+      (Description, "schema_description", None),
+      (Maintainer, "schema_maintainer", None),
+      (Abstract, "schema_abstract", Some("nl")),
+      (DateCreated, "schema_date_created", None),
+      (DatePublished, "schema_date_published", None),
+      (Available, "dcterms_available", None),
+      (CopyrightNotice, "schema_copyright_notice", None),
+      (IsPartOfRel, "relation_is_part_of", None))
+    val ieJoined = ieScalars.foldLeft(base) { case (acc, (pred, colName, lang)) =>
+      acc.join(optionalSingle(quads, pred, colName, lang), Seq("s"), "left")
+    }
+    val ieFlagged = flags.foldLeft(ieJoined) { (acc, f) =>
+      acc.join(existsFlag(quads, f.p1, f.p2, f.obj, f.flagCol), Seq("s"), "left")
+        .withColumn(f.flagCol, coalesce(col(f.flagCol), lit(false)))
+    }
+    val ie = ieFlagged.select(
+      (col("s").as("id") +: ieScalars.map { case (_, c, _) => col(c) }) ++
+        flags.map(f => col(f.flagCol)): _*)
 
     // License child rows with the family's NULL rule: excluded licenses
     // produce a row with a NULL value (BIND(?unbound) — :222-227), they
@@ -184,11 +250,16 @@ object EntityPipeline {
       .join(files.select(col("id").as("file_id")), Seq("file_id"), "left_semi")
       .select(col("s").as("representation_id"), col("file_id"))
 
-    // Generic single-predicate UNION branches, grouped per target table.
+    // Generic UNION branches, grouped per target table: plain predicate
+    // slices, `/`-paths (via), and lang-filtered literals. Branches
+    // sharing a table union — exactly the SPARQL's `{} UNION` arms.
     val branchTables: Map[String, DataFrame] = branches.groupBy(_.table).map {
       case (table, specs) =>
         table -> specs.map { b =>
-          val rows = po(quads, b.pred, b.valueCol)
+          val rows = b.via match {
+            case Some(mid) => seqPath(quads, mid, b.pred, b.valueCol)
+            case None      => po(quads, b.pred, b.valueCol)
+          }
           val filtered = b.langFilter match {
             case Some(lang) => rows.filter(col(s"${b.valueCol}_lang").startsWith(lang))
             case None       => rows

@@ -57,10 +57,36 @@ object Patterns {
   /** OPTIONAL { ?s <pred> ?o } with the nl-preferred single-value rule —
     * one row per s, for left-joining onto a base match
     * (reference: organization.sparql:69-126 OPTIONAL blocks feeding
-    * single columns; nl rule stream.ts:97-103). */
-  def optionalSingle(quads: DataFrame, pred: String, as: String): DataFrame =
-    po(quads, pred, as)
+    * single columns; nl rule stream.ts:97-103). `langFilter` models
+    * `FILTER langMatches(lang(?o), "nl")` inside the OPTIONAL
+    * (av-audio.sparql:277-283). */
+  def optionalSingle(quads: DataFrame, pred: String, as: String,
+                     langFilter: Option[String] = None): DataFrame = {
+    val rows = po(quads, pred, as)
+    val filtered = langFilter match {
+      case Some(lang) => rows.filter(col(s"${as}_lang").startsWith(lang))
+      case None       => rows
+    }
+    filtered
       .groupBy(col("s"))
       .agg(graft.functions.Functions
         .langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
+  }
+
+  /** `EXISTS { ?s <p1>/<p2> <obj> }` → DataFrame(s, <as>=true): one row
+    * per subject where the two-hop path reaches `obj` — for left-joining
+    * a boolean bind onto a base match (reference: av-audio.sparql:392-394
+    * `BIND(EXISTS { ?pc ebucore:hasCaptioning/rdf:type
+    * ebucore:OpenCaptions } AS ?car_ebucore_has_captioning)`). Both hops
+    * are predicate-pushed scans; the semi-join keeps only reachable
+    * subjects, and `distinct` guarantees at most one row per s. */
+  def existsFlag(quads: DataFrame, p1: String, p2: String, obj: String,
+                 as: String): DataFrame = {
+    val hits = quads.filter(col("predicate") === p2 && col("obj") === obj)
+      .select(col("subject").as("mid"))
+    po(quads, p1, "mid").select(col("s"), col("mid"))
+      .join(hits, Seq("mid"), "left_semi")
+      .select(col("s")).distinct()
+      .withColumn(as, lit(true))
+  }
 }
