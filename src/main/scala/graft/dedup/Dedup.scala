@@ -46,7 +46,16 @@ object Dedup {
   def baseShingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
+  /** One-pass native kernel (codegen'd Catalyst expression) — replaces
+    * H interpreted `array_min(transform(...))` lambdas with one
+    * primitive loop. Bit-identical to [[minhashSignatureComposed]]
+    * (asserted in `NativeMinHashSpec`). */
   def minhashSignature(baseHashCol: Column, numHashes: Int): Column =
+    graft.functions.MinHashSignatureExpr(baseHashCol, numHashes)
+
+  /** The composed higher-order-function form the kernel replaces — kept
+    * as the reference implementation for the equality spec. */
+  def minhashSignatureComposed(baseHashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(baseHashCol, h => xxhash64(lit(seed), h)))
     }: _*)
@@ -113,18 +122,40 @@ object Dedup {
     * with exact cosine. The embedding-space sibling of MinHash: same
     * bucket-join shape, so the same 100 TB story. Recall is tunable with
     * `planes` (fewer planes → bigger buckets → higher recall, more
-    * verify work). */
+    * verify work).
+    *
+    * `multiProbe` (default on) additionally probes every single-bit
+    * flip of one side's bucket — the same trick as
+    * [[graft.sim.Similarity.lshTopK]] — so a near-boundary pair whose
+    * vectors straddle exactly one hyperplane still becomes a candidate.
+    * Cost: the probe side fans out ×(planes+1), but rows carry only
+    * (bucket, id), so the widened shuffle moves longs, and the exact
+    * vectors join in afterwards by id. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, minCosine: Double = 0.95,
-                       planes: Int = 12, seed: Long = 42L): DataFrame = {
+                       planes: Int = 12, seed: Long = 42L,
+                       multiProbe: Boolean = true): DataFrame = {
     import graft.sim.Similarity
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    // Probe side: base bucket plus (optionally) each 1-bit flip; ids
+    // only, so the fan-out shuffles 16 bytes per probe row.
+    val flips =
+      if (multiProbe) array(lit(0L) +: (0 until planes).map(i => lit(1L << i)): _*)
+      else array(lit(0L))
+    val a = bucketed
+      .select(col("id").as("id_a"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("id_a"), col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecOf = bucketed.select(col("id"), col("v"))
+    candidates
+      .join(vecOf.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecOf.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))

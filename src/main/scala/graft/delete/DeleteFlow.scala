@@ -43,9 +43,11 @@ object DeleteFlow {
   /** Synthesize delete flags. Returns (intellectual_entity_id,
     * mh_fragment_identifier, is_deleted=true) rows — empty when `since`
     * is unbound, mirroring `FILTER(bound(?since) && …)`. */
-  def flagDeletes(quads: DataFrame, since: Option[String],
+  def flagDeletes(quadsIn: DataFrame, since: Option[String],
                   prefixIdBase: String,
                   allowedLicenses: Seq[String] = DefaultAllowedLicenses): DataFrame = {
+    // 5 pattern slices read this input; persist once (Patterns scaladoc).
+    val quads = Patterns.ensurePersisted(quadsIn)
     val spark = quads.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -25,41 +25,121 @@ import org.apache.spark.sql.functions._
   */
 object IndexDocuments {
 
+  private val RightsInC = "https://rightsstatements.org/vocab/InC/1.0/"
+  private val RightsPD = "https://creativecommons.org/publicdomain/mark/1.0/"
+
   /** One document row per root entity:
-    * (id, index, document, n_children, any_flag, duration_sec). */
-  def build(customer: DataFrame, orders: DataFrame): DataFrame = {
-    // Lateral 1 (jsonb_agg shape): sorted child identifiers per entity.
-    // Lateral 2 (count + bool_or shape): children count, deleted-ish flag.
-    // Lateral 3 (MAX over UNION ALL shape, update_partition.sql:84-102):
-    // duration in DECIMAL so the arithmetic is engine-exact.
-    // Lateral 4 (rights mapping, :263-273): license/status set → one
-    // rights-statement URL via when-chain over the aggregated set.
+    * (id, index, document, n_children, any_flag, duration_sec).
+    *
+    * The reference composes ~20 correlated laterals per document
+    * (update_partition.sql:76-357). Spark-first those collapse into FOUR
+    * shuffle stages — every single-level child aggregate rides one
+    * groupBy pass, the two ordered picks share one window shuffle, the
+    * two-level roles object is its own two-phase aggregate, and the
+    * grandchild (two-hop) laterals ride one join+groupBy — then one
+    * multi-way left join assembles the document. Aggregates run BEFORE
+    * the joins, so each join moves one row per entity, never the child
+    * fan-out.
+    *
+    * Lateral shapes covered (reference lines in update_partition.sql):
+    *  - sorted identifier jsonb_agg (:313-323 family)    → collect_list
+    *  - count(*) + bool_or is_deleted (:339-345)         → one agg pass
+    *  - MAX over UNION ALL duration (:84-102)            → decimal max
+    *  - rights when-chain over agg set (:263-273)        → has_urgent
+    *  - jsonb_agg(json_build_object(type, value)) (:76-81 premis ids)
+    *      → sorted entry structs → array of 1-key maps
+    *  - min/max date range (:84-102 date laterals)       → min/max
+    *  - cover pick, latest child (:136-151)              → window rn=1
+    *  - priority-format pick, ORDER BY CASE LIMIT 1 (:61-74)
+    *      → second window over the SAME partition key (one shuffle)
+    *  - roles two-level jsonb_object_agg of array_agg (:155-169,313-323)
+    *      → two-phase groupBy → map<type, sorted names>
+    *  - ordered transcript string_agg (:347-357)         → two-hop sort
+    *  - distinct thumbnail jsonb_agg (:104-134)          → collect_set
+    *  - fragment-children count, LIKE filter (:330-337)  → cond. count
+    *  - rights-statement CASE over ANY(array_agg) (:246-252) → when over
+    *      the distinct two-hop set
+    */
+  def build(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // Stage 1: every single-level child lateral in ONE groupBy pass.
+    // Duration stays DECIMAL so the arithmetic is engine-exact.
     val perKey = orders.groupBy(col("o_custkey")).agg(
       sort_array(collect_list(col("o_orderkey").cast("string"))).as("identifiers"),
       count(lit(1)).as("n_children"),
       bool_or(col("o_orderstatus") === "F").as("any_flag"),
       round(max(col("o_totalprice").cast("decimal(18,4)") *
         lit(new java.math.BigDecimal("0.1"))), 2).cast("double").as("duration_sec"),
-      bool_or(col("o_orderpriority") === "1-URGENT").as("has_urgent"))
+      bool_or(col("o_orderpriority") === "1-URGENT").as("has_urgent"),
+      // jsonb_agg(json_build_object(type, value)): dynamic-key 1-entry
+      // objects, sorted by (type, value) for cross-engine determinism.
+      transform(
+        array_sort(collect_list(struct(col("o_orderstatus").as("k"),
+          col("o_orderkey").cast("string").as("v")))),
+        s => map(s.getField("k"), s.getField("v"))).as("premis"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("date_min"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max"))
 
-    // Window pick (update_partition.sql:136-151 shape): latest child.
-    val w = Window.partitionBy(col("o_custkey"))
+    // Stage 2: the two-level roles/jsonb_object_agg shape — inner
+    // (entity, type) → sorted distinct names, outer entity → {type: names}.
+    val roles = orders
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("names"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("o_orderstatus").as("k"), col("names").as("v"))))).as("roles"))
+
+    // Stage 3: BOTH ordered picks over one window shuffle — same
+    // partition key, two orderings; the exchange is reused, then a
+    // conditional agg folds the two rn=1 rows into one row per entity.
+    val wCover = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val cover = orders
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey").cast("string").as("cover_id"))
+    val wFormat = Window.partitionBy(col("o_custkey"))
+      .orderBy(
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2).otherwise(3),
+        col("o_orderkey"))
+    val picks = orders
+      .withColumn("rn_cover", row_number().over(wCover))
+      .withColumn("rn_format", row_number().over(wFormat))
+      .filter(col("rn_cover") === 1 || col("rn_format") === 1)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("rn_cover") === 1, col("o_orderkey").cast("string"))).as("cover_id"),
+        max(when(col("rn_format") === 1, col("o_orderstatus"))).as("top_format"))
+
+    // Stage 4: grandchild (two-hop) laterals — transcript string_agg
+    // ordered by child position, distinct thumbnail set, fragment count.
+    // Join BEFORE grouping so the shuffle key is the root entity.
+    val li = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey").cast("string").as("t")))),
+            s => s.getField("t")),
+          "\n").as("transcript"),
+        sort_array(collect_set(col("l_returnflag"))).as("thumbs"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_fragments"))
 
     customer
       .join(perKey, col("c_custkey") === perKey("o_custkey"), "left")
       .drop(perKey("o_custkey"))
-      .join(cover, col("c_custkey") === cover("o_custkey"), "left")
-      .drop(cover("o_custkey"))
+      .join(roles, col("c_custkey") === roles("o_custkey"), "left")
+      .drop(roles("o_custkey"))
+      .join(picks, col("c_custkey") === picks("o_custkey"), "left")
+      .drop(picks("o_custkey"))
+      .join(li, col("c_custkey") === li("o_custkey"), "left")
+      .drop(li("o_custkey"))
       .select(
         col("c_custkey").as("id"),
         // LIST partition key: lower(org_identifier)
         // (arc_db_load_index_tables_flow.py:39-40)
         lower(col("c_mktsegment")).as("index"),
+        // Every field coalesced: Spark's to_json drops null fields while
+        // DuckDB keeps them, so the doc must be null-free to hash-match.
         to_json(struct(
           concat(lit("urn:c/"), col("c_custkey")).as("iri"),
           col("c_name").as("schema_name"),
@@ -67,10 +147,22 @@ object IndexDocuments {
           coalesce(col("n_children"), lit(0L)).as("children"),
           coalesce(col("any_flag"), lit(false)).as("is_flagged"),
           coalesce(col("cover_id"), lit("none")).as("cover"),
-          when(coalesce(col("has_urgent"), lit(false)),
-            "https://rightsstatements.org/vocab/InC/1.0/")
-            .otherwise("https://creativecommons.org/publicdomain/mark/1.0/")
-            .as("rights")
+          when(coalesce(col("has_urgent"), lit(false)), RightsInC)
+            .otherwise(RightsPD).as("rights"),
+          coalesce(col("top_format"), lit("none")).as("format"),
+          coalesce(col("premis"), array().cast("array<map<string,string>>")).as("premis"),
+          coalesce(col("roles"),
+            typedLit(Map.empty[String, Seq[String]])).as("roles"),
+          coalesce(col("thumbs"), array().cast("array<string>")).as("thumbs"),
+          coalesce(col("transcript"), lit("")).as("transcript"),
+          coalesce(col("n_fragments"), lit(0L)).as("n_fragments"),
+          when(array_contains(coalesce(col("thumbs"), array().cast("array<string>")), "R"),
+            RightsInC)
+            .when(array_contains(coalesce(col("thumbs"), array().cast("array<string>")), "A"),
+              RightsPD)
+            .otherwise("none").as("rights_statement"),
+          coalesce(col("date_min"), lit("none")).as("date_created_min"),
+          coalesce(col("date_max"), lit("none")).as("date_created_max")
         )).as("document"),
         coalesce(col("n_children"), lit(0L)).as("n_children"),
         coalesce(col("any_flag"), lit(false)).as("any_flag"),

@@ -324,6 +324,47 @@ object QuadBattery {
     }
   )
 
+  /** The Turtle parser under the oracle gate: customers are serialized
+    * into one Turtle document PER SEGMENT (prefixed names, `;`
+    * predicate lists, `,` object lists, a lang-tagged literal, a bare
+    * integer literal), parsed back through `QuadSource.fromTurtleDocs`
+    * (per-document distribution — 5 docs across the cluster), and
+    * pivoted. The oracle restates the round-trip in closed form; the
+    * nl-tagged uppercase segment must win the pivot's nl-override. */
+  val ttlRoundtrip = Q(
+    "q_ttl_roundtrip",
+    Some(
+      "SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS id, c_name, " +
+        "upper(c_mktsegment) AS seg_nl, c_nationkey FROM customer ORDER BY 1"),
+    (s, dir) => {
+      val cust = Td(s, dir, "customer")
+      val stmts = cust.select(
+        col("c_mktsegment").as("seg"),
+        concat(
+          lit("cust:"), col("c_custkey"),
+          lit(" k:tableName \"graph.customer_ttl\" ;\n  k:c_name \""), col("c_name"),
+          lit("\" ;\n  k:seg_nl \""), col("c_mktsegment"),
+          lit("\" , \""), upper(col("c_mktsegment")),
+          lit("\"@nl ;\n  k:c_nationkey "), col("c_nationkey"),
+          lit(" .")).as("stmt"))
+      val docs = stmts.groupBy(col("seg"))
+        .agg(concat_ws("\n",
+          lit("@prefix cust: <urn:c/> ."),
+          lit(s"@prefix k: <$ns> ."),
+          sort_array(collect_list(col("stmt")))).as("doc"))
+        .select(col("doc"))
+      import s.implicits._
+      val spec = TableSpec("graph.customer_ttl", Seq(
+        "c_name" -> ColType.Str, "seg_nl" -> ColType.Str,
+        "c_nationkey" -> ColType.IntT))
+      SubjectPivot.pivotTable(
+        graft.source.QuadSource.fromTurtleDocs(docs.as[String]), spec)
+        .select(col("subject").as("id"), col("c_name"), col("seg_nl"),
+          col("c_nationkey"))
+        .orderBy(col("id"))
+    }
+  )
+
   /** The parameterized entity pipeline under the oracle gate: orders
     * melt into entity-vocabulary quads covering the reference's UNION
     * families (av-audio.sparql:231-394) — typed subject, identifier,
@@ -423,5 +464,6 @@ object QuadBattery {
   )
 
   val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
-    orgPipeline, personPipeline, deleteFlags, ntRoundtrip, entityPipeline)
+    orgPipeline, personPipeline, deleteFlags, ntRoundtrip, ttlRoundtrip,
+    entityPipeline)
 }

@@ -84,9 +84,10 @@ object Similarity {
     * Centroids are trained with one deterministic k-means refinement:
     * seeds = the `k` hash-smallest corpus vectors (content-derived, no
     * runtime randomness), one assign+mean step over the corpus. The
-    * driver holds only `k × dim` doubles; assignment is a codegen'd
-    * expression over centroid literals, cell search is a bucket
-    * equi-join — shuffle ∝ corpus, never all-pairs. */
+    * driver holds only `k × dim` doubles; assignment is an expression
+    * over centroid literals (higher-order fns — interpreted, like all
+    * vector math here), cell search is a bucket equi-join — shuffle ∝
+    * corpus, never all-pairs. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
               k: Int = 16, nprobe: Int = 3, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.source
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,6 +45,24 @@ object QuadSource {
     * rejects invalid statements, stream.ts:131-134). */
   def ntriples(spark: SparkSession, path: String): DataFrame =
     fromNtLines(spark.read.text(path).toDF("value"))
+
+  /** Turtle ingest — the reference's wire format
+    * (2_database_load.ts:62-70). One row per FILE (`wholetext`): Turtle
+    * is stateful (@prefix, multi-line statements) so it cannot split
+    * within a file; many files parallelize across executors, which is
+    * the same per-stream constraint the reference's Node pipeline has.
+    * Use NT or Parquet for splittable at-rest storage. */
+  def turtle(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    fromTurtleDocs(spark.read.option("wholetext", "true").text(path).as[String])
+  }
+
+  /** [[TurtleParser]] over an existing one-document-per-row Dataset. */
+  def fromTurtleDocs(docs: Dataset[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => TurtleParser.parse(d)).toDF()
+  }
 
   /** Same parser over an existing one-string-column DataFrame (tests,
     * streaming sources). */

@@ -44,7 +44,9 @@ object CollectionPipeline {
       .otherwise("collection")
   }
 
-  def apply(quads: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+  def apply(quadsIn: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+    // ~6 pattern slices read this input; persist once (Patterns scaladoc).
+    val quads = ensurePersisted(quadsIn)
     // Collections = objects of isPartOf; their rdf:type drives the
     // type-name mapping.
     val partOf = po(quads, IsPartOf, "collection_id")

@@ -137,10 +137,12 @@ object EntityPipeline {
 
   import Patterns._
 
-  def apply(quads: DataFrame, cfg: Config,
+  def apply(quadsIn: DataFrame, cfg: Config,
             params: ViewParams = ViewParams(),
             branches: Seq[BranchSpec] = defaultBranches,
             flags: Seq[FlagSpec] = defaultFlags): Map[String, DataFrame] = {
+    // ~12 derived frames slice this input; persist once, not recompute 12×.
+    val quads = Patterns.ensurePersisted(quadsIn)
 
     // Base match: typed entity + identifier + allowed license +
     // incremental cutoff (av-audio.sparql:193-220).

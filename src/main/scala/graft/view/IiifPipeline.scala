@@ -23,7 +23,9 @@ object IiifPipeline {
   import V._
 
   /** → one row per (entity, IIIF image URL, mime). */
-  def apply(quads: DataFrame, params: ViewParams = ViewParams()): DataFrame = {
+  def apply(quadsIn: DataFrame, params: ViewParams = ViewParams()): DataFrame = {
+    // 3 pattern slices read this input; persist once (Patterns scaladoc).
+    val quads = ensurePersisted(quadsIn)
     // ?img ^haObj:hasIIIFCopy ?ie — hasIIIFCopy points entity → copy;
     // the inverse traversal keys the match on the copy side (s = img).
     val copyOf = invPath(quads, HasIIIFCopy, "ie")

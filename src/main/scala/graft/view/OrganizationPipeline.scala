@@ -60,7 +60,9 @@ object OrganizationPipeline {
 
   /** Run the pipeline: source-KG quads → per-table DataFrames
     * (keys are the `graph.*` table names of FIXTURES.md §B). */
-  def apply(quads: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+  def apply(quadsIn: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+    // ~15 pattern slices read this input; persist once (Patterns scaladoc).
+    val quads = ensurePersisted(quadsIn)
     // Base match: typed + required label (nl) + required OR- identifier.
     val orgs = typed(quads, V.Organization)
 

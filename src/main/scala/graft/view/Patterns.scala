@@ -21,6 +21,21 @@ import graft.model.Ns
   */
 object Patterns {
 
+  /** Construct pipelines slice their quad input once per pattern — a
+    * dozen or more predicate-filtered scans of the same frame. When the
+    * input is a parquet table at rest that is just scan reuse, but when
+    * it is a derived frame (a melt, an NT parse, a filtered slice) every
+    * slice recomputes the whole upstream tree. Pipelines therefore
+    * persist their input on entry: MEMORY_AND_DISK (spills, never OOMs),
+    * and a no-op if the caller already persisted. At 100 TB the pipeline
+    * input is the graph-pruned org slice, not the full corpus — that is
+    * the frame worth caching, and the caller can `unpersist()` it after
+    * materializing the output tables. */
+  def ensurePersisted(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** `?s <pred> ?o` → DataFrame(s, value, value_lang). */
   def po(quads: DataFrame, pred: String, as: String): DataFrame =
     quads.filter(col("predicate") === pred)

@@ -30,7 +30,9 @@ object PersonPipeline {
   import Patterns._
   import V._
 
-  def apply(quads: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+  def apply(quadsIn: DataFrame, params: ViewParams = ViewParams()): Map[String, DataFrame] = {
+    // ~8 pattern slices read this input; persist once (Patterns scaladoc).
+    val quads = ensurePersisted(quadsIn)
     // ?ie schema:mentions ?mention — traversed inversely: start from the
     // mention side (person.sparql:77 `^schema:mentions`).
     val mentionOf = invPath(quads, Mentions, "ie")

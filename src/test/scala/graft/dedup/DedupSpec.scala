@@ -85,4 +85,44 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
   }
+
+  test("embedding near-dup multi-probe recovers a near-boundary pair") {
+    // Find (driver-side, deterministically) a high-cosine pair whose LSH
+    // buckets differ in EXACTLY one bit: single-probe bucketing must
+    // miss it, multi-probe must find it. Hyperplanes regenerated with
+    // the same seeded formula as Similarity.hyperplanes.
+    val planes = 8; val dim = 16; val seed = 42L
+    val hp = { val r = new scala.util.Random(seed)
+      Array.fill(planes, dim)(r.nextGaussian()) }
+    def bucket(v: Array[Float]): Long =
+      hp.zipWithIndex.map { case (w, i) =>
+        if (v.zip(w).map { case (x, y) => x * y }.sum > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val rnd = new scala.util.Random(7L)
+    val found = Iterator.continually {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val u = v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      (v, u)
+    }.take(5000).find { case (v, u) =>
+      java.lang.Long.bitCount(bucket(v) ^ bucket(u)) == 1 && cosine(v, u) >= 0.95
+    }
+    assert(found.isDefined, "no near-boundary pair in 5000 draws")
+    val (v, u) = found.get
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, v.toSeq), (2L, u.toSeq)).toDF("doc_id", "embedding")
+    def pairs(mp: Boolean) =
+      Dedup.embeddingNearDup(df, "doc_id", "embedding", dim = dim,
+        minCosine = 0.95, planes = planes, seed = seed, multiProbe = mp)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!pairs(mp = false).contains((1L, 2L)),
+      "single-probe unexpectedly bucketed a boundary-straddling pair")
+    assert(pairs(mp = true).contains((1L, 2L)),
+      "multi-probe must recover a 1-bit-apart pair")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.source
+
+import graft.SparkSuite
+import graft.model.{Ns, Quad}
+
+/** Turtle grammar coverage: directives, prefixed names, `a`, predicate
+  * and object lists, literals (lang/datatype/numeric/boolean/long),
+  * escapes, comments, blank nodes, error cases. */
+class TurtleParserSpec extends SparkSuite {
+
+  private def p(doc: String): Seq[Quad] = TurtleParser.parse(doc).toSeq
+
+  test("prefixed names, a, predicate and object lists") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |@prefix schema: <https://schema.org/> .
+        |# a comment
+        |ex:e1 a schema:AudioObject ;
+        |  schema:name "Naam"@nl, "Name"@en ;
+        |  schema:identifier "abc123" .
+        |""".stripMargin
+    val quads = p(doc)
+    assert(quads.size == 4)
+    assert(quads.head == Quad("http://example.org/e1", Ns.RdfType,
+      "https://schema.org/AudioObject", null, null, null))
+    assert(quads(1) == Quad("http://example.org/e1", "https://schema.org/name",
+      "Naam", "nl", null, null))
+    assert(quads(2).lang == "en")
+    assert(quads(3).obj == "abc123" && quads(3).lang == null && quads(3).datatype == null)
+  }
+
+  test("typed, numeric, boolean, long literals and escapes") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:e <ex:p1> "2024-01-01"^^xsd:date ;
+        |  <ex:p2> 42 ;
+        |  <ex:p3> 3.14 ;
+        |  <ex:p4> true ;
+        |  <ex:p5> "line1\nline2 \"q\"" ;
+        |  <ex:p6> '''a
+        |multi "line"''' ;
+        |  <ex:p7> "A\U0001F600" .
+        |""".stripMargin
+    val byPred = p(doc).map(q => q.predicate -> q).toMap
+    assert(byPred("ex:p1").datatype == "http://www.w3.org/2001/XMLSchema#date")
+    assert(byPred("ex:p2").obj == "42" &&
+      byPred("ex:p2").datatype == "http://www.w3.org/2001/XMLSchema#integer")
+    assert(byPred("ex:p3").datatype == "http://www.w3.org/2001/XMLSchema#decimal")
+    assert(byPred("ex:p4").obj == "true" && byPred("ex:p4").datatype == Ns.XsdBoolean)
+    assert(byPred("ex:p5").obj == "line1\nline2 \"q\"")
+    assert(byPred("ex:p6").obj == "a\nmulti \"line\"")
+    assert(byPred("ex:p7").obj == "A😀")
+  }
+
+  test("SPARQL-style PREFIX, base resolution, blank nodes") {
+    val doc =
+      """PREFIX ex: <http://example.org/>
+        |BASE <http://base.org/>
+        |<rel> ex:p _:b0 .
+        |_:b0 ex:q <http://abs.org/x> .
+        |""".stripMargin
+    val quads = p(doc)
+    assert(quads(0).subject == "http://base.org/rel")
+    assert(quads(0).obj == "_:b0")
+    assert(quads(1).subject == "_:b0" && quads(1).obj == "http://abs.org/x")
+  }
+
+  test("unsupported constructs and malformed docs throw") {
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> ( 1 2 ) ."))
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> [ <urn:q> 1 ] ."))
+    intercept[TurtleParser.TurtleParseException](p("ex:s <urn:p> 1 .")) // undeclared prefix
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"unterminated"))
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"x\""))
+  }
+
+  test("fromTurtleDocs distributes per document") {
+    val s = spark
+    import s.implicits._
+    val doc1 = "@prefix a: <urn:a:> . a:s1 a:p \"v1\" ."
+    val doc2 = "@prefix a: <urn:b:> . a:s2 a:p 7 ."
+    val out = QuadSource.fromTurtleDocs(Seq(doc1, doc2).toDS()).collect()
+    assert(out.length == 2)
+    val subjects = out.map(_.getAs[String]("subject")).toSet
+    assert(subjects == Set("urn:a:s1", "urn:b:s2")) // prefix state is per-doc
+  }
+}
