@@ -23,6 +23,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // pipeline-input materialization mode (see Patterns.ensurePersisted)
+      .config("spark.graft.pipelineInput",
+        sys.env.getOrElse("GRAFT_PIPELINE_INPUT", "checkpoint"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,8 +39,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Local-dev filter: bench only the named queries (comma-separated).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
     case class R(name: String, sec: Double, ok: Boolean)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         once(fn) // warm-up, untimed
         val times = Seq.fill(iters)(once(fn)).sorted

@@ -73,17 +73,15 @@ object Dedup {
                      minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Staged projections: tokens → shingles → base hashes → signature.
-    // Each stage references the previous *column*, so interpreted HOF
-    // lambdas never re-evaluate an upstream expression per element.
+    // Scan-side kernels: normalize (codegen'd regex) → one-pass native
+    // distinct-shingle hashes → one-pass native signature. Bit-identical
+    // to the staged HOF chain (NativeShingleSpec / NativeMinHashSpec)
+    // without the per-element interpreted lambda dispatch.
     val withSig = df
       .select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .withColumn("sh", array_distinct(
-        TextFunctions.shinglesFromTokens(col("toks"), shingleK)))
-      .withColumn("hs", baseShingleHashes(col("sh")))
+        graft.functions.ShingleHashesExpr(
+          TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
-      .drop("toks")
 
     // Bucket rows carry ONLY the id: a pair colliding in all `bands`
     // buckets (exact duplicates do) would otherwise drag its shingle

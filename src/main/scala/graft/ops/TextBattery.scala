@@ -41,15 +41,15 @@ object TextBattery {
       s"len(list_distinct(list_concat(sh_o, sh_m))) >= $minJ) " +
       "SELECT count(*) AS n_truth, true AS recall_ok FROM tr"
 
-  /** Spark side of the same planted truth (staged projections — HOF
-    * lambdas must reference materialized columns, never re-expand the
-    * tokenizer per element). */
+  /** Spark side of the same planted truth. Shingle sets are carried as
+    * 64-bit hashes (one-pass native kernel): set ops over longs instead
+    * of ~200-char strings, and Jaccard over the hash sets equals the
+    * oracle's string-set Jaccard up to 2^-64 collisions. */
   private def plantedTruth(docs: org.apache.spark.sql.DataFrame,
                            minJ: Double): org.apache.spark.sql.DataFrame = {
     def sh(d: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
-      d.select(col("doc_id"), TextFunctions.tokens(c).as("t"))
-        .select(col("doc_id"),
-          array_distinct(TextFunctions.shinglesFromTokens(col("t"), 3)).as("sh"))
+      d.select(col("doc_id"),
+        graft.functions.ShingleHashesExpr(TextFunctions.normalize(c), 3).as("sh"))
     val o = sh(docs, col("text")).withColumnRenamed("sh", "sh_o")
     val m = sh(docs, substring(col("text"), 12, 1000000)).withColumnRenamed("sh", "sh_m")
     o.join(m, Seq("doc_id"))

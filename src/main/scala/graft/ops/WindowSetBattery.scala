@@ -134,6 +134,69 @@ object WindowSetBattery {
     }
   )
 
+  /** `INTERSECT` / `EXCEPT` set ops (SURVEY.md §2.7 #54 — absent in the
+    * reference, added for engine completeness): segments of customers
+    * with open orders vs with fulfilled orders. Spark `intersect`/
+    * `except` compile to left-semi/anti aggregates — same dedup-shuffle
+    * shape as DISTINCT, no extra pass. */
+  val intersectExcept = Q(
+    "q_intersect_except",
+    Some(
+      "SELECT op, seg FROM (" +
+        "SELECT 'both' AS op, seg FROM (" +
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "WHERE o_orderstatus = 'O' INTERSECT " +
+        "SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "WHERE o_orderstatus = 'F') " +
+        "UNION ALL " +
+        "SELECT 'only_open' AS op, seg FROM (" +
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "WHERE o_orderstatus = 'O' EXCEPT " +
+        "SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "WHERE o_orderstatus = 'F')) ORDER BY 1, 2"),
+    (s, dir) => {
+      val c = Td(s, dir, "customer")
+      val o = Td(s, dir, "orders")
+      def segsWith(status: String) = c
+        .join(o.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_mktsegment").as("seg")).distinct()
+      val open = segsWith("O")
+      val ful = segsWith("F")
+      open.intersect(ful).select(lit("both").as("op"), col("seg"))
+        .unionByName(open.except(ful).select(lit("only_open").as("op"), col("seg")))
+        .orderBy(col("op"), col("seg"))
+    }
+  )
+
+  /** GROUPING SETS / rollup (SURVEY.md §2.4 #44 — absent in the
+    * reference, added for completeness): per-(status, priority) counts
+    * plus per-status and grand totals in ONE aggregation pass —
+    * `rollup` expands the sets map-side, so the shuffle carries the
+    * partial aggregates of every set at once. `grouping()` flags
+    * disambiguate the NULL-as-total rows from genuine NULLs. */
+  val groupingSets = Q(
+    "q_grouping_sets",
+    Some(
+      "SELECT coalesce(o_orderstatus, '<all>') AS status, " +
+        "coalesce(o_orderpriority, '<all>') AS priority, " +
+        // DECIMAL sum: the grand-total row folds the whole table, where
+        // double accumulation order diverges across engines at 2dp.
+        "count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY 1, 2"),
+    (s, dir) =>
+      Td(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("cnt"), col("total"))
+        .orderBy(col("status"), col("priority"))
+  )
+
   val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll,
-    sessionize)
+    sessionize, intersectExcept, groupingSets)
 }

@@ -91,9 +91,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
               k: Int = 16, nprobe: Int = 3, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Training + indexing read the corpus 3× (seed pick, one Lloyd
+    // step, cell index) — materialize the 2-column projection once;
+    // localCheckpoint so repeated invocations are ContextCleaner-safe
+    // (same rationale as graft.view.Patterns.ensurePersisted).
+    val corpus2 = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+
     // Deterministic seeds: k vectors with smallest xxhash64(id).
-    val seeds = corpus
-      .select(col(idCol), col(vecCol))
+    val seeds = corpus2
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
       .collect()
@@ -107,7 +112,7 @@ object Similarity {
       // argmax: position of the max similarity (1-based → 0-based)
       (array_position(dots, array_max(dots)) - 1).cast("int")
     }
-    val assigned = corpus.select(col(vecCol).as("v"),
+    val assigned = corpus2.select(col(vecCol).as("v"),
       nearestCell(col(vecCol), seeds).as("cell"))
     val refined: Array[Array[Double]] = assigned
       .select(col("cell"), posexplode(col("v")))
@@ -122,7 +127,7 @@ object Similarity {
       }
 
     // Index the corpus by refined cell; probes visit nprobe cells.
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), refined).as("cell"))
     val probeSims = array(centroidLits(refined).map(c => cosine(col("pv"), c)): _*)
     val probeCells = probes

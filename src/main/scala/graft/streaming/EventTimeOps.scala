@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY.md §2.10 #86 — absent in the
+  * reference, which is a bounded single-pass pipeline; added as the
+  * Structured-Streaming-native layer a continuously-fed corpus needs).
+  *
+  * Two shapes:
+  *  - watermarked tumbling-window aggregation — the declarative form:
+  *    late events beyond the watermark are dropped, window state is
+  *    evicted once the watermark passes, so state is bounded at any
+  *    corpus rate;
+  *  - stateful gap sessionization via `flatMapGroupsWithState` — the
+  *    custom-state form (the streaming sibling of the batch
+  *    `q_sessionize` window query): sessions close either when a new
+  *    event arrives past the gap or when the event-time timeout fires,
+  *    so idle keys cannot accumulate state forever.
+  */
+object EventTimeOps {
+
+  /** One event of the streaming feed (events.parquet shape, with ts as
+    * a real timestamp — the batch table's nanos-long is cast at the
+    * ingest edge). */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+
+  /** One closed session. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Internal session accumulator — public because encoder-generated
+    * code constructs it reflectively. */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Watermarked tumbling-window counts per user. Append-mode safe:
+    * a window emits once its end passes the watermark. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("window.start").as("window_start"),
+        col("n_events"))
+
+  /** Gap-based streaming sessionization: per user, a session closes
+    * after `gapMinutes` of event-time silence. Closed sessions are
+    * emitted either by a later event arriving past the gap or by the
+    * event-time timeout (watermark passing last+gap) — the latter is
+    * what bounds state for keys that simply stop talking. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(key: Long, st: SessState): Session =
+      Session(key, new java.sql.Timestamp(st.start),
+        new java.sql.Timestamp(st.last), st.n)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(close(key, st))
+          } else {
+            // Within a micro-batch, order by event time (iterator order
+            // is arrival order, not time order).
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(st) if t - st.last > gapMs =>
+                  closed ::= close(key, st)
+                  Some(SessState(t, t, 1))
+                case Some(st) =>
+                  Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+                case None =>
+                  Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -177,9 +177,9 @@ object EntityPipeline {
       (Available, "dcterms_available", None),
       (CopyrightNotice, "schema_copyright_notice", None),
       (IsPartOfRel, "relation_is_part_of", None))
-    val ieJoined = ieScalars.foldLeft(base) { case (acc, (pred, colName, lang)) =>
-      acc.join(optionalSingle(quads, pred, colName, lang), Seq("s"), "left")
-    }
+    // ONE conditional-agg pass for all scalar OPTIONALs (10 predicates
+    // → 1 shuffle + 1 join, not 10 of each — see Patterns.optionalSingles).
+    val ieJoined = base.join(optionalSingles(quads, ieScalars), Seq("s"), "left")
     val ieFlagged = flags.foldLeft(ieJoined) { (acc, f) =>
       acc.join(existsFlag(quads, f.p1, f.p2, f.obj, f.flagCol), Seq("s"), "left")
         .withColumn(f.flagCol, coalesce(col(f.flagCol), lit(false)))

