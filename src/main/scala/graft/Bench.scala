@@ -26,6 +26,17 @@ object Bench {
       // pipeline-input materialization mode (see Patterns.ensurePersisted)
       .config("spark.graft.pipelineInput",
         sys.env.getOrElse("GRAFT_PIPELINE_INPUT", "checkpoint"))
+      // ContextCleaner frees checkpoint/broadcast blocks only on GC; a
+      // big-heap JVM may not GC for the whole battery, so stale blocks
+      // squeeze execution memory (observed: one query 4.9s standalone →
+      // 134s mid-battery). Spark's own periodicGC covers long gaps...
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // The generated-class cache defaults to 100 entries; a 70-query
+      // battery holds far more codegen stages, and eviction forces the
+      // widest plan (~40 stages) to recompile on every run — measured
+      // 4.9s standalone vs 85s mid-battery for the same query. Static
+      // conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,8 +58,23 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
-        once(fn) // warm-up, untimed
-        val times = Seq.fill(iters)(once(fn)).sorted
+        // GC between iterations: a pipeline invocation leaves its
+        // (unreferenced) checkpoint blocks behind, and the ContextCleaner
+        // frees them only on GC — without this, iteration N of a
+        // checkpoint-heavy query measures iteration N-1's storage
+        // eviction (observed 4.7s → 16.7s within one query's runs).
+        // The cleaner drains its reference queue asynchronously after
+        // GC — give it a beat, or the next run still races the frees.
+        def settle(): Unit = { System.gc(); Thread.sleep(300) }
+        val warm = once(fn) // warm-up, untimed
+        val raw = Seq.fill(iters) { settle(); once(fn) }
+        if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+          System.err.println(f"[bench-debug] $name warm=$warm%.2f runs=" +
+            raw.map(t => f"$t%.2f").mkString(","))
+        val times = raw.sorted
+        // ...and the explicit GC here lets the cleaner drop the blocks
+        // THIS query checkpointed before the next one is timed.
+        System.gc()
         R(name, times(times.size / 2), ok = true)
       } catch {
         case e: Throwable =>

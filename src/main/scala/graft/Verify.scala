@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // free checkpoint/broadcast blocks between queries (see Bench)
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // generated-class cache: battery >> default 100 entries (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,6 +32,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // let the ContextCleaner drop this query's checkpoint blocks
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
