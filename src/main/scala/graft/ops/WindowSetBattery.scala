@@ -197,6 +197,30 @@ object WindowSetBattery {
         .orderBy(col("status"), col("priority"))
   )
 
+  /** Tumbling event-time window aggregation (batch twin of
+    * `graft.streaming.EventTimeOps.windowedCounts` — SURVEY.md §2.10
+    * #86): per-user hourly event counts via `window()`. ts is
+    * nanos-as-long (TESTDATA), floored to µs on both engines; the
+    * window start serializes as a string so timestamp encodings can't
+    * diverge. */
+  val eventWindow = Q(
+    "q_event_window",
+    Some(
+      "SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), " +
+        "'%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    (s, dir) =>
+      Td(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tsx"))
+        .groupBy(col("user_id"), window(col("tsx"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("window_start"))
+  )
+
   val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll,
-    sessionize, intersectExcept, groupingSets)
+    sessionize, intersectExcept, groupingSets, eventWindow)
 }
