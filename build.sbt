@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // row-pointer-heavy workload measured 10x slower (42s vs 4.3s for the
   // same query). Stay well under the 32g cliff.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // A 70-query battery JIT-compiles thousands of generated classes; the
+  // 240m default code cache fills mid-battery, the JIT shuts off
+  // ("CodeCache is full. Compiler has been disabled."), and every later
+  // query runs interpreted — ~2x on scan-shaped queries, 20-70x on the
+  // widest codegen plans (measured: q_index_doc 0.9s early-battery vs
+  // 60s late-battery, 3s standalone). Size the cache for the battery
+  // and let flushing reclaim cold compiled code under pressure.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -26,6 +26,13 @@ object QuadBattery {
     struct(pred.as("predicate"), obj.cast("string").as("obj"), lang.as("lang"))
   private val noLang = lit(null).cast("string")
 
+  /** NT/Turtle string-literal escaping for the round-trip serializers:
+    * backslash first, then double-quote (W3C N-Triples §ECHAR). TPC-H
+    * text never contains either, but the serializer must not emit
+    * invalid Turtle if the fixture data ever does. */
+  private def ttlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
   /** Customer/orders/nation rows → one unified quad DataFrame.
     * Customer carries deliberate multi-value cases: an `nl`-tagged
     * uppercase name (must override, stream.ts:97-103) and a second
@@ -307,9 +314,9 @@ object QuadBattery {
       val subj = concat(lit("<urn:c/"), col("c_custkey"), lit(">"))
       val lines = cust.select(explode(array(
         stmt(subj, lit(s" <${Ns.TableName}> "), lit("\"graph.customer_nt\"")),
-        stmt(subj, lit(s" <${ns}c_name> \""), col("c_name"), lit("\"")),
-        stmt(subj, lit(s" <${ns}seg_nl> \""), col("c_mktsegment"), lit("\"")),
-        stmt(subj, lit(s" <${ns}seg_nl> \""), upper(col("c_mktsegment")), lit("\"@nl")),
+        stmt(subj, lit(s" <${ns}c_name> \""), ttlEscape(col("c_name")), lit("\"")),
+        stmt(subj, lit(s" <${ns}seg_nl> \""), ttlEscape(col("c_mktsegment")), lit("\"")),
+        stmt(subj, lit(s" <${ns}seg_nl> \""), ttlEscape(upper(col("c_mktsegment"))), lit("\"@nl")),
         stmt(subj, lit(s" <${ns}c_nationkey> \""), col("c_nationkey"),
           lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
       )).as("value"))
@@ -342,9 +349,10 @@ object QuadBattery {
         col("c_mktsegment").as("seg"),
         concat(
           lit("cust:"), col("c_custkey"),
-          lit(" k:tableName \"graph.customer_ttl\" ;\n  k:c_name \""), col("c_name"),
-          lit("\" ;\n  k:seg_nl \""), col("c_mktsegment"),
-          lit("\" , \""), upper(col("c_mktsegment")),
+          lit(" k:tableName \"graph.customer_ttl\" ;\n  k:c_name \""),
+          ttlEscape(col("c_name")),
+          lit("\" ;\n  k:seg_nl \""), ttlEscape(col("c_mktsegment")),
+          lit("\" , \""), ttlEscape(upper(col("c_mktsegment"))),
           lit("\"@nl ;\n  k:c_nationkey "), col("c_nationkey"),
           lit(" .")).as("stmt"))
       val docs = stmts.groupBy(col("seg"))

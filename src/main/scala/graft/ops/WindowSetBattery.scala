@@ -173,28 +173,35 @@ object WindowSetBattery {
     * reference, added for completeness): per-(status, priority) counts
     * plus per-status and grand totals in ONE aggregation pass —
     * `rollup` expands the sets map-side, so the shuffle carries the
-    * partial aggregates of every set at once. `grouping()` flags
-    * disambiguate the NULL-as-total rows from genuine NULLs. */
+    * partial aggregates of every set at once. `grouping()` flags are
+    * selected into the output (mirrored by `GROUPING()` in the oracle)
+    * so a genuine NULL group value can never collide with a
+    * NULL-as-total rollup row. */
   val groupingSets = Q(
     "q_grouping_sets",
     Some(
       "SELECT coalesce(o_orderstatus, '<all>') AS status, " +
         "coalesce(o_orderpriority, '<all>') AS priority, " +
+        "CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority, " +
         // DECIMAL sum: the grand-total row folds the whole table, where
         // double accumulation order diverges across engines at 2dp.
         "count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
-        "ORDER BY 1, 2"),
+        "ORDER BY 1, 2, 3, 4"),
     (s, dir) =>
       Td(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
           coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("g_status"), col("g_priority"),
           col("cnt"), col("total"))
-        .orderBy(col("status"), col("priority"))
+        .orderBy(col("status"), col("priority"), col("g_status"), col("g_priority"))
   )
 
   /** Tumbling event-time window aggregation (batch twin of

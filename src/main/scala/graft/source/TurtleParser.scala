@@ -80,22 +80,38 @@ object TurtleParser {
       if (i >= s.length) fail("unterminated IRI")
       i += 1
       val iri = sb.toString
-      if (base.nonEmpty && !iri.contains(":")) base + iri else iri
+      // Absolute iff it has a scheme (RFC 3986 §3.1) — a ':' later in a
+      // path segment does not make a ref absolute. Relative refs resolve
+      // against @base per RFC 3986 §5 (java.net.URI.resolve), so "/abs",
+      // "../up" and bare fragments all land correctly, not by string
+      // concatenation.
+      if (base.isEmpty || iri.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")) iri
+      else
+        try new java.net.URI(base).resolve(new java.net.URI(iri)).toString
+        catch {
+          case _: java.net.URISyntaxException =>
+            fail(s"cannot resolve relative IRI <$iri> against base <$base>")
+        }
     }
 
     private def unescapeChar(): String = {
       // at the char after '\'
+      if (i >= s.length) fail("truncated escape")
       val c = s.charAt(i); i += 1
       c match {
         case 't' => "\t"; case 'n' => "\n"; case 'r' => "\r"
         case 'b' => "\b"; case 'f' => "\f"
         case '"' => "\""; case '\'' => "'"; case '\\' => "\\"
         case 'u' =>
+          if (i + 4 > s.length) fail("truncated \\u escape")
           val h = s.substring(i, i + 4); i += 4
-          Integer.parseInt(h, 16).toChar.toString
+          try Integer.parseInt(h, 16).toChar.toString
+          catch { case _: NumberFormatException => fail(s"bad \\u escape '$h'") }
         case 'U' =>
+          if (i + 8 > s.length) fail("truncated \\U escape")
           val h = s.substring(i, i + 8); i += 8
-          new String(Character.toChars(Integer.parseInt(h, 16)))
+          try new String(Character.toChars(Integer.parseInt(h, 16)))
+          catch { case _: RuntimeException => fail(s"bad \\U escape '$h'") }
         case other => fail(s"bad escape \\$other")
       }
     }

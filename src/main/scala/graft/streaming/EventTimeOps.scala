@@ -78,11 +78,22 @@ object EventTimeOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur = cur match {
+                // Straggler from a prior batch, older than the open
+                // session by more than the gap: it can never merge —
+                // it is its own (already closed) singleton session.
+                case Some(st) if t < st.start - gapMs =>
+                  closed ::= Session(key, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1)
+                  Some(st)
                 case Some(st) if t - st.last > gapMs =>
                   closed ::= close(key, st)
                   Some(SessState(t, t, 1))
+                // Merge extends BOTH ends: an out-of-order
+                // (within-watermark) event that precedes the session
+                // start lowers session_start, not just session_end.
                 case Some(st) =>
-                  Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+                  Some(SessState(math.min(st.start, t),
+                    math.max(st.last, t), st.n + 1))
                 case None =>
                   Some(SessState(t, t, 1))
               }

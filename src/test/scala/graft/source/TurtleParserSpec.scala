@@ -74,6 +74,30 @@ class TurtleParserSpec extends SparkSuite {
     intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"x\""))
   }
 
+  test("truncated or malformed unicode escapes fail the parser contract") {
+    // end-of-document mid-escape: must be TurtleParseException, not a
+    // raw StringIndexOutOfBoundsException from substring
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"a\\"))
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"a\\u00"))
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"a\\U0001F6"))
+    intercept[TurtleParser.TurtleParseException](p("<urn:s> <urn:p> \"a\\uZZZZ\" ."))
+  }
+
+  test("relative IRIs resolve per RFC 3986, not by concatenation") {
+    def subj(doc: String) = p(doc).head.subject
+    val base = "BASE <http://x/dir/file>\n"
+    // sibling reference replaces the last path segment
+    assert(subj(base + "<rel> <urn:p> 1 .") == "http://x/dir/rel")
+    // absolute-path reference resets to the root
+    assert(subj(base + "</abs> <urn:p> 1 .") == "http://x/abs")
+    // dot-dot climbs a directory
+    assert(subj(base + "<../up> <urn:p> 1 .") == "http://x/up")
+    // trailing-slash namespace base keeps the old append behavior
+    assert(subj("BASE <http://x/ns/>\n<leaf> <urn:p> 1 .") == "http://x/ns/leaf")
+    // a scheme'd IRI is never resolved against base
+    assert(subj(base + "<urn:abs:y> <urn:p> 1 .") == "urn:abs:y")
+  }
+
   test("fromTurtleDocs distributes per document") {
     val s = spark
     import s.implicits._

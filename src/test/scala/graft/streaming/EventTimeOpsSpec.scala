@@ -71,4 +71,35 @@ class EventTimeOpsSpec extends SparkSuite {
       assert(u1(1) == Session(1L, ts("12:00"), ts("12:00"), 1))
     } finally q.stop()
   }
+
+  test("out-of-order within-watermark events lower session_start; " +
+    "stragglers older than the gap form their own session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    // generous watermark delay so cross-batch out-of-order events are
+    // admitted rather than dropped at the watermark
+    val q = EventTimeOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("11:00")))
+      q.processAllAvailable()
+      // 10:55 precedes the open session's start but is within the gap →
+      // merges AND lowers session_start; 10:00 is > gap older than the
+      // (lowered) start → its own already-closed singleton session
+      input.addData(Ev(1, ts("10:55")), Ev(1, ts("10:00")))
+      q.processAllAvailable()
+      // a far-future event closes the open session inline
+      input.addData(Ev(1, ts("14:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(out.contains(Session(1L, ts("10:00"), ts("10:00"), 1)))
+      assert(out.contains(Session(1L, ts("10:55"), ts("11:00"), 2)))
+    } finally q.stop()
+  }
 }
