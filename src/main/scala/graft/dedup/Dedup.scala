@@ -115,6 +115,106 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup via the prefix-filter set-similarity
+    * join (the public SSJoin / parallel set-similarity-join family,
+    * Vernica-Carey-Li SIGMOD'10): unlike the probabilistic MinHash and
+    * SimHash entries this has **100% recall at the threshold** — any
+    * pair with J(a,b) ≥ t must share at least one token in the
+    * rare-first prefix of length |d| − ceil(t·|d|) + 1 under a
+    * consistent global token order.
+    *
+    * Scale shape: candidates come from an inverted-index equi-join on
+    * prefix tokens only — never all-pairs — and ordering each doc's
+    * tokens rarest-first (by global document frequency) keeps the
+    * postings per index token short: ubiquitous boilerplate shingles
+    * sort last and rarely enter a prefix. The doc-frequency pass, the
+    * prefix rebuild, and the candidate join all shuffle longs; shingle
+    * arrays join in only for the exact verify of surviving pairs.
+    *
+    * `rareFirst = false` orders tokens by hash value instead: the
+    * recall guarantee is unchanged (any consistent total order works)
+    * and the df pass + per-doc struct sort disappear (prefix = a
+    * sorted-array slice; measured ~3 s cheaper at sf0.1) — the right
+    * choice when the shingle distribution is known flat (no hot
+    * boilerplate), e.g. pre-deduplicated or synthetic corpora. Zipfian
+    * corpora should keep the rare-first default: one hot token landing
+    * in many prefixes turns the candidate join quadratic in its
+    * posting length. */
+  def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int = 3, minJaccard: Double = 0.8,
+                          rareFirst: Boolean = true): DataFrame = {
+    // The shingle frame feeds four consumers (dfreq, the prefix
+    // rebuild, and both verify sides) — materialize it once instead of
+    // re-running the normalize→shingle scan per consumer (same policy
+    // knob as the construct pipelines: spark.graft.pipelineInput).
+    val docs = graft.view.Patterns.ensurePersisted(
+      df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashesExpr(
+          TextFunctions.normalize(col(textCol)), shingleK).as("hs")))
+    def prefixSlice(ord: Column): Column =
+      slice(ord, lit(1),
+        greatest(lit(1),
+          (size(ord) - ceil(lit(minJaccard) * size(ord)).cast("int") + 1)))
+    // Global rare-first order: (document frequency asc, token asc) —
+    // any consistent total order preserves the prefix-filter guarantee;
+    // rare-first keeps the inverted-index postings short.
+    val prefixes =
+      if (!rareFirst)
+        docs.select(col("id"), array_sort(col("hs")).as("ord"))
+          .select(col("id"), size(col("ord")).as("n"),
+            prefixSlice(col("ord")).as("pref"))
+      else {
+        val toks = docs.select(col("id"), explode(col("hs")).as("tok"))
+        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        toks.join(dfreq, Seq("tok"))
+          .groupBy(col("id"))
+          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+          .select(col("id"), size(col("ord")).as("n"),
+            transform(prefixSlice(col("ord")),
+              s => s.getField("tok")).as("pref"))
+      }
+    // Positions ride along for the positional filter below.
+    val pt = prefixes.select(col("id"), col("n"),
+      posexplode(col("pref")))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "tok"))
+    // Candidate pruning, in increasing strength (all standard prunes of
+    // the set-similarity-join literature):
+    //  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb);
+    //  - positional filter: the collisions of a pair appear in the SAME
+    //    relative order in both docs (one consistent global order), so
+    //    the earliest collision (i, j) bounds total overlap by
+    //    min(na−i, nb−j) (0-based) — keep a pair only when the max of
+    //    that bound over its collision rows reaches the required
+    //    overlap α = ceil(t/(1+t)·(na+nb)). This kills the long tail
+    //    of pairs sharing only a few late (common) prefix tokens
+    //    without touching recall.
+    val t = minJaccard
+    val a = pt.select(col("tok"), col("id").as("id_a"), col("n").as("na"),
+      col("p").as("pa"))
+    val b = pt.select(col("tok"), col("id").as("id_b"), col("n").as("nb"),
+      col("p").as("pb"))
+    val candidates = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(max(least(col("na") - col("pa"), col("nb") - col("pb"))).as("ub"))
+      .filter(col("ub") >=
+        ceil(lit(t) / (1 + t) * (col("na") + col("nb"))))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+    // Exact verify on survivors only; union size is na + nb − o, so one
+    // array op per pair, and the arrays join in by id (never shuffled
+    // through the candidate stage).
+    val shOf = docs.select(col("id"), col("hs"))
+    candidates
+      .join(shOf.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(shOf.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .withColumn("o", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("o").cast("double") / (col("na") + col("nb") - col("o")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-dup: semantic duplicates via random-hyperplane
     * buckets (candidates = same sign-bit bucket, an equi-join) verified
     * with exact cosine. The embedding-space sibling of MinHash: same

@@ -196,6 +196,79 @@ object TextBattery {
     }
   )
 
+  /** Exact n-gram Jaccard near-dup (prefix-filter set-similarity join)
+    * under a FULL closed-form oracle: because the prefix filter has
+    * 100% recall at the threshold, the result is the exact pair set —
+    * so unlike the LSH entries the oracle states every (id_a, id_b,
+    * jaccard) row, via the inverted-index form (pairs sharing ≥1
+    * shingle, overlap counted by join, sizes joined in — a pair with no
+    * shared shingle has J=0 and can't clear the threshold).
+    * `rareFirst = false` is the documented flat-distribution fast path:
+    * this corpus has no hot shingles (max df 25 at sf0.1), and
+    * `DedupSpec` asserts both orderings return identical pairs. */
+  val neardupNgram = Q(
+    "q_neardup_ngram",
+    Some(
+      s"WITH s AS (SELECT doc_id, ${shinglesSqlOf("text")} AS sh FROM documents " +
+        s"UNION ALL SELECT doc_id + 1000000, ${shinglesSqlOf("text[12:]")} FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(sh) AS t FROM s), " +
+        "sz AS (SELECT doc_id, len(sh) AS n FROM s), " +
+        "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o " +
+        "FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(o AS DOUBLE) / (na.n + nb.n - o) AS jaccard " +
+        "FROM ov JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b " +
+        "WHERE CAST(o AS DOUBLE) / (na.n + nb.n - o) >= 0.7 ORDER BY 1, 2"),
+    (s, dir) =>
+      Dedup.ngramJaccardNearDup(withPlantedDups(s, dir), "doc_id", "text",
+        shingleK = 3, minJaccard = 0.7, rareFirst = false)
+        .orderBy(col("id_a"), col("id_b"))
+  )
+
+  /** Benchmark decontamination: every-20th document plays the test set,
+    * the rest the corpus; both engines count each corpus doc's distinct
+    * shingles that appear anywhere in the test set. */
+  val decontaminateQ = Q(
+    "q_decontaminate",
+    Some(
+      s"WITH te AS (SELECT DISTINCT unnest(${shinglesSqlOf("text")}) AS t " +
+        "FROM documents WHERE doc_id % 20 = 0), " +
+        s"co AS (SELECT doc_id, unnest(${shinglesSqlOf("text")}) AS t " +
+        "FROM documents WHERE doc_id % 20 <> 0), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM co " +
+        "WHERE t IN (SELECT t FROM te) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, " +
+        "coalesce(h.n_hits, 0) = 0 AS clean FROM documents d " +
+        "LEFT JOIN hits h ON h.doc_id = d.doc_id WHERE d.doc_id % 20 <> 0 " +
+        "ORDER BY 1"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      graft.text.CorpusPrep.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleK = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Deterministic md5-based stratified sampling — the same rows must
+    * be kept by both engines, which is the whole point of hash-based
+    * (rather than rand()-based) sampling. */
+  val sampleStratified = Q(
+    "q_sample_stratified",
+    Some(
+      "SELECT doc_id, lang FROM documents WHERE " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < " +
+        "CAST(floor((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 " +
+        "ELSE 0.125 END) * 4294967296) AS UBIGINT) ORDER BY 1"),
+    (s, dir) =>
+      graft.text.CorpusPrep.stratifiedSample(
+        Td(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.2), defaultRate = 0.125)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+  )
+
   /** Composed corpus preparation (quality filter + exact-dedup keep) —
     * oracle restates the filter conditions and the keep-min-id rule in
     * SQL. Near-dup removal (not SQL-expressible) is covered by
@@ -218,5 +291,6 @@ object TextBattery {
 
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
-    neardupSimhash, corpusPrep)
+    neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
+    corpusPrep)
 }

@@ -37,6 +37,65 @@ object CorpusPrep {
     hashed.join(keepers, Seq("__h", idCol), "left_semi").drop("__h")
   }
 
+  /** Benchmark decontamination report: per corpus document, how many of
+    * its distinct k-gram shingles appear in ANY test-set document —
+    * the standard "n-gram overlap with eval data" check of a
+    * pretraining pipeline. Returns (id, n_hits, clean) for every corpus
+    * row.
+    *
+    * Scale shape: the test set is small by definition, so its distinct
+    * shingle-hash set broadcasts; the corpus side is one scan + explode
+    * + broadcast semi-join + groupBy on the doc id — no corpus
+    * self-join, no all-pairs, and only 8-byte hashes move. */
+  def contamination(corpus: DataFrame, tests: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 3): DataFrame = {
+    def sh(d: DataFrame) = d.select(col(idCol).as("id"),
+      graft.functions.ShingleHashesExpr(
+        TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
+    val testToks = broadcast(
+      sh(tests).select(explode(col("hs")).as("tok")).distinct())
+    // hs is already distinct per doc, so count(*) after the semi-join
+    // IS the distinct contaminated-shingle count.
+    val hits = sh(corpus).select(col("id"), explode(col("hs")).as("tok"))
+      .join(testToks, Seq("tok"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("clean", col("n_hits") === 0)
+  }
+
+  /** Drop corpus documents sharing more than `maxShared` distinct
+    * shingles with the test set. */
+  def decontaminate(corpus: DataFrame, tests: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 3,
+                    maxShared: Long = 0L): DataFrame =
+    corpus.join(
+      contamination(corpus, tests, idCol, textCol, shingleK)
+        .filter(col("n_hits") > maxShared)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Deterministic hash-based stratified sampling: keep a row iff the
+    * first 32 bits of md5(id) fall below the stratum's rate — seed-free
+    * and engine-neutral (any engine computing the same md5 keeps the
+    * same rows), stable under reruns, appends, and repartitioning,
+    * which a `rand()`-based sample is not. The rate lookup is a
+    * codegen'd when-chain (strata configs are small); the filter runs
+    * scan-side, so nothing shuffles. floor() keeps the integer
+    * threshold exact across engines that round casts differently. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(u < floor(rate * lit(4294967296L)).cast("long"))
+  }
+
   /** Full preparation. With `nearDup`, drops the higher-id member of
     * every verified near-duplicate pair (connected pairs collapse to
     * their minimum representative transitively only per-pair — the

@@ -86,6 +86,34 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
   }
 
+  test("ngram-jaccard prefix filter finds EVERY pair at threshold, " +
+    "verifies exactly, and never cross-products") {
+    val out = Dedup.ngramJaccardNearDup(fixture, "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5)
+    val pairs = out.collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // 100% recall: both the exact pair and the near pair MUST be found
+    // (not just bucketed with high probability, as in the LSH entries)
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs((1L, 3L)) >= 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(pairs.contains((2L, 3L))) // transitive twin of the near pair
+    assert(!pairs.keySet.exists { case (x, y) => Set(x, y).contains(4L) })
+    assert(!pairs.keySet.exists { case (x, y) => Set(x, y).contains(5L) })
+    val cartesian = out.queryExecution.executedPlan
+      .collect { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty, "prefix-filter candidates must be an equi-join")
+    // any consistent global token order gives the same exact result —
+    // hash order (the flat-distribution fast path) must match rare-first
+    val hashOrder = Dedup.ngramJaccardNearDup(fixture, "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5, rareFirst = false)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(hashOrder == pairs)
+  }
+
   test("embedding near-dup multi-probe recovers a near-boundary pair") {
     // Find (driver-side, deterministically) a high-cosine pair whose LSH
     // buckets differ in EXACTLY one bit: single-probe bucketing must

@@ -43,4 +43,49 @@ class CorpusPrepSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(withNear == Set(10L, 13L)) // 12 removed as near-dup of 10
   }
+
+  test("decontamination counts shared shingles and drops overlapping docs") {
+    val s = spark
+    import s.implicits._
+    val evalDoc = "the capital of france is paris and the capital of italy is rome"
+    val corpus = Seq(
+      // contains the eval doc verbatim inside longer text → contaminated
+      (1L, "some preamble text here " + evalDoc + " and a trailing sentence"),
+      (2L, good),
+      (3L, "another clean document about completely unrelated engine topics")
+    ).toDF("doc_id", "text")
+    val tests = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val report = CorpusPrep.contamination(corpus, tests, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("clean"))).toMap
+    assert(report(1L)._1 >= 10 && !report(1L)._2)
+    assert(report(2L) == ((0L, true)))
+    assert(report(3L) == ((0L, true)))
+    val kept = CorpusPrep.decontaminate(corpus, tests, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("stratified sampling is deterministic, hash-based, and per-stratum") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("doc_id", "lang")
+    def sample() = CorpusPrep.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.05)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val a = sample()
+    assert(a == sample(), "hash-based sampling must be exactly repeatable")
+    val en = a.count(_ % 2 == 0).toDouble / 1000
+    val zz = a.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(en - 0.5) < 0.08, s"en rate was $en")
+    assert(math.abs(zz - 0.05) < 0.04, s"zz rate was $zz")
+    // appending rows never changes the verdict on existing rows
+    val bigger = (1L to 3000L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("doc_id", "lang")
+    val b = CorpusPrep.stratifiedSample(bigger, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.05)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(b.filter(_ <= 2000L) == a)
+  }
 }
