@@ -105,10 +105,20 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
 
     // One Lloyd step: assign to nearest seed, average per cell.
-    def centroidLits(cs: Array[Array[Double]]) =
-      cs.map(c => array(c.map(lit): _*))
+    // Centroids are unit-normalized DRIVER-side: argmax of cosine =
+    // argmax of dot(v, ĉ) — the row's own norm is a positive scalar and
+    // drops out of the argmax, and the centroid norm folds into the
+    // literal. One interpreted dot per centroid per row instead of a
+    // dot plus two norms (HOFs are interpreted, so this is the hot
+    // cost of both assignment passes).
+    def unitLits(cs: Array[Array[Double]]) =
+      cs.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        val u = if (n == 0) c else c.map(_ / n)
+        array(u.map(lit): _*)
+      }
     def nearestCell(vec: Column, cs: Array[Array[Double]]): Column = {
-      val dots = array(centroidLits(cs).map(c => cosine(vec, c)): _*)
+      val dots = array(unitLits(cs).map(c => dot(vec, c)): _*)
       // argmax: position of the max similarity (1-based → 0-based)
       (array_position(dots, array_max(dots)) - 1).cast("int")
     }
@@ -129,7 +139,8 @@ object Similarity {
     // Index the corpus by refined cell; probes visit nprobe cells.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), refined).as("cell"))
-    val probeSims = array(centroidLits(refined).map(c => cosine(col("pv"), c)): _*)
+    // Same argmax-invariance: cells rank by dot with unit centroids.
+    val probeSims = array(unitLits(refined).map(c => dot(col("pv"), c)): _*)
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("__sims", probeSims)
