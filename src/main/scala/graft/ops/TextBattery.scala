@@ -269,6 +269,62 @@ object TextBattery {
         .orderBy(col("doc_id"))
   )
 
+  /** Token-budget shard packing: greedy first-fit by cumulative token
+    * offset inside deterministic md5 buckets — the sharding step before
+    * sequence packing. The whole (bucket, window-cumsum, shard) chain
+    * is restated in SQL, so shard assignment is cross-engine exact. */
+  val packShardsQ = Q(
+    "q_pack_shards",
+    Some(
+      "WITH t AS (SELECT doc_id, " +
+        raw"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_tok, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(floor((sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok) / 1000.0) AS BIGINT) AS shard, " +
+        "n_tok FROM t ORDER BY 1"),
+    (s, dir) =>
+      graft.text.CorpusPrep.packShards(
+        Td(s, dir, "documents").select(col("doc_id"),
+          size(TextFunctions.regexTokens(col("text"))).as("n_tok")),
+        "doc_id", "n_tok", tokensPerShard = 1000L, buckets = 8)
+        .orderBy(col("doc_id"))
+  )
+
+  /** Per-language corpus statistics with EXACT quantiles: p50 via
+    * interpolated percentile (0 / 0.5 fractions are FP-exact in both
+    * engines' formulas), p90 via the discrete window form (value at row
+    * ceil(0.9·n)) — stated identically on both sides, so no
+    * interpolation-arithmetic ulp risk. */
+  val corpusStats = Q(
+    "q_corpus_stats",
+    Some(
+      "WITH r AS (SELECT lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "quantile_cont(n_chars, 0.5) AS p50, " +
+        "max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90 " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Td(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+            col("n_chars"))).as("p90"))
+        .orderBy(col("lang"))
+    }
+  )
+
   /** Composed corpus preparation (quality filter + exact-dedup keep) —
     * oracle restates the filter conditions and the keep-min-id rule in
     * SQL. Near-dup removal (not SQL-expressible) is covered by
@@ -292,5 +348,5 @@ object TextBattery {
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
-    corpusPrep)
+    packShardsQ, corpusStats, corpusPrep)
 }

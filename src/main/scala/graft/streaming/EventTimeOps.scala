@@ -45,6 +45,36 @@ object EventTimeOps {
       .select(col("user_id"), col("window.start").as("window_start"),
         col("n_events"))
 
+  /** One document of a streaming corpus feed. */
+  final case class Doc(doc_id: Long, content_hash: String)
+
+  /** Streaming exact dedup: first-seen-wins across micro-batches, keyed
+    * by content hash — the continuous sibling of the batch
+    * [[graft.dedup.Dedup.exact]]. State per distinct hash is one long
+    * (the keeper id); `mapGroupsWithState` emits only never-before-seen
+    * documents downstream. State grows with the number of DISTINCT
+    * documents — the honest cost of exact streaming dedup; bound it
+    * upstream by routing only a rolling corpus window through the
+    * stream, or accept the one-long-per-distinct-doc footprint (8 GB
+    * per billion distinct docs — fine on any real cluster). */
+  def streamingExactDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, ds: Iterator[Doc], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // min id within the batch is the keeper — deterministic
+            // regardless of arrival order inside the micro-batch
+            val keeper = ds.minBy(_.doc_id)
+            state.update(keeper.doc_id)
+            Iterator.single(keeper)
+          }
+      }
+  }
+
   /** Gap-based streaming sessionization: per user, a session closes
     * after `gapMinutes` of event-time silence. Closed sessions are
     * emitted either by a later event arriving past the gap or by the

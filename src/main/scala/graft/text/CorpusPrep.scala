@@ -96,6 +96,33 @@ object CorpusPrep {
     df.filter(u < floor(rate * lit(4294967296L)).cast("long"))
   }
 
+  /** Token-budget shard packing: assign each document to an output
+    * shard holding ≈ `tokensPerShard` tokens — the sharding step before
+    * sequence packing in a pretraining pipeline. A document starts the
+    * shard its cumulative token offset falls in (greedy first-fit in
+    * id order), so shard sizes overshoot by at most one document.
+    *
+    * Scale shape: a global greedy pack is inherently sequential, so the
+    * corpus is first split into `buckets` deterministic md5 buckets
+    * (engine-neutral, like [[stratifiedSample]]) and packed per bucket
+    * with one window cumsum — each bucket's pack parallelizes
+    * independently and the window shuffle is the only wide stage.
+    * Shard identity is (bucket, shard) — stable under appends of
+    * higher ids, reproducible across engines and reruns. */
+  def packShards(df: DataFrame, idCol: String, tokenCountCol: String,
+                 tokensPerShard: Long, buckets: Int = 1024): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets).as("bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(tokenCountCol).as("n_tok"), bucket)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tok")) / tokensPerShard).cast("long"))
+      .select(col(idCol), col("bucket"), col("shard"), col("n_tok"))
+  }
+
   /** Full preparation. With `nearDup`, drops the higher-id member of
     * every verified near-duplicate pair (connected pairs collapse to
     * their minimum representative transitively only per-pair — the

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSuite
-import EventTimeOps.{Ev, Session}
+import EventTimeOps.{Doc, Ev, Session}
 
 /** Event-time semantics under MemoryStream: watermarked window
   * emission, late-event dropping, and timeout-closed sessions. */
@@ -100,6 +100,28 @@ class EventTimeOpsSpec extends SparkSuite {
         .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
       assert(out.contains(Session(1L, ts("10:00"), ts("10:00"), 1)))
       assert(out.contains(Session(1L, ts("10:55"), ts("11:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps the first-seen doc per content hash " +
+    "across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Doc]
+    val q = EventTimeOps.streamingExactDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // within one batch: min id wins regardless of arrival order
+      input.addData(Doc(7L, "h1"), Doc(3L, "h1"), Doc(10L, "h2"))
+      q.processAllAvailable()
+      // later batches: duplicates of an already-seen hash are dropped
+      input.addData(Doc(1L, "h1"), Doc(20L, "h2"), Doc(30L, "h3"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").as[Doc].collect().toSet
+      assert(out == Set(Doc(3L, "h1"), Doc(10L, "h2"), Doc(30L, "h3")))
     } finally q.stop()
   }
 }

@@ -66,6 +66,35 @@ class CorpusPrepSpec extends SparkSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("shard packing respects the token budget up to one-doc overshoot") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1L)
+    val df = (1L to 500L).map(i => (i, 10L + rnd.nextInt(90)))
+      .toDF("doc_id", "n_tok")
+    val packed = CorpusPrep.packShards(df, "doc_id", "n_tok",
+      tokensPerShard = 300L, buckets = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tok")))
+    val byShard = packed.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val maxDoc = packed.map(_._3).max
+    // every doc lands in exactly one shard; shard totals never exceed
+    // budget + one document (greedy first-fit by start offset)
+    assert(packed.length == 500)
+    byShard.foreach { case (k, tot) =>
+      assert(tot <= 300L + maxDoc, s"shard $k holds $tot tokens")
+    }
+    // non-final shards are filled to at least budget − maxDoc (a doc
+    // spanning the boundary "steals" its overshoot from the next shard)
+    val lastShard = byShard.keys.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    byShard.foreach { case ((b, sh), tot) =>
+      if (sh != lastShard(b))
+        assert(tot >= 300L - maxDoc, s"shard ($b,$sh) underfilled: $tot")
+    }
+  }
+
   test("stratified sampling is deterministic, hash-based, and per-stratum") {
     val s = spark
     import s.implicits._
