@@ -144,23 +144,30 @@ object EntityPipeline {
     // ~12 derived frames slice this input; persist once, not recompute 12×.
     val quads = Patterns.ensurePersisted(quadsIn)
 
-    // Base match: typed entity + identifier + allowed license +
-    // incremental cutoff (av-audio.sparql:193-220).
-    val typedIe = quads
-      .filter(col("predicate") === graft.model.Ns.RdfType &&
-        col("obj").isin(cfg.entityTypes: _*))
-      .select(col("subject").as("s")).distinct()
-    val licensed = po(quads, License, "lic")
-      .filter(col("lic").isin(cfg.licenses: _*))
-      .select(col("s")).distinct()
-    val sinceOk = params.since match {
-      case None => typedIe
-      case Some(cutoff) =>
-        typedIe.join(
-          po(quads, Modified, "m").filter(col("m") >= lit(cutoff)).select(col("s")),
-          Seq("s"), "left_semi")
+    // Base match: typed entity + allowed license + incremental cutoff
+    // (av-audio.sparql:193-220) — ONE aggregation pass: all three
+    // conditions are bool_or flags over one predicate-pruned scan +
+    // one groupBy(subject) shuffle, instead of two distincts plus two
+    // semi-joins (4 shuffle stages) of the unfused form.
+    val isTyped = col("predicate") === graft.model.Ns.RdfType &&
+      col("obj").isin(cfg.entityTypes: _*)
+    val isLicensed = col("predicate") === License &&
+      col("obj").isin(cfg.licenses: _*)
+    val sinceHit = params.since match {
+      case None         => lit(true)
+      case Some(cutoff) => col("predicate") === Modified && col("obj") >= lit(cutoff)
     }
-    val base = sinceOk.join(licensed, Seq("s"), "left_semi")
+    val scanFilter =
+      if (params.since.isDefined)
+        isTyped || isLicensed || (col("predicate") === Modified)
+      else isTyped || isLicensed
+    val base = quads
+      .filter(scanFilter)
+      .groupBy(col("subject"))
+      .agg(bool_or(isTyped).as("__t"), bool_or(isLicensed).as("__l"),
+        bool_or(sinceHit).as("__m"))
+      .filter(col("__t") && col("__l") && col("__m"))
+      .select(col("subject").as("s"))
 
     // Entity-row scalar OPTIONALs (av-audio.sparql:221-300): plain
     // single-value binds, nl-filtered literals (description/abstract,

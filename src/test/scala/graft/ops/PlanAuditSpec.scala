@@ -46,4 +46,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
       s"since filter not pushed:\n$scan")
   }
+
+  test("decontamination joins the test-set shingles as a broadcast, " +
+    "never shuffling the corpus side for the semi-join") {
+    val plan = planOf("q_decontaminate").executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"test-set semi-join is not broadcast:\n$plan")
+  }
+
+  test("shard packing is one window shuffle over the bucket key") {
+    val plan = planOf("q_pack_shards").executedPlan
+    val exchanges = plan.toString.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    // one hash exchange for the window partition key; the final
+    // orderBy adds a range exchange, nothing else shuffles
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
 }
