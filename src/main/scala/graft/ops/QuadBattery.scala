@@ -471,7 +471,107 @@ object QuadBattery {
     }
   )
 
+  /** The IIIF copy pipeline under the oracle gate (reference:
+    * typescript/queries/iiif.sparql): the inverse `^hasIIIFCopy`
+    * traversal, the `storedAt/rdf:value` sequence path (with a missing
+    * branch — odd orderkeys carry no stored URL, exercising the left
+    * join's null side), and the MIME slice, composed and restated in
+    * closed form. */
+  val iiifPipeline = Q(
+    "q_iiif_pipeline",
+    Some(
+      "SELECT 'urn:e/' || CAST(o_orderkey AS VARCHAR) AS intellectual_entity_id, " +
+        "'urn:img/' || CAST(o_orderkey AS VARCHAR) AS iiif_id, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'http://u/' || CAST(o_orderkey AS VARCHAR) END AS url, " +
+        "'image/jpeg' AS mime FROM orders WHERE o_orderstatus = 'O' ORDER BY 1"),
+    (s, dir) => {
+      import graft.view.IiifPipeline.{V => IV}
+      val orders = Td(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val e = concat(lit("urn:e/"), col("o_orderkey"))
+      val img = concat(lit("urn:img/"), col("o_orderkey"))
+      val st = concat(lit("urn:st/"), col("o_orderkey"))
+      val quads = orders.select(explode(array(
+        q(lit(IV.HasIIIFCopy), img, noLang).withField("subject", e),
+        q(lit(IV.StoredAt), st, noLang).withField("subject", img),
+        q(lit(IV.RdfValue),
+          when(col("o_orderkey") % 2 === 0,
+            concat(lit("http://u/"), col("o_orderkey"))).otherwise(lit(null)),
+          noLang).withField("subject", st),
+        q(lit(IV.MimeType), lit("image/jpeg"), noLang).withField("subject", img)
+      )).as("t"))
+        .filter(col("t.obj").isNotNull)
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      graft.view.IiifPipeline(quads).orderBy(col("intellectual_entity_id"))
+    }
+  )
+
+  /** The collection pipeline under the oracle gate (reference:
+    * typescript/queries/newspaper-collection.sparql:16-42 +
+    * av-audio.sparql:355-364): customers play collections — their type
+    * IRI cycles through all six branches of the error-trick type
+    * mapping (translated by intent as a when-chain), season numbers
+    * exercise the int coercion, every-third collection carries a
+    * language, and orders are the isPartOf members whose count checks
+    * the membership rows. */
+  val collectionPipeline = Q(
+    "q_collection_pipeline",
+    Some(
+      "SELECT 'urn:col/' || CAST(c_custkey AS VARCHAR) AS id, " +
+        "CASE c_custkey % 6 WHEN 0 THEN 'episode' WHEN 1 THEN 'archive' " +
+        "WHEN 2 THEN 'series' WHEN 3 THEN 'season' WHEN 4 THEN 'program' " +
+        "ELSE 'collection' END AS collection_type, " +
+        "c_name AS schema_name, c_custkey % 10 AS schema_season_number, " +
+        "n_members, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN 'nl' END AS schema_in_language " +
+        "FROM customer JOIN (SELECT o_custkey, count(*) AS n_members " +
+        "FROM orders GROUP BY 1) m ON m.o_custkey = c_custkey ORDER BY 1"),
+    (s, dir) => {
+      import graft.view.CollectionPipeline.{V => CV}
+      val colSubj = concat(lit("urn:col/"), col("c_custkey"))
+      val typeLocal = element_at(
+        array(lit("Episode"), lit("ArchiveComponent"), lit("CreativeWorkSeries"),
+          lit("CreativeWorkSeason"), lit("BroadcastEvent"), lit("Thing")),
+        (col("c_custkey") % 6 + 1).cast("int"))
+      val cQuads = Td(s, dir, "customer").select(explode(array(
+        q(lit(Ns.RdfType), concat(lit(CV.SchemaNs), typeLocal), noLang)
+          .withField("subject", colSubj),
+        q(lit(CV.Name), col("c_name"), noLang).withField("subject", colSubj),
+        q(lit(CV.SeasonNumber), col("c_custkey") % 10, noLang)
+          .withField("subject", colSubj),
+        q(lit(CV.InLanguage),
+          when(col("c_custkey") % 3 === 0, lit("nl")).otherwise(lit(null)), noLang)
+          .withField("subject", colSubj)
+      )).as("t"))
+      val oQuads = Td(s, dir, "orders").select(explode(array(
+        q(lit(CV.IsPartOf), concat(lit("urn:col/"), col("o_custkey")), noLang)
+          .withField("subject", concat(lit("urn:e/"), col("o_orderkey")))
+      )).as("t"))
+      val quads = cQuads.unionByName(oQuads)
+        .filter(col("t.obj").isNotNull)
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      val tables = graft.view.CollectionPipeline(quads)
+      val members = tables("graph.schema_is_part_of")
+        .groupBy(col("collection_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumnRenamed("collection_id", "id")
+      val lang = tables("graph.newspaper_schema_in_language")
+        .withColumnRenamed("collection_id", "id")
+      tables("graph.collection")
+        .join(members, Seq("id"))
+        .join(lang, Seq("id"), "left")
+        .select(col("id"), col("collection_type"), col("schema_name"),
+          col("schema_season_number"), col("n_members"), col("schema_in_language"))
+        .orderBy(col("id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
     orgPipeline, personPipeline, deleteFlags, ntRoundtrip, ttlRoundtrip,
-    entityPipeline)
+    entityPipeline, iiifPipeline, collectionPipeline)
 }
