@@ -93,4 +93,18 @@ object Functions {
     min(when(value.isNotNull,
       struct(when(lang === "nl", 0).otherwise(1).as("prio"), value.as("v"))))
       .getField("v")
+
+  /** NT/Turtle string-literal escaping (W3C N-Triples §ECHAR) for
+    * serializers emitting RDF text: backslash FIRST, then quote and the
+    * control characters — so parsing the emitted literal yields the
+    * original string byte-for-byte. `TurtleParserSpec` round-trips
+    * hostile values through the real parser. */
+  def ntEscapeLiteral(c: Column): Column =
+    Seq(
+      "\\\\" -> "\\\\\\\\", // \  → \\ (must run first)
+      "\"" -> "\\\\\"",     // "  → \"
+      "\\n" -> "\\\\n",     // LF → \n
+      "\\r" -> "\\\\r",     // CR → \r
+      "\\t" -> "\\\\t"      // TAB → \t
+    ).foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
 }

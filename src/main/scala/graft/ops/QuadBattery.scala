@@ -26,12 +26,8 @@ object QuadBattery {
     struct(pred.as("predicate"), obj.cast("string").as("obj"), lang.as("lang"))
   private val noLang = lit(null).cast("string")
 
-  /** NT/Turtle string-literal escaping for the round-trip serializers:
-    * backslash first, then double-quote (W3C N-Triples §ECHAR). TPC-H
-    * text never contains either, but the serializer must not emit
-    * invalid Turtle if the fixture data ever does. */
   private def ttlEscape(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    graft.functions.Functions.ntEscapeLiteral(c)
 
   /** Customer/orders/nation rows → one unified quad DataFrame.
     * Customer carries deliberate multi-value cases: an `nl`-tagged

@@ -98,6 +98,30 @@ class TurtleParserSpec extends SparkSuite {
     assert(subj(base + "<urn:abs:y> <urn:p> 1 .") == "urn:abs:y")
   }
 
+  test("ntEscapeLiteral round-trips hostile literals through the parser") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val nasty = Seq(
+      """plain text""",
+      """with "double quotes" inside""",
+      """back\slash and trailing \""",
+      "line1\nline2\r\nline3",
+      "tab\there",
+      """the full mix: \" \\ "q" and\na newline""",
+      "unicode: 😀 é ñ 中")
+    val docs = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(concat(
+        lit("@prefix k: <urn:k:> .\nk:s"), col("id"),
+        lit(" k:p \""), graft.functions.Functions.ntEscapeLiteral(col("v")),
+        lit("\" .")).as("doc"))
+      .as[String].collect()
+    val parsed = docs.flatMap(d => TurtleParser.parse(d)).map(_.obj)
+    assert(parsed.toSeq.sorted == nasty.sorted,
+      s"round-trip mismatch:\n${parsed.toSeq.sorted.zip(nasty.sorted).filter(p => p._1 != p._2)}")
+  }
+
   test("fromTurtleDocs distributes per document") {
     val s = spark
     import s.implicits._
