@@ -139,5 +139,39 @@ object SimBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding, annIvf)
+  /** Int8 scalar quantization + L2 normalization under an exact oracle:
+    * quantization is defined as floor(x·scale + 0.5) (engine-neutral,
+    * unlike round()'s tie-breaking), so the per-vector quantized sums /
+    * extremes and the norm-validity flag compare exactly. Integer
+    * outputs only — the float path is covered by the cosine oracles. */
+  val embedQuantize = Q(
+    "q_embed_quantize",
+    Some(
+      "SELECT vec_id, " +
+        "CAST(list_sum(list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * (127.0 / " +
+        "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT))) AS BIGINT) AS q_sum, " +
+        "CAST(list_min(list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * (127.0 / " +
+        "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT))) AS BIGINT) AS q_min, " +
+        "127 AS q_absmax, len(embedding) AS n_dims " +
+        "FROM embeddings ORDER BY 1"),
+    (s, dir) => {
+      val q = graft.sim.Embeddings.withInt8Quantized(
+        Td(s, dir, "embeddings"), "embedding")
+      val unit = graft.sim.Embeddings.withL2Normalized(q, "embedding")
+      unit.select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).cast("long").as("q_min"),
+        // |q| peaks at exactly 127 on the max-magnitude component, and
+        // the unit vector must exist (no zero vectors in the corpus)
+        when(col("unit").isNotNull,
+          array_max(transform(col("q"), x => abs(x))).cast("int")).as("q_absmax"),
+        size(col("embedding")).cast("long").as("n_dims"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
+    annIvf, embedQuantize)
 }

@@ -1,0 +1,47 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** L2 normalization and int8 quantization invariants. */
+class EmbeddingsSpec extends SparkSuite {
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(3f, 4f, 0f)),
+      (2L, Array(-0.5f, 0.25f, 0.125f)),
+      (3L, Array(0f, 0f, 0f)) // zero vector: normalize/quantize → null
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("L2 normalization yields unit vectors; zero vectors become null") {
+    val out = Embeddings.withL2Normalized(vecs, "embedding")
+      .select(col("vec_id"), col("unit"),
+        Similarity.norm(col("unit")).as("n"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("n") - 1.0) < 1e-12)
+    assert(out(1L).getAs[scala.collection.Seq[Double]]("unit").toSeq == Seq(0.6, 0.8, 0.0))
+    assert(math.abs(out(2L).getAs[Double]("n") - 1.0) < 1e-12)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("unit")))
+  }
+
+  test("int8 quantization bounds, max-component saturation, dequant error") {
+    val out = Embeddings.withInt8Quantized(vecs, "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val q1 = out(1L).getAs[scala.collection.Seq[Int]]("q").toSeq
+    val s1 = out(1L).getAs[Double]("q_scale")
+    assert(q1.map(math.abs).max == 127, "max-magnitude dim must hit 127")
+    assert(q1.forall(v => v >= -127 && v <= 127))
+    // dequantized values land within half a quantization step
+    vecs.collect().find(_.getLong(0) == 1L).get.getSeq[Float](1)
+      .zip(q1).foreach { case (orig, q) =>
+        assert(math.abs(q / s1 - orig) <= 0.5 / s1 + 1e-9)
+      }
+    val q2 = out(2L).getAs[scala.collection.Seq[Int]]("q").toSeq
+    assert(q2 == Seq(-127, 64, 32)) // floor(x*scale + 0.5), scale = 254
+    assert(out(3L).isNullAt(out(3L).fieldIndex("q")))
+  }
+}
