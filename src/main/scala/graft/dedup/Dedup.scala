@@ -77,11 +77,14 @@ object Dedup {
     // distinct-shingle hashes → one-pass native signature. Bit-identical
     // to the staged HOF chain (NativeShingleSpec / NativeMinHashSpec)
     // without the per-element interpreted lambda dispatch.
-    val withSig = df
+    // Three consumers (banding + both verify sides) — materialize the
+    // signature frame once instead of re-running the shingle+signature
+    // scan per consumer (policy knob: spark.graft.pipelineInput).
+    val withSig = graft.view.Patterns.ensurePersisted(df
       .select(col(idCol).as("id"),
         graft.functions.ShingleHashesExpr(
           TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
-      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes)))
 
     // Bucket rows carry ONLY the id: a pair colliding in all `bands`
     // buckets (exact duplicates do) would otherwise drag its shingle
@@ -283,7 +286,9 @@ object Dedup {
     * value), never a cross product. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    // The signature aggregation feeds both sides of the chunk join —
+    // materialize it once (same policy as minhashNearDup).
+    val sh = graft.view.Patterns.ensurePersisted(simhash(df, idCol, textCol))
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
