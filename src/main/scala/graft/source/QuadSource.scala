@@ -80,15 +80,23 @@ object QuadSource {
     val isBlank = col("o_raw").startsWith("_:")
     val litValue = regexp_extract(col("o_raw"), """^"((?:[^"\\]|\\.)*)"""", 1)
     // Minimal N-T escape set: \" \\ \n \r \t (W3C N-Triples grammar).
+    // `\\` must resolve FIRST (via a private-use sentinel) or an escaped
+    // backslash followed by n/r/t/" corrupts: "\\n" is backslash+'n',
+    // not backslash+LF — sequential replacement without the sentinel
+    // got this wrong. Sentinel: U+E000 (private use; cannot appear in
+    // any text this parser round-trips with ntEscapeLiteral).
+    val sentinel = "\uE000"
     val unescaped = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(litValue, """\\n""", "\n"),
+            regexp_replace(
+              regexp_replace(litValue, """\\\\""", sentinel),
+              """\\n""", "\n"),
             """\\r""", "\r"),
           """\\t""", "\t"),
         """\\"""", "\""),
-      """\\\\""", """\\""")
+      sentinel, """\\""")
     val obj = when(isIri, regexp_extract(col("o_raw"), "^<(.*)>$", 1))
       .when(isBlank, col("o_raw"))
       .otherwise(unescaped)

@@ -47,4 +47,29 @@ class QuadSourceSpec extends SparkSuite {
     val out = parse("""_:b0 <urn:p> _:b1 .""")
     assert(out(0)._1 == "_:b0" && out(0)._3 == "_:b1")
   }
+
+  test("ntEscapeLiteral round-trips hostile literals through fromNtLines") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val nasty = Seq(
+      """plain text""",
+      """with "double quotes" inside""",
+      // the adjacent-escape corruption case: backslash followed by n
+      // serializes as \\n, which a naive unescape order turns into
+      // backslash + LF instead of backslash + 'n'
+      """back\slash, \n-as-two-chars, trailing \""",
+      "real\nnewline and\ttab and\rcr",
+      """the full mix: \" \\ "q" and\na newline""",
+      "unicode: 😀 é ñ 中")
+    val lines = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(concat(
+        lit("<urn:s/"), col("id"), lit("> <urn:p> \""),
+        graft.functions.Functions.ntEscapeLiteral(col("v")),
+        lit("\" .")).as("value"))
+    val parsed = QuadSource.fromNtLines(lines).collect().map(_.getAs[String]("obj"))
+    assert(parsed.toSeq.sorted == nasty.sorted,
+      s"NT round-trip mismatch: ${parsed.toSeq.sorted.zip(nasty.sorted).filter(p => p._1 != p._2)}")
+  }
 }
