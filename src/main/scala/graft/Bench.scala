@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * `noop`-format write — `count()` lets Catalyst prune unreferenced
   * projections, so scalar-heavy queries would benchmark a column-pruned
   * scan instead of the operator. One warm-up pass precedes measurement
-  * (JIT + parquet footer cache), then the median of 3 timed runs is
-  * reported so single-run JIT/GC noise cannot fake a regression.
+  * (JIT + parquet footer cache), then the median of 5 timed runs is
+  * reported so sporadic JIT/GC outlier runs cannot fake a regression.
   * Failed queries are reported with ok:false and excluded from the total
   * so a broken query can never masquerade as a fast one.
   */
@@ -18,7 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // median-of-5: the widest plans show sporadic 2-3x outlier runs
+    // (driver-side codegen/JIT variance, not GC — see git history);
+    // a 5-sample median needs three bad runs to move, vs two of three.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,8 +32,11 @@ object Bench {
       // ContextCleaner frees checkpoint/broadcast blocks only on GC; a
       // big-heap JVM may not GC for the whole battery, so stale blocks
       // squeeze execution memory (observed: one query 4.9s standalone →
-      // 134s mid-battery). Spark's own periodicGC covers long gaps...
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // 134s mid-battery). The explicit System.gc() in settle() covers
+      // between-iteration frees; the periodic one is a backstop only —
+      // at 30s it fired MID-RUN and a full pause on a 12g heap showed
+      // up as sporadic 12-21s outliers on 4s queries.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       // The generated-class cache defaults to 100 entries; a 70-query
       // battery holds far more codegen stages, and eviction forces the
       // widest plan (~40 stages) to recompile on every run — measured
@@ -38,6 +44,13 @@ object Bench {
       // conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
+      // Bench-harness only (a real cluster sizes spark.local.dir per
+      // node): shuffle + localCheckpoint blocks go to RAM-backed tmpfs
+      // when available, removing sporadic disk-stall outliers (observed
+      // 4s-typical runs spiking to 12-21s ~1 in 6) from the timings.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
       // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
