@@ -48,9 +48,13 @@ object Bench {
       // node): shuffle + localCheckpoint blocks go to RAM-backed tmpfs
       // when available, removing sporadic disk-stall outliers (observed
       // 4s-typical runs spiking to 12-21s ~1 in 6) from the timings.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-spark"
-        else System.getProperty("java.io.tmpdir"))
+      // Capacity-guarded: Docker defaults /dev/shm to 64 MB, where one
+      // shuffle would ENOSPC the whole battery — require real headroom.
+      .config("spark.local.dir", {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.canWrite && shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir")
+      })
       // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -201,8 +201,15 @@ object Dedup {
         greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(max(least(col("na") - col("pa"), col("nb") - col("pb"))).as("ub"))
+      // α = ceil(t/(1+t)·(na+nb)) — but computing that ceil in doubles
+      // can land one ABOVE the exact rational (t=0.84, na+nb=138:
+      // exact 63, double 63.000000000000007 → ceil 64) and silently
+      // drop an at-threshold pair. Integer ub ≥ ceil(x) ⇔ ub ≥ x, so
+      // compare against the raw expression with an epsilon margin
+      // below the integer grid: recall is preserved and any
+      // slightly-under pair admitted is rejected by the exact verify.
       .filter(col("ub") >=
-        ceil(lit(t) / (1 + t) * (col("na") + col("nb"))))
+        lit(t) * (col("na") + col("nb")) / lit(1 + t) - lit(1e-9))
       .select(col("id_a"), col("id_b"), col("na"), col("nb"))
     // Exact verify on survivors only; union size is na + nb − o, so one
     // array op per pair, and the arrays join in by id (never shuffled

@@ -1,6 +1,6 @@
 package graft.source
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -80,23 +80,23 @@ object QuadSource {
     val isBlank = col("o_raw").startsWith("_:")
     val litValue = regexp_extract(col("o_raw"), """^"((?:[^"\\]|\\.)*)"""", 1)
     // Minimal N-T escape set: \" \\ \n \r \t (W3C N-Triples grammar).
-    // `\\` must resolve FIRST (via a private-use sentinel) or an escaped
-    // backslash followed by n/r/t/" corrupts: "\\n" is backslash+'n',
-    // not backslash+LF — sequential replacement without the sentinel
-    // got this wrong. Sentinel: U+E000 (private use; cannot appear in
-    // any text this parser round-trips with ntEscapeLiteral).
-    val sentinel = "\uE000"
-    val unescaped = regexp_replace(
+    // Escaped backslashes must resolve FIRST or "\\n" (backslash + the
+    // letter n) corrupts to backslash + LF. Split on the two-char \\
+    // sequence, unescape each segment (which by the literal grammar
+    // contains no further escaped backslashes), and rejoin with a
+    // single backslash -- order-independent and sentinel-free, so raw
+    // private-use characters in the input pass through untouched.
+    def unescapeSeg(seg: Column): Column =
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(
-              regexp_replace(litValue, """\\\\""", sentinel),
-              """\\n""", "\n"),
+            regexp_replace(seg, """\\n""", "\n"),
             """\\r""", "\r"),
           """\\t""", "\t"),
-        """\\"""", "\""),
-      sentinel, """\\""")
+        """\\"""", "\"")
+    val unescaped = array_join(
+      transform(split(litValue, """\\\\""", -1), seg => unescapeSeg(seg)),
+      "\\")
     val obj = when(isIri, regexp_extract(col("o_raw"), "^<(.*)>$", 1))
       .when(isBlank, col("o_raw"))
       .otherwise(unescaped)

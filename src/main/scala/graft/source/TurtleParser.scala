@@ -36,6 +36,11 @@ object TurtleParser {
   private val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
   private val XsdBoolean = Ns.XsdBoolean
 
+  // Absolute iff it has a scheme (RFC 3986 §3.1). Compiled once: this
+  // runs per IRI token of every triple.
+  private val SchemePattern =
+    java.util.regex.Pattern.compile("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+
   /** Parse one Turtle document into quads (graph = null; Turtle has no
     * graph term — TriG would, and is out of scope as the reference never
     * emits it). */
@@ -44,6 +49,10 @@ object TurtleParser {
     private var i = 0
     private val prefixes = mutable.Map.empty[String, String]
     private var base = ""
+    // Parsed lazily on the first relative reference (a doc may declare
+    // an unparseable/opaque base yet use only absolute IRIs), then
+    // cached — not re-parsed per IRI.
+    private var baseUri: java.net.URI = null
     // Statement state: subject/predicate carry across `;` and `,`.
     private var subject: String = _
     private var predicate: String = _
@@ -80,15 +89,21 @@ object TurtleParser {
       if (i >= s.length) fail("unterminated IRI")
       i += 1
       val iri = sb.toString
-      // Absolute iff it has a scheme (RFC 3986 §3.1) — a ':' later in a
-      // path segment does not make a ref absolute. Relative refs resolve
-      // against @base per RFC 3986 §5 (java.net.URI.resolve), so "/abs",
-      // "../up" and bare fragments all land correctly, not by string
-      // concatenation.
-      if (base.isEmpty || iri.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")) iri
+      // A ':' later in a path segment does not make a ref absolute.
+      // Relative refs resolve against @base per RFC 3986 §5
+      // (java.net.URI.resolve), so "/abs", "../up" and bare fragments
+      // all land correctly, not by string concatenation. An opaque base
+      // (urn:…) cannot anchor relative refs — JDK resolve would return
+      // the ref UNCHANGED, silently emitting a relative string as an
+      // IRI, so that is an error here.
+      if (base.isEmpty || SchemePattern.matcher(iri).matches()) iri
       else
-        try new java.net.URI(base).resolve(new java.net.URI(iri)).toString
-        catch {
+        try {
+          if (baseUri == null) baseUri = new java.net.URI(base)
+          if (baseUri.isOpaque)
+            fail(s"cannot resolve relative IRI <$iri> against opaque base <$base>")
+          baseUri.resolve(new java.net.URI(iri)).toString
+        } catch {
           case _: java.net.URISyntaxException =>
             fail(s"cannot resolve relative IRI <$iri> against base <$base>")
         }
@@ -235,6 +250,7 @@ object TurtleParser {
           skipWs()
           if (s.charAt(i) != '<') fail("base IRI expected")
           base = parseIriRef()
+          baseUri = null // re-parse on next relative reference
           if (!sparqlStyle) expect('.')
         case other => fail(s"unknown directive '$other'")
       }

@@ -100,32 +100,29 @@ object EventTimeOps {
             state.remove()
             Iterator.single(close(key, st))
           } else {
-            // Within a micro-batch, order by event time (iterator order
-            // is arrival order, not time order).
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            // Re-sessionize the open state PLUS the batch as one
+            // sorted interval merge: iterator order is arrival order,
+            // and out-of-order (within-watermark) events may precede
+            // the open session — including stragglers that must merge
+            // with EACH OTHER into their own earlier sessions, lower
+            // the open session's start, or extend its end. Sorting by
+            // interval start and folding with the gap rule handles
+            // every case uniformly. All intervals but the last close;
+            // the last stays open as the new state.
+            val intervals =
+              (state.getOption.map(st => SessState(st.start, st.last, st.n)).toList ++
+                evs.map(e => SessState(e.ts.getTime, e.ts.getTime, 1)))
+                .sortBy(_.start)
             var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            var cur: Option[SessState] = None
+            intervals.foreach { iv =>
               cur = cur match {
-                // Straggler from a prior batch, older than the open
-                // session by more than the gap: it can never merge —
-                // it is its own (already closed) singleton session.
-                case Some(st) if t < st.start - gapMs =>
-                  closed ::= Session(key, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1)
-                  Some(st)
-                case Some(st) if t - st.last > gapMs =>
-                  closed ::= close(key, st)
-                  Some(SessState(t, t, 1))
-                // Merge extends BOTH ends: an out-of-order
-                // (within-watermark) event that precedes the session
-                // start lowers session_start, not just session_end.
-                case Some(st) =>
-                  Some(SessState(math.min(st.start, t),
-                    math.max(st.last, t), st.n + 1))
-                case None =>
-                  Some(SessState(t, t, 1))
+                case None => Some(iv)
+                case Some(c) if iv.start - c.last <= gapMs =>
+                  Some(SessState(c.start, math.max(c.last, iv.last), c.n + iv.n))
+                case Some(c) =>
+                  closed ::= close(key, c)
+                  Some(iv)
               }
             }
             cur.foreach { st =>

@@ -85,15 +85,21 @@ object CorpusPrep {
     * codegen'd when-chain (strata configs are small); the filter runs
     * scan-side, so nothing shuffles. floor() keeps the integer
     * threshold exact across engines that round casts differently. */
+  /** First 32 bits of md5(id) as an unsigned long in [0, 2^32) — the
+    * shared engine-neutral hash of [[stratifiedSample]] and
+    * [[packShards]]; any drift between the two (or their DuckDB oracle
+    * restatements `CAST('0x'||substr(md5(…),1,8) AS UBIGINT)`) breaks
+    * cross-engine determinism. */
+  private def md5U32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(u < floor(rate * lit(4294967296L)).cast("long"))
+    df.filter(md5U32(col(idCol)) < floor(rate * lit(4294967296L)).cast("long"))
   }
 
   /** Token-budget shard packing: assign each document to an output
@@ -111,8 +117,7 @@ object CorpusPrep {
     * higher ids, reproducible across engines and reruns. */
   def packShards(df: DataFrame, idCol: String, tokenCountCol: String,
                  tokensPerShard: Long, buckets: Int = 1024): DataFrame = {
-    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets).as("bucket")
+    val bucket = (md5U32(col(idCol)) % buckets).as("bucket")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

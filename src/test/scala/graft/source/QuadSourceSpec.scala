@@ -61,7 +61,10 @@ class QuadSourceSpec extends SparkSuite {
       """back\slash, \n-as-two-chars, trailing \""",
       "real\nnewline and\ttab and\rcr",
       """the full mix: \" \\ "q" and\na newline""",
-      "unicode: 😀 é ñ 中")
+      "unicode: 😀 é ñ 中",
+      // raw private-use char must pass through untouched (a sentinel-
+      // based unescape would corrupt it into a backslash)
+      "private use  char")
     val lines = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "v")
       .select(concat(

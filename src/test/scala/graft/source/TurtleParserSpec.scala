@@ -96,6 +96,13 @@ class TurtleParserSpec extends SparkSuite {
     assert(subj("BASE <http://x/ns/>\n<leaf> <urn:p> 1 .") == "http://x/ns/leaf")
     // a scheme'd IRI is never resolved against base
     assert(subj(base + "<urn:abs:y> <urn:p> 1 .") == "urn:abs:y")
+    // an opaque base cannot anchor relative refs: error, not silent
+    // emission of the bare relative string as an IRI
+    intercept[TurtleParser.TurtleParseException](
+      subj("BASE <urn:isbn:0-395-36341-1>\n<rel> <urn:p> 1 ."))
+    // …but absolute IRIs under an opaque base still parse fine
+    assert(subj("BASE <urn:isbn:0-395-36341-1>\n<http://x/a> <urn:p> 1 .") ==
+      "http://x/a")
   }
 
   test("ntEscapeLiteral round-trips hostile literals through the parser") {

@@ -103,6 +103,31 @@ class EventTimeOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("multiple stragglers within one gap merge into ONE earlier session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventTimeOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_two_stragglers")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("11:30")))
+      q.processAllAvailable()
+      // two old events 1 min apart: one merged session, not two singletons
+      input.addData(Ev(1, ts("10:00")), Ev(1, ts("10:01")))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("15:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_two_stragglers").as[Session].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(out.contains(Session(1L, ts("10:00"), ts("10:01"), 2)))
+      assert(out.contains(Session(1L, ts("11:30"), ts("11:30"), 1)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps the first-seen doc per content hash " +
     "across micro-batches") {
     val s = spark
