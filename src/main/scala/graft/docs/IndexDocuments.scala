@@ -59,8 +59,14 @@ object IndexDocuments {
     *  - fragment-children count, LIKE filter (:330-337)  → cond. count
     *  - rights-statement CASE over ANY(array_agg) (:246-252) → when over
     *      the distinct two-hop set
+    *  - reuse categories over UNION ALL of two sources (:286-296)
+    *      → unionByName feeding one distinct-set agg
+    *  - location via the collection side-table (:298 RIGHT JOIN
+    *      collections; standalone right-join semantics gated by
+    *      q_right_outer) → two-hop scalar with an absent branch
     */
-  def build(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def build(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+            nation: DataFrame): DataFrame = {
     // Stage 1: every single-level child lateral in ONE groupBy pass.
     // Duration stays DECIMAL so the arithmetic is engine-exact.
     val perKey = orders.groupBy(col("o_custkey")).agg(
@@ -124,6 +130,30 @@ object IndexDocuments {
         sort_array(collect_set(col("l_returnflag"))).as("thumbs"),
         count(when(col("l_returnflag") === "R", 1)).as("n_fragments"))
 
+    // Reuse-category lateral (update_partition.sql:286-296): two
+    // sources UNION ALL'd — fulfilled orders contribute their priority
+    // class, returned lineitems their ship mode — then one distinct-set
+    // aggregate per entity. The union is map-side; one shuffle.
+    val reuse = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"),
+        concat(lit("prio:"), col("o_orderpriority")).as("cat"))
+      .unionByName(
+        lineitem.filter(col("l_returnflag") === "R")
+          .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            Seq("l_orderkey"))
+          .select(col("o_custkey").as("k"),
+            concat(lit("mode:"), col("l_linestatus")).as("cat")))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("cat"))).as("reuse"))
+
+    // Location lateral (:298): the collection side-table with an
+    // absent branch — only low-key nations carry location data, so the
+    // doc's coalesce('unknown') path is exercised on real rows.
+    val location = customer.select(col("c_custkey").as("k"), col("c_nationkey"))
+      .join(nation.filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")), Seq("c_nationkey"), "left")
+      .select(col("k"), col("n_name").as("location"))
+
     customer
       .join(perKey, col("c_custkey") === perKey("o_custkey"), "left")
       .drop(perKey("o_custkey"))
@@ -133,6 +163,10 @@ object IndexDocuments {
       .drop(picks("o_custkey"))
       .join(li, col("c_custkey") === li("o_custkey"), "left")
       .drop(li("o_custkey"))
+      .join(reuse, col("c_custkey") === reuse("k"), "left")
+      .drop(reuse("k"))
+      .join(location, col("c_custkey") === location("k"), "left")
+      .drop(location("k"))
       .select(
         col("c_custkey").as("id"),
         // LIST partition key: lower(org_identifier)
@@ -162,7 +196,9 @@ object IndexDocuments {
               RightsPD)
             .otherwise("none").as("rights_statement"),
           coalesce(col("date_min"), lit("none")).as("date_created_min"),
-          coalesce(col("date_max"), lit("none")).as("date_created_max")
+          coalesce(col("date_max"), lit("none")).as("date_created_max"),
+          coalesce(col("reuse"), array().cast("array<string>")).as("reuse"),
+          coalesce(col("location"), lit("unknown")).as("location")
         )).as("document"),
         coalesce(col("n_children"), lit(0L)).as("n_children"),
         coalesce(col("any_flag"), lit(false)).as("any_flag"),

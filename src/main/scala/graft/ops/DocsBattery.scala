@@ -40,7 +40,9 @@ object DocsBattery {
         s"WHEN list_contains(coalesce(rfl, []::VARCHAR[]), 'A') THEN '$PD' " +
         "ELSE 'none' END, " +
         "date_created_min := coalesce(dmin, 'none'), " +
-        "date_created_max := coalesce(dmax, 'none'))) AS document, " +
+        "date_created_max := coalesce(dmax, 'none'), " +
+        "reuse := coalesce(reuse, []::VARCHAR[]), " +
+        "location := coalesce(n_name, 'unknown'))) AS document, " +
         "coalesce(nc, 0) AS n_children, coalesce(af, false) AS any_flag, " +
         "coalesce(dur, 0.0) AS duration_sec " +
         "FROM customer " +
@@ -80,10 +82,22 @@ object DocsBattery {
         "list_sort(list(DISTINCT l_returnflag)) AS rfl, " +
         "count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS nf " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) li " +
-        "ON li.lk = c_custkey ORDER BY 1"),
+        "ON li.lk = c_custkey " +
+        // Reuse-category lateral: UNION ALL of two sources, one
+        // distinct-set agg per entity.
+        "LEFT JOIN (SELECT k, list_sort(list(DISTINCT cat)) AS reuse FROM (" +
+        "SELECT o_custkey AS k, 'prio:' || o_orderpriority AS cat FROM orders " +
+        "WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_custkey, 'mode:' || l_linestatus " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R') GROUP BY 1) ru ON ru.k = c_custkey " +
+        // Location lateral: collection side-table with an absent branch.
+        "LEFT JOIN (SELECT n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < 20) loc ON loc.n_nationkey = c_nationkey " +
+        "ORDER BY 1"),
     (s, dir) =>
       IndexDocuments.build(Td(s, dir, "customer"), Td(s, dir, "orders"),
-        Td(s, dir, "lineitem"))
+        Td(s, dir, "lineitem"), Td(s, dir, "nation"))
         .orderBy(col("id"))
   )
 
