@@ -75,4 +75,43 @@ class QuadSourceSpec extends SparkSuite {
     assert(parsed.toSeq.sorted == nasty.sorted,
       s"NT round-trip mismatch: ${parsed.toSeq.sorted.zip(nasty.sorted).filter(p => p._1 != p._2)}")
   }
+
+  test("generated escape-heavy literals round-trip through BOTH parsers") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Seeded generator biased toward the characters the escape chain
+    // must handle: backslashes, quotes, control chars, multi-byte.
+    // Tokens (not chars), so surrogate pairs stay intact.
+    val alphabet = IndexedSeq(
+      "\\", "\"", "n", "t", "r", " ", "\n", "\r", "\t", "a", "b",
+      "\ud83d\ude00", "\u00e9")
+    val rnd = new scala.util.Random(20260813L)
+    val values = (0 until 200).map { _ =>
+      val len = 1 + rnd.nextInt(20)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // NT expression-parser path
+    val ntLines = df.select(concat(
+      lit("<urn:s/"), col("id"), lit("> <urn:p> \""),
+      graft.functions.Functions.ntEscapeLiteral(col("v")), lit("\" .")).as("value"))
+    val ntBack = QuadSource.fromNtLines(ntLines).collect()
+      .map(r => r.getAs[String]("subject") -> r.getAs[String]("obj")).toMap
+    // Turtle character-parser path (one doc with all statements)
+    val ttlDoc = df.select(concat(
+      lit("<urn:s/"), col("id"), lit("> <urn:p> \""),
+      graft.functions.Functions.ntEscapeLiteral(col("v")), lit("\" .")).as("stmt"))
+      .agg(concat_ws("\n", collect_list(col("stmt"))).as("doc"))
+      .as[String].collect().head
+    val ttlBack = TurtleParser.parse(ttlDoc)
+      .map(q => q.subject -> q.obj).toMap
+    values.zipWithIndex.foreach { case (v, i) =>
+      assert(ntBack(s"urn:s/$i") == v,
+        s"NT path corrupted ${v.map(_.toInt.toHexString)}")
+      assert(ttlBack(s"urn:s/$i") == v,
+        s"Turtle path corrupted ${v.map(_.toInt.toHexString)}")
+    }
+  }
 }
