@@ -284,8 +284,45 @@ object AggBattery {
         .orderBy(col("o_custkey"))
   )
 
+  /** Sketch aggregates (SURVEY.md §2.4 #44 — absent in the reference;
+    * added as the 100 TB cardinality/quantile tools): HLL++
+    * `approx_count_distinct` and t-digest-style `percentile_approx`.
+    * A sketch value is engine-specific, so the gate hashes the *error
+    * contract* instead: both engines emit the exact answer plus a
+    * boolean asserting the sketch landed inside its tolerance — the
+    * oracle states `true`, Spark must earn it. Sketches are
+    * deterministic for a given input set, so the booleans are stable,
+    * and at rsd=0.01 a 5% miss is a >5σ event. Scale shape: fixed-size
+    * mergeable state through a map-side partial agg — the whole point
+    * of sketching a 100 TB column. */
+  val approxDistinct = Q(
+    "q_approx_distinct",
+    Some(
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS n_values, " +
+        "true AS hll_ok, true AS p50_ok " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    (s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      Td(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(cents).as("n_values"),
+          approx_count_distinct(cents, rsd = 0.01).as("n_approx"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(value, 0.5)").as("p50_exact"))
+        .select(col("event_type"), col("n_users"), col("n_values"),
+          (abs(col("n_approx") - col("n_values")) <= col("n_values") * 0.05)
+            .as("hll_ok"),
+          (abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * 0.02)
+            .as("p50_ok"))
+        .orderBy(col("event_type"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     aggSum, aggHaving, collectSet, collectList, condAgg, stringAggOrdered,
     maxUnion, boolOr, anyClassify, correlatedCount, twoLevelAgg, jsonDoc,
-    objectAgg, dateRange)
+    objectAgg, dateRange, approxDistinct)
 }

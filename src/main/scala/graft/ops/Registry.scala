@@ -10,7 +10,8 @@ object Registry {
   def all: Seq[Q] =
     AggBattery.all ++ JoinBattery.all ++ ScalarBattery.all ++
       WindowSetBattery.all ++ QuadBattery.all ++ TextBattery.all ++
-      SimBattery.all ++ DocsBattery.all ++ MergeBattery.all
+      SimBattery.all ++ DocsBattery.all ++ MergeBattery.all ++
+      TemporalBattery.all
 
   def byName: Map[String, Q] = {
     val qs = all

@@ -345,8 +345,40 @@ object TextBattery {
         .orderBy(col("doc_id"))
   )
 
+  /** TF-IDF term weighting under the gate: top-3 terms per document by
+    * `tf * ln(N/df)`, ties broken by term — both the scores and the
+    * *ranking* are restated in the oracle. Scores are rounded to 4dp
+    * for the hash only (both engines compute the same IEEE expression
+    * over the same integers; rounding guards the final-ulp of ln across
+    * libms). The ranking compares raw doubles — identical (tf, df)
+    * pairs give identical scores, and distinct pairs differ by far more
+    * than a ulp, so the row_number is stable across engines. */
+  val tfIdfTop = Q(
+    "q_tfidf",
+    Some(
+      "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE term <> '' GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+        "sc AS (SELECT doc_id, term, tf, df, tf * ln(n.n / df.df) AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "rk AS (SELECT doc_id, term, tf, df, score, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, tf, df, round(score, 4) AS score FROM rk " +
+        "WHERE rn <= 3 ORDER BY doc_id, term"),
+    (s, dir) => {
+      val scored = graft.text.Relevance.tfIdf(
+        Td(s, dir, "documents"), "doc_id", "text")
+      graft.text.Relevance.topTerms(scored, "doc_id", 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("term"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
-    packShardsQ, corpusStats, corpusPrep)
+    packShardsQ, corpusStats, corpusPrep, tfIdfTop)
 }
