@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Single-pass vector kernels backing the native similarity
+  * expressions — the (b) tier of the custom-operator ladder
+  * (SURVEY.md §7.3), same pattern as [[NativeMinHash]].
+  *
+  * Spark evaluates higher-order functions (`zip_with`/`aggregate`)
+  * interpreted: a 64-dim dot product is ~130 closure dispatches, and
+  * the LSH/IVF paths evaluate 16-32 dots PER ROW against constant
+  * plane/centroid matrices. These kernels run the same arithmetic as
+  * one primitive loop inside whole-stage codegen, bit-identical to the
+  * composed forms (same left-to-right accumulation, same float→double
+  * widening), so swapping them in cannot move any oracle hash.
+  *
+  * Null/shape semantics (all kernels): a null vector, a null element,
+  * or a dimension mismatch yields NULL — the composed forms yield NULL
+  * through the same cases via zip_with's null padding.
+  */
+object NativeVector {
+
+  @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** Fused cosine: dot/(‖a‖·‖b‖) in one pass — accumulation order
+    * matches the composed dot/norm/norm exactly. */
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, aF); val y = elem(b, i, bF)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Dots of `v` against each row of `m` (all rows dim-checked). */
+  def dots(v: ArrayData, m: Array[Array[Double]], vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Any](m.length)
+    var p = 0
+    while (p < m.length) {
+      val w = m(p)
+      if (w.length != n) return null
+      var acc = 0.0; i = 0
+      while (i < n) { acc += elem(v, i, vF) * w(i); i += 1 }
+      out(p) = acc; p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sign-bit LSH bucket: bit p set iff dot(v, m(p)) > 0 — the fused
+    * form of `when(dot > 0, 1L << p)` OR-folded. */
+  def bucket(v: ArrayData, m: Array[Array[Double]], vF: Boolean): java.lang.Long = {
+    val ds = dots(v, m, vF)
+    if (ds == null) return null
+    var bits = 0L
+    var p = 0
+    while (p < m.length) {
+      if (ds.getDouble(p) > 0) bits |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** Index of the first maximal dot — the fused
+    * `array_position(dots, array_max(dots)) - 1`. */
+  def argmaxDot(v: ArrayData, m: Array[Array[Double]], vF: Boolean): java.lang.Integer = {
+    val ds = dots(v, m, vF)
+    if (ds == null || m.length == 0) return null
+    var best = 0
+    var p = 1
+    while (p < m.length) {
+      if (ds.getDouble(p) > ds.getDouble(best)) best = p
+      p += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  /** True iff the child type is a float-element array (vs double). */
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected array<float> or array<double>, got $other")
+  }
+}
+
+/** Native fused cosine similarity of two vectors → double. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val lF = NativeVector.isFloatArray(left.dataType)
+  @transient private lazy val rF = NativeVector.isFloatArray(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("cosRes")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double $r = graft.functions.NativeVector.cosine($a, $b, $lF, $rF);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      new CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Shared shape of the three vector-vs-constant-matrix expressions. */
+sealed abstract class MatrixKernelExpr extends UnaryExpression {
+  def matrix: Array[Array[Double]]
+  override def nullable: Boolean = true
+  @transient protected lazy val vF: Boolean = NativeVector.isFloatArray(child.dataType)
+  protected def kernel: String // NativeVector static method name
+  protected def boxed: String // boxed java type of the kernel result
+  protected def unbox: String // unboxing accessor
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("kernelMatrix", matrix, "double[][]")
+    val r = ctx.freshName("vecRes")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |$boxed $r = graft.functions.NativeVector.$kernel($v, $mRef, $vF);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r$unbox; }
+       """.stripMargin)
+  }
+}
+
+/** Native dots of a vector column against a constant matrix →
+  * array<double> (one element per matrix row). */
+case class MatVecDotsExpr(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixKernelExpr {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "matvec_dots"
+  override protected val kernel = "dots"
+  override protected val boxed = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected val unbox = ""
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.dots(v.asInstanceOf[ArrayData], matrix, vF)
+  override protected def withNewChildInternal(newChild: Expression): MatVecDotsExpr =
+    copy(child = newChild)
+}
+
+object MatVecDotsExpr {
+  def apply(c: Column, m: Array[Array[Double]]): Column =
+    ColumnBridge.column(new MatVecDotsExpr(ColumnBridge.expression(c), m))
+}
+
+/** Native sign-bit LSH bucket of a vector under constant hyperplanes →
+  * long. */
+case class HyperplaneBucketExpr(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixKernelExpr {
+  require(matrix.length <= 63, "at most 63 hyperplanes fit the long bucket")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected val kernel = "bucket"
+  override protected val boxed = "java.lang.Long"
+  override protected val unbox = ".longValue()"
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.bucket(v.asInstanceOf[ArrayData], matrix, vF)
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketExpr {
+  def apply(c: Column, m: Array[Array[Double]]): Column =
+    ColumnBridge.column(new HyperplaneBucketExpr(ColumnBridge.expression(c), m))
+}
+
+/** Native argmax-dot (first maximal row index) of a vector against a
+  * constant centroid matrix → int. */
+case class ArgMaxDotExpr(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixKernelExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_dot"
+  override protected val kernel = "argmaxDot"
+  override protected val boxed = "java.lang.Integer"
+  override protected val unbox = ".intValue()"
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.argmaxDot(v.asInstanceOf[ArrayData], matrix, vF)
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDotExpr =
+    copy(child = newChild)
+}
+
+object ArgMaxDotExpr {
+  def apply(c: Column, m: Array[Array[Double]]): Column =
+    ColumnBridge.column(new ArgMaxDotExpr(ColumnBridge.expression(c), m))
+}

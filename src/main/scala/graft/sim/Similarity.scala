@@ -18,23 +18,34 @@ import org.apache.spark.sql.functions._
   *    multi-probe for recall), exact re-rank inside buckets. This is the
   *    scale path: shuffle ∝ corpus, never all-pairs.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order expressions —
-  * no UDFs, but note Spark evaluates higher-order functions
-  * *interpreted* (not whole-stage codegen), so every lambda here
-  * references materialized column attributes only; re-expanding an
-  * upstream expression inside a lambda multiplies row cost by the
-  * array length (see TextFunctions for the same rule on text).
+  * The hot vector math (pair cosine re-rank, per-row bucket/cell
+  * assignment against constant plane/centroid matrices) runs on the
+  * native codegen kernels in [[graft.functions.NativeVector]] — Spark
+  * evaluates higher-order functions *interpreted*, and these paths
+  * execute 16-32 dot products per corpus row. The kernels are
+  * bit-identical to the composed `zip_with`/`aggregate` forms (same
+  * accumulation order, same float→double widening — asserted in
+  * NativeVectorSpec), which remain here as the definitional reference
+  * and for cold paths.
   */
 object Similarity {
 
-  /** `Σ aᵢ·bᵢ` in double precision. */
+  /** `Σ aᵢ·bᵢ` in double precision — composed HOF form (interpreted;
+    * fine off the hot path, and the definitional twin of the native
+    * kernels). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused native cosine (codegen) — see [[graft.functions.CosineSimExpr]]. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimExpr(a, b)
+
+  /** Composed HOF cosine — the definitional form the native kernel is
+    * asserted bit-identical to. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k per probe. `probes` must be small (it is
     * broadcast). Returns (probe_id, neighbor_id, cos, rank). */
@@ -64,12 +75,10 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes —
+    * one native pass over all planes (codegen). */
   private def bucketOf(vec: Column, hp: Array[Array[Double]]): Column =
-    hp.zipWithIndex.map { case (w, i) =>
-      val wLit = array(w.map(lit): _*)
-      when(dot(vec, wLit) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    graft.functions.HyperplaneBucketExpr(vec, hp)
 
   /** Public bucket expression for callers composing their own LSH joins
     * (e.g. embedding near-dup in [[graft.dedup.Dedup]]). */
@@ -108,20 +117,16 @@ object Similarity {
     // Centroids are unit-normalized DRIVER-side: argmax of cosine =
     // argmax of dot(v, ĉ) — the row's own norm is a positive scalar and
     // drops out of the argmax, and the centroid norm folds into the
-    // literal. One interpreted dot per centroid per row instead of a
-    // dot plus two norms (HOFs are interpreted, so this is the hot
-    // cost of both assignment passes).
-    def unitLits(cs: Array[Array[Double]]) =
+    // constant matrix. Assignment is ONE native codegen pass over all
+    // k centroids per row (ArgMaxDotExpr) — the hot cost of both
+    // assignment passes, formerly k interpreted HOF dots.
+    def unitRows(cs: Array[Array[Double]]): Array[Array[Double]] =
       cs.map { c =>
         val n = math.sqrt(c.map(x => x * x).sum)
-        val u = if (n == 0) c else c.map(_ / n)
-        array(u.map(lit): _*)
+        if (n == 0) c else c.map(_ / n)
       }
-    def nearestCell(vec: Column, cs: Array[Array[Double]]): Column = {
-      val dots = array(unitLits(cs).map(c => dot(vec, c)): _*)
-      // argmax: position of the max similarity (1-based → 0-based)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
+    def nearestCell(vec: Column, cs: Array[Array[Double]]): Column =
+      graft.functions.ArgMaxDotExpr(vec, unitRows(cs))
     val assigned = corpus2.select(col(vecCol).as("v"),
       nearestCell(col(vecCol), seeds).as("cell"))
     val refined: Array[Array[Double]] = assigned
@@ -140,7 +145,7 @@ object Similarity {
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), refined).as("cell"))
     // Same argmax-invariance: cells rank by dot with unit centroids.
-    val probeSims = array(unitLits(refined).map(c => dot(col("pv"), c)): _*)
+    val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(refined))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("__sims", probeSims)
