@@ -377,8 +377,45 @@ object TextBattery {
     }
   )
 
+  /** Okapi BM25 under the gate: the full per-(doc,term) score surface —
+    * no ranking, so the hash covers every score directly. The k1/b
+    * constants are interpolated into the oracle from the SAME Scala
+    * doubles the operator uses (Scala double toString round-trips, so
+    * both engines parse identical literals — computing `1.2 + 1` in SQL
+    * could round differently than the Scala constant fold). All
+    * divisions/sums mirror the operator's expression tree; dl/avgdl are
+    * integer-valued doubles, so their aggregation is order-independent
+    * and exact. */
+  val bm25Q = {
+    val (k1, b) = (1.2, 0.75)
+    Q(
+      "q_bm25",
+      Some(
+        "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+          "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+          "WHERE term <> '' GROUP BY 1, 2), " +
+          "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
+          "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+          "st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, " +
+          "(SELECT avg(dl) FROM dl) AS avgdl) " +
+          // CAST: DuckDB sum() is HUGEINT, which reaches the pandas
+          // compare as float ("32.0" vs Spark's "32")
+          "SELECT doc_id, term, tf, df, CAST(dl AS BIGINT) AS dl, " +
+          "round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+          s"(tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 4) " +
+          "AS score FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+          "CROSS JOIN st ORDER BY 1, 2"),
+      (s, dir) =>
+        graft.text.Relevance.bm25(Td(s, dir, "documents"), "doc_id", "text",
+          k1 = k1, b = b)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("doc_id"), col("term"))
+    )
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
-    packShardsQ, corpusStats, corpusPrep, tfIdfTop)
+    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q)
 }

@@ -63,4 +63,19 @@ class PlanAuditSpec extends SparkSuite {
     // orderBy adds a range exchange, nothing else shuffles
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
+
+  test("rank<=k window filters compile to WindowGroupLimit pruning") {
+    // Spark's InferWindowGroupLimit turns row_number<=k filters into a
+    // partial (pre-shuffle) + final group-limit pair, so top-k-per-key
+    // never sorts or shuffles more than k rows per key per partition —
+    // the reason a custom bounded-heap operator is NOT needed. Guard
+    // the queries that depend on it: a refactor that hides the rank
+    // filter from the optimizer (e.g. an intervening project the rule
+    // can't see through) would silently fall back to full window sorts.
+    for (q <- Seq("q_tfidf", "q_window_rn", "q_window_priority")) {
+      val plan = planOf(q).executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit rewrite:\n$plan")
+    }
+  }
 }
