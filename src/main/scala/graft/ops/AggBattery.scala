@@ -303,15 +303,25 @@ object AggBattery {
         "true AS hll_ok, true AS p50_ok " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     (s, dir) => {
+      // Four single-pass aggregates joined on the 5-row group key —
+      // NOT one agg: mixing a distinct aggregate with ANY other
+      // aggregate in one groupBy makes Catalyst Expand every input row
+      // per distinct clause, and stacking the percentiles on that
+      // expand benched 13 s where these independent passes take ~1 s.
       val cents = round(col("value") * 100).cast("long")
-      Td(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          countDistinct(col("user_id")).as("n_users"),
-          countDistinct(cents).as("n_values"),
-          approx_count_distinct(cents, rsd = 0.01).as("n_approx"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+      val ev = Td(s, dir, "events")
+      val users = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val values = ev.groupBy(col("event_type"))
+        .agg(countDistinct(cents).as("n_values"))
+      val hll = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(cents, rsd = 0.01).as("n_approx"))
+      val quantiles = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
           expr("percentile(value, 0.5)").as("p50_exact"))
+      users.join(values, Seq("event_type"))
+        .join(hll, Seq("event_type"))
+        .join(quantiles, Seq("event_type"))
         .select(col("event_type"), col("n_users"), col("n_values"),
           (abs(col("n_approx") - col("n_values")) <= col("n_values") * 0.05)
             .as("hll_ok"),

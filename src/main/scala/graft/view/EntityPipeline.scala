@@ -161,6 +161,12 @@ object EntityPipeline {
       if (params.since.isDefined)
         isTyped || isLicensed || (col("predicate") === Modified)
       else isTyped || isLicensed
+    // NOT materialized, although ~12 consumers semi-join against it:
+    // measured at sf0.1, an eager localCheckpoint here ADDS a blocking
+    // job per invocation (median 3.5 s → 5.1 s) — the recomputed base
+    // aggregations all run inside one job and overlap, while a
+    // checkpoint serializes them behind a barrier. The quad input
+    // checkpoint above already bounds the recompute cost.
     val base = quads
       .filter(scanFilter)
       .groupBy(col("subject"))

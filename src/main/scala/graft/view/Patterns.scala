@@ -112,7 +112,14 @@ object Patterns {
     * groupBy shuffle + one left join instead of N of each. Null-value
     * rows are excluded per aggregate (the `when` yields null for other
     * predicates), so per-column semantics are identical to the
-    * one-at-a-time form. Specs: (predicate, outputCol, langFilter). */
+    * one-at-a-time form. Specs: (predicate, outputCol, langFilter).
+    *
+    * Plan note: min-of-struct buffers are not UnsafeRow-mutable, so
+    * this (like ANY string-valued min/max in Spark, measured
+    * identically) plans as SortAggregate — the sorts are
+    * partition-local, sized by the predicate-pruned slice, and
+    * unavoidable without changing the deterministic
+    * lexicographic-min-tie-break semantics the oracles state. */
   def optionalSingles(quads: DataFrame,
                       specs: Seq[(String, String, Option[String])]): DataFrame = {
     val preds = specs.map(_._1).distinct
