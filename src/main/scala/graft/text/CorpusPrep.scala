@@ -128,10 +128,13 @@ object CorpusPrep {
       .select(col(idCol), col("bucket"), col("shard"), col("n_tok"))
   }
 
-  /** Full preparation. With `nearDup`, drops the higher-id member of
-    * every verified near-duplicate pair (connected pairs collapse to
-    * their minimum representative transitively only per-pair — the
-    * usual LSH-dedup approximation). */
+  /** Full preparation. With `nearDup`, verified near-duplicate pairs
+    * are clustered into connected components
+    * ([[graft.graph.ConnectedComponents]]) and only each component's
+    * minimum id survives — the per-pair "drop the higher id" shortcut
+    * keeps BOTH of {3, 5} in a transitive cluster {3, 5, 10} linked
+    * through 10, because neither loses a direct comparison. Component
+    * clustering is the correct keep-one-per-duplicate-set contract. */
   def prepare(df: DataFrame, idCol: String, textCol: String,
               quality: Quality = Quality(),
               nearDup: Boolean = false, minJaccard: Double = 0.8): DataFrame = {
@@ -139,9 +142,14 @@ object CorpusPrep {
     val exact = exactDedupKeep(filtered, idCol, textCol)
     if (!nearDup) exact
     else {
-      val drop = Dedup.minhashNearDup(exact, idCol, textCol, minJaccard = minJaccard)
-        .select(col("id_b").as(idCol)).distinct()
-      exact.join(drop, Seq(idCol), "left_anti")
+      val pairs = Dedup.minhashNearDup(exact, idCol, textCol, minJaccard = minJaccard)
+      val comps = graft.graph.ConnectedComponents.run(
+        exact.select(col(idCol).as("id")), pairs,
+        srcCol = "id_a", dstCol = "id_b")
+      exact.join(
+        graft.graph.ConnectedComponents.keepers(comps)
+          .withColumnRenamed("id", idCol),
+        Seq(idCol), "left_semi")
     }
   }
 }

@@ -44,6 +44,22 @@ class CorpusPrepSpec extends SparkSuite {
     assert(withNear == Set(10L, 13L)) // 12 removed as near-dup of 10
   }
 
+  test("near-dup removal keeps one doc per transitive CLUSTER, not per pair") {
+    val s = spark
+    import s.implicits._
+    // 20 and 22 are both near 21 but farther from each other: the
+    // per-pair "drop the higher id" shortcut would keep {20, 22}; the
+    // component contract keeps only the cluster minimum 20.
+    val mid = good
+    val a = "HEAD " + good.substring(5)
+    val b = good.substring(0, good.length - 5) + " TAIL"
+    val df = Seq((20L, a), (21L, mid), (22L, b)).toDF("doc_id", "text")
+    val kept = CorpusPrep.prepare(df, "doc_id", "text",
+      nearDup = true, minJaccard = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(20L))
+  }
+
   test("decontamination counts shared shingles and drops overlapping docs") {
     val s = spark
     import s.implicits._
