@@ -64,6 +64,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("temporal joins never fall back to nested-loop plans") {
+    // asOfJoin is a window pass and rangeJoin a bucketed equi-join by
+    // construction; if a refactor reintroduced the naive inequality
+    // join Spark would plan BroadcastNestedLoopJoin — quadratic, dead
+    // at scale.
+    for (q <- Seq("q_asof_join", "q_range_join")) {
+      val plan = planOf(q).executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("rank<=k window filters compile to WindowGroupLimit pruning") {
     // Spark's InferWindowGroupLimit turns row_number<=k filters into a
     // partial (pre-shuffle) + final group-limit pair, so top-k-per-key
