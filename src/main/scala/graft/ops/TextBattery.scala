@@ -414,8 +414,35 @@ object TextBattery {
     )
   }
 
+  /** Model-based quality scoring under the gate: the sigmoid of a
+    * linear model over (ln-length, punct ratio, stopword ratio) per
+    * document, weights interpolated into the oracle from the same
+    * Scala doubles (the q_bm25 discipline). The feature extraction
+    * restates TextFunctions exactly: punct `[^\w\s]`, the 10-word
+    * stopword class, whitespace tokens of the normalized text. */
+  val qualityScoreQ = {
+    val w = TextFunctions.QualityWeights()
+    Q(
+      "q_quality_score",
+      Some(
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-(" +
+          s"${w.bias} + ${w.wLen} * ln(1.0 + CAST(length(text) AS DOUBLE)) + " +
+          raw"${w.wPunct} * (CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / " +
+          "greatest(CAST(length(text) AS DOUBLE), 1.0)) + " +
+          raw"${w.wStop} * (CAST(len(regexp_extract_all(lower(text), " +
+          raw"'\b(the|a|an|and|of|to|in|is|it|that)\b')) AS DOUBLE) / " +
+          s"CAST(len(string_split($normSql, ' ')) AS DOUBLE))))), 4) AS quality " +
+          "FROM documents ORDER BY 1"),
+      (s, dir) =>
+        Td(s, dir, "documents")
+          .select(col("doc_id"),
+            round(TextFunctions.qualityScore(col("text"), w), 4).as("quality"))
+          .orderBy(col("doc_id"))
+    )
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
-    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q)
+    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ)
 }

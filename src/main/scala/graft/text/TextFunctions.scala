@@ -75,6 +75,28 @@ object TextFunctions {
       .otherwise("fr")
   }
 
+  /** Model-based quality score: a linear classifier over the cheap
+    * text features, squashed by a sigmoid — the fasttext-style quality
+    * filter shape of a pretraining pipeline (score every doc in the
+    * scan, threshold downstream). The weights here are fixture
+    * constants; a production pipeline substitutes trained ones — the
+    * *operator* is the per-row scoring expression, which is pure
+    * codegen'd arithmetic, no shuffle, no UDF.
+    *
+    * Feature/weight layout (see [[QualityWeights]]):
+    * z = bias + wLen·ln(1+len) + wPunct·(punct/len) + wStop·(stop/tokens). */
+  final case class QualityWeights(bias: Double = -2.0, wLen: Double = 0.45,
+                                  wPunct: Double = -6.0, wStop: Double = 2.5)
+
+  def qualityScore(c: Column, w: QualityWeights = QualityWeights()): Column = {
+    val len = length(c).cast("double")
+    val x1 = log(lit(1.0) + len)
+    val x2 = punctCount(c).cast("double") / greatest(len, lit(1.0))
+    val x3 = stopwordCount(c).cast("double") / size(tokens(c)).cast("double")
+    val z = lit(w.bias) + lit(w.wLen) * x1 + lit(w.wPunct) * x2 + lit(w.wStop) * x3
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Document fingerprint: minimum shingle hash (winnowing-style
     * representative) — stable under small edits away from the minimum.
     * md5-based so an external SQL engine can reproduce it. Takes a
