@@ -70,6 +70,27 @@ class TemporalJoinsSpec extends SparkSuite {
     }
   }
 
+  test("asOfJoin agrees with a brute-force pick on random data") {
+    val r = new scala.util.Random(13)
+    val probes = Seq.tabulate(300)(i =>
+      (i.toLong, r.nextInt(8).toLong, r.nextInt(1000).toLong))
+      .toDF("pid", "user_id", "pt")
+    val quoteRows = Seq.tabulate(150)(i =>
+      (i.toLong, r.nextInt(8).toLong, r.nextInt(1000).toLong, s"v$i"))
+    val quotes = quoteRows.toDF("qid", "user_id", "qt", "label")
+    val tol = 120L
+    val got = TemporalJoins.asOfJoin(probes, quotes, key = "user_id",
+      leftTime = "pt", rightTime = "qt", tieCol = "qid",
+      valueCols = Seq("label"), toleranceUs = Some(tol))
+      .select($"pid", $"label").as[(Long, Option[String])].collect().toMap
+    val brute = probes.as[(Long, Long, Long)].collect().map { case (pid, u, t) =>
+      val cand = quoteRows.filter(q => q._2 == u && q._3 <= t && t - q._3 <= tol)
+      pid -> (if (cand.isEmpty) None
+              else Some(cand.maxBy(q => (q._3, q._1))._4))
+    }.toMap
+    assert(got === brute)
+  }
+
   test("rangeJoin agrees with a brute-force theta join on random data") {
     val r = new scala.util.Random(7)
     val points = Seq.tabulate(200)(i => (i.toLong, r.nextInt(10000).toLong))
