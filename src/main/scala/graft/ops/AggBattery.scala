@@ -331,8 +331,22 @@ object AggBattery {
     }
   )
 
+  /** Salted two-stage aggregation under the gate: `Skew.saltedCount`
+    * must equal a plain GROUP BY count — the salt is an internal
+    * rebalancing detail that may never change results. l_returnflag
+    * has 3 giant groups (the single-hot-group shape AQE cannot split);
+    * the salt spreads each over 32 buckets before the final combine. */
+  val saltedAgg = Q(
+    "q_salted_agg",
+    Some("SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Skew.saltedCount(Td(s, dir, "lineitem"), "l_returnflag", 32,
+        col("l_orderkey"))
+        .orderBy(col("l_returnflag"))
+  )
+
   val all: Seq[Q] = Seq(
     aggSum, aggHaving, collectSet, collectList, condAgg, stringAggOrdered,
     maxUnion, boolOr, anyClassify, correlatedCount, twoLevelAgg, jsonDoc,
-    objectAgg, dateRange, approxDistinct)
+    objectAgg, dateRange, approxDistinct, saltedAgg)
 }

@@ -228,6 +228,32 @@ object WindowSetBattery {
         .orderBy(col("user_id"), col("window_start"))
   )
 
+  /** The built-in `session_window` operator (batch mode) — the
+    * declarative sibling of the lag-cumsum `q_sessionize`: Spark's
+    * SessionWindowing merges events whose [ts, ts+gap) windows overlap,
+    * so a gap of EXACTLY 30 minutes starts a new session (end bound is
+    * exclusive) — hence `>=` in the oracle's new-session rule where
+    * q_sessionize's lag form uses `>`. Same single window shuffle. */
+  val sessionWindow = Q(
+    "q_session_window",
+    Some(
+      "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, " +
+        "count(*) AS n_events FROM (" +
+        "SELECT user_id, CASE WHEN lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM events) GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      Td(s, dir, "events")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
+        .agg(count(lit(1)).as("in_session"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("in_session")).as("n_events"))
+        .orderBy(col("user_id"))
+  )
+
   val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll,
-    sessionize, intersectExcept, groupingSets, eventWindow)
+    sessionize, intersectExcept, groupingSets, eventWindow, sessionWindow)
 }
