@@ -225,6 +225,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-table fuzzy join (record linkage): every (left, right) pair
+    * whose shingle Jaccard clears `minJaccard` — the two-table sibling
+    * of [[ngramJaccardNearDup]], for linking a new batch against a
+    * reference corpus, near-duplicate lookup across sources, or entity
+    * resolution on names. Returns (id_l, id_r, jaccard).
+    *
+    * Same prefix-filter machinery, cross-table: both sides order their
+    * shingle hashes under the SAME total order (hash order — no global
+    * df pass is possible over two corpora without an extra join, and
+    * any consistent order preserves the guarantee), keep a prefix of
+    * `n - ceil(t·n) + 1` tokens, and candidates are the prefix-token
+    * equi-join refined by the length filter and verified exactly. If
+    * J(a,b) ≥ t, the two prefixes must share a token under any shared
+    * total order, so recall is 100% — never all-pairs, shuffle ∝ sum
+    * of prefix lengths. */
+  def crossJaccardJoin(left: DataFrame, right: DataFrame,
+                       leftId: String, leftText: String,
+                       rightId: String, rightText: String,
+                       shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val t = minJaccard
+    def side(df: DataFrame, id: String, text: String, as: String) =
+      graft.view.Patterns.ensurePersisted(
+        df.select(col(id).as(as),
+          array_sort(graft.functions.ShingleHashesExpr(
+            TextFunctions.normalize(col(text)), shingleK)).as(s"hs_$as")))
+    val l = side(left, leftId, leftText, "id_l")
+    val r = side(right, rightId, rightText, "id_r")
+    def prefixed(df: DataFrame, as: String) = {
+      val hs = col(s"hs_$as")
+      df.select(col(as), size(hs).as(s"n_$as"),
+        explode(slice(hs, lit(1),
+          greatest(lit(1),
+            (size(hs) - ceil(lit(t) * size(hs)).cast("int") + 1)))).as("tok"))
+    }
+    val candidates = prefixed(l, "id_l").join(prefixed(r, "id_r"), Seq("tok"))
+      .filter(greatest(col("n_id_l"), col("n_id_r")) * t <=
+        least(col("n_id_l"), col("n_id_r")))
+      .select(col("id_l"), col("id_r")).distinct()
+    candidates
+      .join(l, Seq("id_l"))
+      .join(r, Seq("id_r"))
+      .withColumn("o", size(array_intersect(col("hs_id_l"), col("hs_id_r"))))
+      .withColumn("jaccard",
+        col("o").cast("double") /
+          (size(col("hs_id_l")) + size(col("hs_id_r")) - col("o")))
+      .filter(col("jaccard") >= t)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-dup: semantic duplicates via random-hyperplane
     * buckets (candidates = same sign-bit bucket, an equi-join) verified
     * with exact cosine. The embedding-space sibling of MinHash: same

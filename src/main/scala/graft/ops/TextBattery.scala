@@ -441,8 +441,39 @@ object TextBattery {
     )
   }
 
+  /** Cross-table fuzzy join under the gate: documents linked against a
+    * mutated slice of themselves (every 5th doc, first 11 chars cut,
+    * ids shifted +10000 so the sides are disjoint). The oracle states
+    * the full quadratic semantics with string-shingle Jaccard; the
+    * Spark side is the prefix-filtered equi-join over shingle hashes —
+    * identical pairs and jaccards (hash-set Jaccard = string-set
+    * Jaccard up to 2^-64 collisions, the q_neardup_* correspondence). */
+  val fuzzyJoinQ = Q(
+    "q_fuzzy_join",
+    Some(
+      s"WITH l AS (SELECT doc_id AS id_l, ${shinglesSqlOf("text")} AS sh FROM documents), " +
+        s"r AS (SELECT doc_id + 10000 AS id_r, ${shinglesSqlOf("text[12:]")} AS sh " +
+        "FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT id_l, id_r, CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard " +
+        "FROM l, r WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5 " +
+        "ORDER BY 1, 2"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val right = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("rid"),
+          substring(col("text"), 12, 1000000).as("rtext"))
+      Dedup.crossJaccardJoin(docs, right,
+        leftId = "doc_id", leftText = "text",
+        rightId = "rid", rightText = "rtext", minJaccard = 0.5)
+        .orderBy(col("id_l"), col("id_r"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
-    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ)
+    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
+    fuzzyJoinQ)
 }

@@ -153,4 +153,42 @@ class DedupSpec extends SparkSuite {
     assert(pairs(mp = true).contains((1L, 2L)),
       "multi-probe must recover a 1-bit-apart pair")
   }
+
+  test("crossJaccardJoin matches brute-force pairs and jaccards exactly") {
+    val s = spark
+    import s.implicits._
+    import graft.text.TextFunctions
+    val words = Array("spark", "table", "join", "scan", "row", "hash",
+      "filter", "batch", "agg", "sort", "key", "part")
+    val rnd = new scala.util.Random(17)
+    def doc() = Seq.fill(12 + rnd.nextInt(10))(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val leftRows = Seq.tabulate(30)(i => (i.toLong, doc()))
+    // right: mutations of some left docs + fresh ones
+    val rightRows = Seq.tabulate(30) { i =>
+      val base = leftRows(rnd.nextInt(30))._2
+      val text = if (i % 2 == 0) base.substring(math.min(6, base.length)) else doc()
+      (100L + i, text)
+    }
+    val left = leftRows.toDF("lid", "ltext")
+    val right = rightRows.toDF("rid", "rtext")
+    val got = Dedup.crossJaccardJoin(left, right, "lid", "ltext", "rid", "rtext",
+      minJaccard = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force over string shingle sets
+    def sh(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val brute = (for {
+      (lid, lt) <- leftRows; (rid, rt) <- rightRows
+      o = (sh(lt) & sh(rt)).size
+      j = o.toDouble / (sh(lt).size + sh(rt).size - o)
+      if j >= 0.6
+    } yield (lid, rid) -> j).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12, k) }
+  }
 }
