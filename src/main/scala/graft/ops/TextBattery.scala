@@ -471,9 +471,69 @@ object TextBattery {
     }
   )
 
+  /** The WHOLE training-data pipeline as one gated composition:
+    * train/test split → quality filter → exact-dedup keep →
+    * decontaminate against the test split → stratified sample →
+    * token-budget shard packing. Every stage's SQL mirror is already
+    * proven green individually (q_corpus_prep, q_decontaminate,
+    * q_sample_stratified, q_pack_shards); this chains them into one
+    * oracle so stage INTERACTIONS (which rows each stage hands the
+    * next) sit under the hash too — the whole-pipeline discipline the
+    * construct pipelines follow. */
+  val corpusPipeline = {
+    val tokRe = raw"'[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]'"
+    val md5u32 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    Q(
+      "q_corpus_pipeline",
+      Some(
+        s"WITH q AS (SELECT doc_id, lang, text, md5($normSql) AS h FROM documents " +
+          "WHERE doc_id % 20 <> 0 AND length(text) >= 50 " +
+          s"AND len(regexp_extract_all(text, $tokRe)) >= 10 " +
+          raw"AND len(regexp_extract_all(text, '[^\w\s]')) * 5 <= length(text)), " +
+          "k AS (SELECT doc_id, lang, text FROM q " +
+          "WHERE doc_id = (SELECT min(doc_id) FROM q q2 WHERE q2.h = q.h)), " +
+          s"te AS (SELECT DISTINCT unnest(${shinglesSqlOf("text")}) AS t " +
+          "FROM documents WHERE doc_id % 20 = 0), " +
+          // tolerance 10: the synthetic corpus shares vocabulary, so a
+          // verbatim-overlap threshold of 0 would empty the funnel and
+          // leave the later stages untested
+          "hit AS (SELECT doc_id FROM (" +
+          s"SELECT doc_id, unnest(${shinglesSqlOf("text")}) AS t FROM k) " +
+          "WHERE t IN (SELECT t FROM te) GROUP BY doc_id HAVING count(*) > 10), " +
+          "sm AS (SELECT doc_id, text FROM k " +
+          "WHERE doc_id NOT IN (SELECT doc_id FROM hit) " +
+          s"AND $md5u32 < CAST(floor((CASE lang WHEN 'en' THEN 0.5 " +
+          "WHEN 'zh' THEN 0.2 ELSE 0.125 END) * 4294967296) AS UBIGINT)), " +
+          s"t AS (SELECT doc_id, len(regexp_extract_all(text, $tokRe)) AS n_tok, " +
+          s"$md5u32 % 8 AS bucket FROM sm) " +
+          "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, " +
+          "CAST(floor((sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) - n_tok) / 1000.0) AS BIGINT) AS shard, " +
+          "n_tok FROM t ORDER BY 1"),
+      (s, dir) => {
+        import graft.text.CorpusPrep
+        val docs = Td(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val tests = docs.filter(col("doc_id") % 20 === 0)
+        val filtered = corpus.filter(
+          CorpusPrep.qualityFilter(col("text"), CorpusPrep.Quality()))
+        val exact = CorpusPrep.exactDedupKeep(filtered, "doc_id", "text")
+        val clean = CorpusPrep.decontaminate(exact, tests, "doc_id", "text",
+          maxShared = 10L)
+        val sampled = CorpusPrep.stratifiedSample(clean, "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.2), defaultRate = 0.125)
+        CorpusPrep.packShards(
+          sampled.select(col("doc_id"),
+            size(TextFunctions.regexTokens(col("text"))).as("n_tok")),
+          "doc_id", "n_tok", tokensPerShard = 1000L, buckets = 8)
+          .orderBy(col("doc_id"))
+      }
+    )
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
-    fuzzyJoinQ)
+    fuzzyJoinQ, corpusPipeline)
 }
