@@ -232,14 +232,18 @@ object Dedup {
     * resolution on names. Returns (id_l, id_r, jaccard).
     *
     * Same prefix-filter machinery, cross-table: both sides order their
-    * shingle hashes under the SAME total order (hash order — no global
-    * df pass is possible over two corpora without an extra join, and
-    * any consistent order preserves the guarantee), keep a prefix of
-    * `n - ceil(t·n) + 1` tokens, and candidates are the prefix-token
-    * equi-join refined by the length filter and verified exactly. If
-    * J(a,b) ≥ t, the two prefixes must share a token under any shared
-    * total order, so recall is 100% — never all-pairs, shuffle ∝ sum
-    * of prefix lengths. */
+    * shingle hashes under the SAME total order — global rare-first by
+    * document frequency over the UNION of both corpora (any consistent
+    * order preserves the guarantee; rare-first keeps the inverted-index
+    * postings short, which matters doubly here because a hot token in
+    * both sides' prefixes multiplies candidates). Each side keeps a
+    * prefix of `n - ceil(t·n) + 1` tokens; candidates are the
+    * prefix-token equi-join refined by the length filter and the
+    * positional filter (earliest collision (i, j) bounds the overlap by
+    * min(na−i, nb−j), as in the self-join version), then verified
+    * exactly. If J(a,b) ≥ t the prefixes must share a token under any
+    * shared total order, so recall is 100% — never all-pairs, shuffle
+    * ∝ sum of prefix lengths. */
   def crossJaccardJoin(left: DataFrame, right: DataFrame,
                        leftId: String, leftText: String,
                        rightId: String, rightText: String,
@@ -248,21 +252,37 @@ object Dedup {
     def side(df: DataFrame, id: String, text: String, as: String) =
       graft.view.Patterns.ensurePersisted(
         df.select(col(id).as(as),
-          array_sort(graft.functions.ShingleHashesExpr(
-            TextFunctions.normalize(col(text)), shingleK)).as(s"hs_$as")))
+          graft.functions.ShingleHashesExpr(
+            TextFunctions.normalize(col(text)), shingleK).as(s"hs_$as")))
     val l = side(left, leftId, leftText, "id_l")
     val r = side(right, rightId, rightText, "id_r")
+    // Document frequency over BOTH corpora — one shared total order.
+    val dfreq = l.select(explode(col("hs_id_l")).as("tok"))
+      .unionByName(r.select(explode(col("hs_id_r")).as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     def prefixed(df: DataFrame, as: String) = {
-      val hs = col(s"hs_$as")
-      df.select(col(as), size(hs).as(s"n_$as"),
-        explode(slice(hs, lit(1),
+      val toks = df.select(col(as), explode(col(s"hs_$as")).as("tok"))
+      val ord = toks.join(dfreq, Seq("tok"))
+        .groupBy(col(as))
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      ord.select(col(as), size(col("ord")).as(s"n_$as"),
+        posexplode(slice(col("ord"), lit(1),
           greatest(lit(1),
-            (size(hs) - ceil(lit(t) * size(hs)).cast("int") + 1)))).as("tok"))
+            (size(col("ord")) - ceil(lit(t) * size(col("ord"))).cast("int") + 1)))))
+        .select(col(as), col(s"n_$as"), col("pos").as(s"p_$as"),
+          col("col").getField("tok").as("tok"))
     }
     val candidates = prefixed(l, "id_l").join(prefixed(r, "id_r"), Seq("tok"))
       .filter(greatest(col("n_id_l"), col("n_id_r")) * t <=
         least(col("n_id_l"), col("n_id_r")))
-      .select(col("id_l"), col("id_r")).distinct()
+      .groupBy(col("id_l"), col("id_r"), col("n_id_l"), col("n_id_r"))
+      .agg(max(least(col("n_id_l") - col("p_id_l"),
+        col("n_id_r") - col("p_id_r"))).as("ub"))
+      // α = ceil(t/(1+t)·(na+nb)) with the epsilon-margin comparison —
+      // see ngramJaccardNearDup for the double-rounding rationale.
+      .filter(col("ub") >=
+        lit(t) * (col("n_id_l") + col("n_id_r")) / lit(1 + t) - lit(1e-9))
+      .select(col("id_l"), col("id_r"))
     candidates
       .join(l, Seq("id_l"))
       .join(r, Seq("id_r"))
