@@ -229,11 +229,12 @@ object WindowSetBattery {
   )
 
   /** The built-in `session_window` operator (batch mode) — the
-    * declarative sibling of the lag-cumsum `q_sessionize`: Spark's
-    * SessionWindowing merges events whose [ts, ts+gap) windows overlap,
-    * so a gap of EXACTLY 30 minutes starts a new session (end bound is
-    * exclusive) — hence `>=` in the oracle's new-session rule where
-    * q_sessionize's lag form uses `>`. Same single window shuffle. */
+    * declarative sibling of the lag-cumsum `q_sessionize`. Spark merges
+    * a session with the next event when `next <= end` (INCLUSIVE — an
+    * exactly-at-gap event extends the session; verified empirically in
+    * EventTimeOpsSpec, 10:50 merging into a 10:20+30min session), so
+    * the oracle's new-session rule is `>`, identical to q_sessionize's
+    * lag form. Same single window shuffle. */
   val sessionWindow = Q(
     "q_session_window",
     Some(
@@ -242,7 +243,7 @@ object WindowSetBattery {
         "SELECT user_id, CASE WHEN lag(epoch_us(ts)) OVER (" +
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
-        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000 " +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 " +
         "THEN 1 ELSE 0 END AS is_new FROM events) GROUP BY 1 ORDER BY 1"),
     (s, dir) =>
       Td(s, dir, "events")

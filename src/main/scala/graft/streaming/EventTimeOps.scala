@@ -75,6 +75,25 @@ object EventTimeOps {
       }
   }
 
+  /** Declarative streaming sessionization via the built-in
+    * `session_window`: Spark merges a session with the next event when
+    * `next <= session end` — INCLUSIVE, so an exactly-at-gap event
+    * extends the session (asserted in the spec; same `>` new-session
+    * rule as the lag-cumsum q_sessionize) — and emits a session once
+    * the watermark passes its end. The declarative twin of
+    * [[sessionize]] below: state eviction and late-event handling come
+    * from the watermark, no custom state code. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Gap-based streaming sessionization: per user, a session closes
     * after `gapMinutes` of event-time silence. Closed sessions are
     * emitted either by a later event arriving past the gap or by the

@@ -149,4 +149,33 @@ class EventTimeOpsSpec extends SparkSuite {
       assert(out == Set(Doc(3L, "h1"), Doc(10L, "h2"), Doc(30L, "h3")))
     } finally q.stop()
   }
+
+  test("declarative session_window merges on overlap and emits past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventTimeOps.sessionWindowCounts(input.toDF(),
+      gap = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      // 10:00 and 10:20 merge; 10:50 sits EXACTLY at 10:20's window end
+      // (10:20 + 30m) — the merge bound is INCLUSIVE, so it extends the
+      // session; 11:21 is 1µs-class past 10:50's end → new session
+      input.addData(Ev(1, ts("10:00")), Ev(1, ts("10:20")), Ev(1, ts("10:50")),
+        Ev(1, ts("11:21")))
+      q.processAllAvailable()
+      // push the watermark far past both sessions' ends
+      input.addData(Ev(2, ts("14:00")))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("14:01")))
+      q.processAllAvailable()
+      val out = spark.table("sess_win").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+      assert(out.contains((1L, ts("10:00"), 3L)))
+      assert(out.contains((1L, ts("11:21"), 1L)))
+    } finally q.stop()
+  }
 }
