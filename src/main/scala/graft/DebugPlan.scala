@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 // Throwaway plan inspection — not part of the library surface.
 object DebugPlan {
@@ -9,26 +8,19 @@ object DebugPlan {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.pipelineInput", "checkpoint")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-
-    def shape(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val plan = df.queryExecution.executedPlan.toString
-      def cnt(p: String) = plan.split("\n").count(_.contains(p))
-      df.write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[debug] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        s"hash=${cnt("HashAggregate")} sort=${cnt("SortAggregate")} obj=${cnt("ObjectHashAggregate")}")
-    }
-
-    shape("min(string)")(li.groupBy(col("l_orderkey"))
-      .agg(min(col("l_returnflag"))))
-    shape("min(struct(int,string))")(li.groupBy(col("l_orderkey"))
-      .agg(min(struct(col("l_linenumber"), col("l_returnflag")))))
-    shape("min(encoded string)")(li.groupBy(col("l_orderkey"))
-      .agg(min(concat(lpad(col("l_linenumber"), 2, "0"), col("l_returnflag")))))
+    val df = ops.Registry.byName("q_entity_pipeline").run(spark, "/root/testdata/sf0.1")
+    df.write.format("noop").mode("overwrite").save()
+    // AQE-final plan of the executed write is not reachable from df;
+    // approximate by the pre-AQE physical plan's structure.
+    val plan = df.queryExecution.executedPlan.toString
+    def cnt(p: String) = plan.split("\n").count(_.contains(p))
+    println("[debug] base aggregates planned: " +
+      plan.split("\n").count(l => l.contains("HashAggregate") && l.contains("__t")))
+    println("[debug] Exchange: " + cnt("Exchange"))
+    println("[debug] checkpoint scans: " + cnt("Scan ExistingRDD"))
   }
 }

@@ -167,8 +167,16 @@ object EntityPipeline {
     // aggregations all run inside one job and overlap, while a
     // checkpoint serializes them behind a barrier. The quad input
     // checkpoint above already bounds the recompute cost.
+    // The explicit isNotNull matters: semi-join consumers push
+    // IsNotNull(subject) into THEIR copy of this subtree while the
+    // left-outer consumer does not, and the differing filters break
+    // canonical-plan matching — so ReuseExchange cannot share the base
+    // aggregation and every consumer re-runs it. With the filter stated
+    // here, all consumers see the identical subtree and the shuffle is
+    // computed once (subjects are never null, so semantics are
+    // unchanged).
     val base = quads
-      .filter(scanFilter)
+      .filter(scanFilter && col("subject").isNotNull)
       .groupBy(col("subject"))
       .agg(bool_or(isTyped).as("__t"), bool_or(isLicensed).as("__l"),
         bool_or(sinceHit).as("__m"))
