@@ -531,9 +531,27 @@ object TextBattery {
     )
   }
 
+  /** N-gram novelty under the gate: per-doc share of corpus-unique
+    * shingles. The counts are exact integers and the ratio is one
+    * division of them, so the hash needs no rounding discipline. */
+  val noveltyQ = Q(
+    "q_novelty",
+    Some(
+      s"WITH sh AS (SELECT doc_id, unnest(${shinglesSqlOf("text")}) AS t FROM documents), " +
+        "df AS (SELECT t, count(*) AS df FROM sh GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
+        "FROM sh JOIN df USING (t) GROUP BY 1 ORDER BY 1"),
+    (s, dir) =>
+      graft.text.CorpusPrep.ngramNovelty(Td(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
-    fuzzyJoinQ, corpusPipeline)
+    fuzzyJoinQ, corpusPipeline, noveltyQ)
 }

@@ -77,6 +77,32 @@ object CorpusPrep {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Per-document n-gram novelty: the share of a doc's distinct
+    * shingles that appear in NO other document — the corpus-level
+    * repetitiveness signal (boilerplate-heavy docs score near 0,
+    * genuinely novel text near 1) used for mixing weights and
+    * boilerplate pruning.
+    *
+    * Scale shape: one explode + one shingle-df aggregation + one
+    * equi-join back + one per-doc aggregation — the inverted-index
+    * two-shuffle pattern (same as TF-IDF's df pass); nothing pairwise.
+    * Returns (id, n_shingles, n_unique, novelty). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3): DataFrame = {
+    // ShingleHashesExpr emits DISTINCT hashes per doc, so the df counts
+    // documents, not occurrences.
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleHashesExpr(
+        TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+    val dfreq = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff the
     * first 32 bits of md5(id) fall below the stratum's rate — seed-free
     * and engine-neutral (any engine computing the same md5 keeps the

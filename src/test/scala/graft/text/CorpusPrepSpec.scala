@@ -60,6 +60,22 @@ class CorpusPrepSpec extends SparkSuite {
     assert(kept == Set(20L))
   }
 
+  test("ngram novelty separates boilerplate from unique text") {
+    val s = spark
+    import s.implicits._
+    val boiler = "all rights reserved contact us for details"
+    val df = Seq(
+      (1L, boiler),                              // fully duplicated below
+      (2L, boiler),                              // → novelty 0 for both
+      (3L, "completely original prose about engine internals")
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.ngramNovelty(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("novelty")).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 1.0)
+  }
+
   test("decontamination counts shared shingles and drops overlapping docs") {
     val s = spark
     import s.implicits._
