@@ -549,9 +549,45 @@ object TextBattery {
         .orderBy(col("doc_id"))
   )
 
+  /** Misra-Gries heavy hitters under the gate, via its GUARANTEE (the
+    * q_approx_distinct error-contract discipline): summary content is
+    * partitioning-dependent, but every term with frequency > n/k MUST
+    * be contained — so the gate emits the exact heavy-hitter list
+    * (deterministic SQL on both sides) with a containment boolean the
+    * Spark side computes against the sketch and the oracle states as
+    * `true`. */
+  val heavyHittersQ = Q(
+    "q_heavy_hitters",
+    Some(
+      "WITH t2 AS (SELECT term FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE term <> ''), " +
+        "cnt AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM t2) " +
+        "SELECT term, cnt, true AS in_summary FROM cnt, n " +
+        "WHERE cnt * 30 > n ORDER BY term"),
+    (s, dir) => {
+      val k = 30
+      val toks = Td(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val summary = toks.agg(
+        graft.functions.MisraGriesExpr(xxhash64(col("term")), k).as("s"))
+      val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * k > col("n"))
+        .crossJoin(broadcast(summary))
+        .select(col("term"), col("cnt"),
+          exists(col("s"),
+            e => e.getField("item") === xxhash64(col("term"))).as("in_summary"))
+        .orderBy(col("term"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
-    fuzzyJoinQ, corpusPipeline, noveltyQ)
+    fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ)
 }
