@@ -105,6 +105,10 @@ object Bench {
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
+    // The wide line above can lose its head to log-capture truncation;
+    // repeat the headline numbers on a short final line that always
+    // survives a tail capture.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -154,10 +154,16 @@ object Dedup {
       df.select(col(idCol).as("id"),
         graft.functions.ShingleHashesExpr(
           TextFunctions.normalize(col(textCol)), shingleK).as("hs")))
+    // ceil(t·n) in doubles can overshoot the exact integer grid
+    // (t=0.84, n=50: 42.000000000000004 → ceil 43), shortening the
+    // prefix by one token and silently losing an at-threshold pair —
+    // the same double-rounding hazard as the α filter below, so the
+    // same epsilon-below-the-grid discipline applies.
     def prefixSlice(ord: Column): Column =
       slice(ord, lit(1),
         greatest(lit(1),
-          (size(ord) - ceil(lit(minJaccard) * size(ord)).cast("int") + 1)))
+          (size(ord) -
+            ceil(lit(minJaccard) * size(ord) - lit(1e-9)).cast("int") + 1)))
     // Global rare-first order: (document frequency asc, token asc) —
     // any consistent total order preserves the prefix-filter guarantee;
     // rare-first keeps the inverted-index postings short.
@@ -265,10 +271,13 @@ object Dedup {
       val ord = toks.join(dfreq, Seq("tok"))
         .groupBy(col(as))
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      // Same epsilon guard on ceil(t·n) as ngramJaccardNearDup's
+      // prefixSlice — double rounding must not shorten the prefix.
       ord.select(col(as), size(col("ord")).as(s"n_$as"),
         posexplode(slice(col("ord"), lit(1),
           greatest(lit(1),
-            (size(col("ord")) - ceil(lit(t) * size(col("ord"))).cast("int") + 1)))))
+            (size(col("ord")) -
+              ceil(lit(t) * size(col("ord")) - lit(1e-9)).cast("int") + 1)))))
         .select(col(as), col(s"n_$as"), col("pos").as(s"p_$as"),
           col("col").getField("tok").as("tok"))
     }

@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -36,6 +37,17 @@ case class MisraGriesExpr(
     extends TypedImperativeAggregate[mutable.LongMap[Long]] {
 
   require(k >= 2, "k must be >= 2")
+
+  // update() casts the child value straight to Long, so reject anything
+  // else at analysis time rather than ClassCastException-ing on an
+  // executor (string items are hashed first: misra_gries(xxhash64(c))).
+  // (checkInputDataTypes, not ExpectsInputTypes: AbstractDataType is
+  // private[sql], so the trait's signature can't be written out here.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a BIGINT item (got ${child.dataType.simpleString});" +
+        " hash other types first, e.g. misra_gries(xxhash64(col), k)")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -41,6 +41,10 @@ object NativeVector {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    // A zero-norm side divides by 0.0: Spark's Divide yields NULL there
+    // (and Embeddings maps zero vectors to null), so the kernel must
+    // too — Java double division would produce NaN instead.
+    if (na == 0.0 || nb == 0.0) return null
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 

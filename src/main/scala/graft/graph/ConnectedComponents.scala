@@ -56,25 +56,46 @@ object ConnectedComponents {
       // (1) neighbor-min: min label over self and all neighbors
       val viaNbr = und.join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
         .select(col("a").as("id"), col("lbl"))
-      val m1 = viaNbr.unionByName(lbl)
+      val m1 = viaNbr.unionByName(lbl.select(col("id"), col("lbl")))
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"))
       // (2) pointer doubling: adopt the label of my label (parent's
-      // label <= parent's id = my label, by the label <= id invariant)
+      // label <= parent's id = my label, by the label <= id invariant).
+      // The per-node `changed` flag rides along in the SAME frame, so
+      // the checkpoint action that materializes the round also computes
+      // convergence — reading max(changed) afterwards scans the
+      // checkpointed blocks, no extra join job per round.
       val next = m1.join(
         m1.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"))
         .select(col("id"), col("plbl").as("lbl"))
+        .join(lbl.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed"))
         .localCheckpoint()
-      converged = next.join(lbl.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev"))
-        .isEmpty
+      converged = !next.agg(coalesce(max(col("changed")), lit(false)))
+        .head.getBoolean(0)
+      // `next` is materialized (checkpoint is eager), so the previous
+      // round's blocks are unreachable from here on — free them, or
+      // every round's checkpoint stays in block-manager memory for the
+      // application lifetime.
+      freeCheckpoint(lbl)
       lbl = next
       round += 1
     }
     require(converged, s"did not converge in $maxRounds rounds — " +
       "component diameter exceeds 2^maxRounds or the graph is malformed")
+    freeCheckpoint(und)
     lbl.select(col("id").as(idCol), col("lbl").as("component"))
   }
+
+  /** Drop the block-manager blocks behind a `localCheckpoint`ed frame.
+    * Only call once nothing can recompute from it — a local checkpoint
+    * truncates lineage, so unpersisted blocks are gone for good. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Keeper per component: the smallest id — composes [[run]] into the
     * dedup contract (`keep = doc whose id == its component label`). */

@@ -34,6 +34,10 @@ object EventTimeOps {
     * code constructs it reflectively. */
   final case class SessState(start: Long, last: Long, n: Long)
 
+  /** Open (not yet watermark-expired) sessions of one key, sorted by
+    * start. Public for the same reflective-encoder reason. */
+  final case class OpenSessions(intervals: Seq[SessState])
+
   /** Watermarked tumbling-window counts per user. Append-mode safe:
     * a window emits once its end passes the watermark. */
   def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
@@ -95,10 +99,20 @@ object EventTimeOps {
         col("n_events"))
 
   /** Gap-based streaming sessionization: per user, a session closes
-    * after `gapMinutes` of event-time silence. Closed sessions are
-    * emitted either by a later event arriving past the gap or by the
-    * event-time timeout (watermark passing last+gap) — the latter is
-    * what bounds state for keys that simply stop talking. */
+    * after `gapMinutes` of event-time silence.
+    *
+    * Emission rule — watermark-final, never speculative: a session is
+    * emitted only once the watermark has passed its `end + gap`. Until
+    * then it stays in state, because an admitted event (which by the
+    * watermark contract has `ts >= watermark`) could still land inside
+    * `(end, end + gap]` in a LATER micro-batch and merge into it; once
+    * `end + gap <= watermark`, every future admitted event is past the
+    * gap by construction, so the session can never change again. This
+    * is what makes cross-batch stragglers safe: an event that belongs
+    * to an earlier still-open session merges into it in state instead
+    * of finding it already (wrongly) emitted. State per key is the list
+    * of still-mergeable sessions — bounded by watermark delay / gap + 1,
+    * since older intervals expire as the watermark advances. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -111,44 +125,94 @@ object EventTimeOps {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(close(key, st))
-          } else {
-            // Re-sessionize the open state PLUS the batch as one
+        (key: Long, evs: Iterator[Ev], state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+
+          // Split into watermark-final (emit) and still-open (hold);
+          // re-arm the timeout at the earliest open expiry so idle keys
+          // drain on watermark advance alone.
+          def settle(intervals: Seq[SessState]): Iterator[Session] = {
+            val (expired, open) = intervals.partition(_.last + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(OpenSessions(open))
+              state.setTimeoutTimestamp(open.map(_.last + gapMs).min)
+            }
+            expired.iterator.map(close(key, _))
+          }
+
+          if (state.hasTimedOut) settle(state.get.intervals)
+          else {
+            // Re-sessionize the open intervals PLUS the batch as one
             // sorted interval merge: iterator order is arrival order,
             // and out-of-order (within-watermark) events may precede
-            // the open session — including stragglers that must merge
-            // with EACH OTHER into their own earlier sessions, lower
-            // the open session's start, or extend its end. Sorting by
-            // interval start and folding with the gap rule handles
-            // every case uniformly. All intervals but the last close;
-            // the last stays open as the new state.
+            // any open session — including stragglers that must merge
+            // with EACH OTHER into their own earlier sessions, lower an
+            // open session's start, or bridge two open sessions into
+            // one. Sorting by start and folding with the gap rule
+            // handles every case uniformly.
             val intervals =
-              (state.getOption.map(st => SessState(st.start, st.last, st.n)).toList ++
+              (state.getOption.map(_.intervals).getOrElse(Seq.empty) ++
                 evs.map(e => SessState(e.ts.getTime, e.ts.getTime, 1)))
                 .sortBy(_.start)
-            var closed = List.empty[Session]
-            var cur: Option[SessState] = None
+            var merged = List.empty[SessState]
             intervals.foreach { iv =>
-              cur = cur match {
-                case None => Some(iv)
-                case Some(c) if iv.start - c.last <= gapMs =>
-                  Some(SessState(c.start, math.max(c.last, iv.last), c.n + iv.n))
-                case Some(c) =>
-                  closed ::= close(key, c)
-                  Some(iv)
+              merged = merged match {
+                case c :: rest if iv.start - c.last <= gapMs =>
+                  SessState(c.start, math.max(c.last, iv.last), c.n + iv.n) :: rest
+                case _ => iv :: merged
               }
             }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
-            }
-            closed.reverseIterator
+            settle(merged.reverse)
+          }
+      }
+  }
+
+  /** One timestamped document of a streaming corpus feed. */
+  final case class TDoc(doc_id: Long, content_hash: String,
+                        ts: java.sql.Timestamp)
+
+  /** Retention key for [[streamingExactDedupTtl]]: keeper id + last
+    * time the hash was seen. Public for the reflective encoder. */
+  final case class SeenState(keeper: Long, lastSeen: Long)
+
+  /** TTL-bounded streaming dedup: exact WITHIN the retention window.
+    * Like [[streamingExactDedup]] but state for a content hash is
+    * evicted once the watermark passes `lastSeen + ttl` — so state is
+    * bounded by the distinct-hash arrival rate × TTL instead of the
+    * whole corpus history. The honest trade: a duplicate arriving
+    * after its hash expired is re-admitted as if new (asserted in the
+    * spec). Deploy with the TTL at the contamination horizon you care
+    * about; use [[streamingExactDedup]] (with a RocksDB state store)
+    * when the guarantee must span the full corpus. */
+  def streamingExactDedupTtl(docs: Dataset[TDoc], ttlMinutes: Int,
+                             watermarkDelay: String = "10 minutes"): Dataset[TDoc] = {
+    import docs.sparkSession.implicits._
+    val ttlMs = ttlMinutes * 60L * 1000L
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[SeenState, TDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hash: String, ds: Iterator[TDoc], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = ds.toSeq
+            val newest = batch.map(_.ts.getTime).max
+            val out =
+              if (state.exists) Iterator.empty[TDoc]
+              else Iterator.single(batch.minBy(_.doc_id))
+            val last = math.max(newest,
+              state.getOption.map(_.lastSeen).getOrElse(Long.MinValue))
+            state.update(SeenState(
+              state.getOption.map(_.keeper).getOrElse(batch.minBy(_.doc_id).doc_id),
+              last))
+            // newest >= watermark for admitted rows, so last + ttl is
+            // always a legal (future-of-watermark) timeout.
+            state.setTimeoutTimestamp(last + ttlMs)
+            out
           }
       }
   }

@@ -119,22 +119,56 @@ object TemporalJoins {
     * (end < start) match nothing and are dropped up front. Columns must
     * not collide — alias the inputs before calling. Times must be
     * non-negative (µs epochs are), so truncating division == floor.
+    *
+    * Fan-out is guarded: one interval spanning more than
+    * `maxBucketsPerInterval` buckets (a whole-axis interval against a
+    * fine bucket) fails the job with a diagnostic instead of silently
+    * exploding into millions of rows — the error is raised inside the
+    * scan, before any explode output exists.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTime: String, startCol: String, endCol: String,
-                bucketUs: Long): DataFrame = {
+                bucketUs: Long,
+                maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     // Double division then truncate: IEEE rounding and truncation are
     // both monotonic, and routing only needs bucketOf(a) <= bucketOf(t)
     // <= bucketOf(b) for a <= t <= b — exact membership is decided by
     // the containment filter, never by the bucket id.
     def bucketOf(c: Column): Column = (c.cast("long") / bucketUs).cast("long")
+    val fan = bucketOf(col(endCol)) - bucketOf(col(startCol)) + 1
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
+      // filter (not a pruneable projection) so the guard always runs
+      .filter(when(fan > maxBucketsPerInterval,
+        raise_error(concat(
+          lit("rangeJoin: an interval spans "), fan.cast("string"),
+          lit(s" buckets of $bucketUs — over the $maxBucketsPerInterval" +
+            " fan-out guard; widen bucketUs, split the interval, or raise" +
+            " maxBucketsPerInterval"))))
+        .otherwise(lit(true)))
       .withColumn("__b", explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     val pt = points.withColumn("__b", bucketOf(col(pointTime)))
     pt.join(iv, Seq("__b"))
       .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
       .drop("__b")
+  }
+
+  /** [[rangeJoin]] with `bucketUs` derived from the data: the median
+    * interval length (via `approxQuantile` — one extra bounded job over
+    * the intervals side), which keeps per-interval fan-out ~2 while the
+    * candidate set stays near the true result size. Use the explicit
+    * overload when the interval-length distribution is known or wildly
+    * skewed. */
+  def rangeJoinAuto(points: DataFrame, intervals: DataFrame,
+                    pointTime: String, startCol: String, endCol: String,
+                    maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
+    val lens = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select((col(endCol).cast("long") - col(startCol).cast("long")).as("len"))
+    val median = lens.stat.approxQuantile("len", Array(0.5), 0.01)
+      .headOption.map(_.toLong).getOrElse(1L)
+    rangeJoin(points, intervals, pointTime, startCol, endCol,
+      bucketUs = math.max(1L, median), maxBucketsPerInterval)
   }
 }

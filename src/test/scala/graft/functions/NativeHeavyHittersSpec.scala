@@ -44,6 +44,13 @@ class NativeHeavyHittersSpec extends SparkSuite {
     }
   }
 
+  test("non-long input is rejected at analysis time, not on an executor") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("a", "b").toDF("v").agg(MisraGriesExpr(col("v"), 5)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("summary presentation is weight desc then item asc") {
     val data = Seq.fill(100)(1L) ++ Seq.fill(100)(2L) ++ Seq.fill(5)(3L)
     val got = data.toDF("v").agg(MisraGriesExpr(col("v"), 5).as("s"))

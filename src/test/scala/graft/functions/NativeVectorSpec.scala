@@ -83,6 +83,13 @@ class NativeVectorSpec extends SparkSuite {
       .select(array(lit(1.0f), lit(null).cast("float")).as("a"),
         array(lit(1.0f), lit(2.0f)).as("b"))
     assert(withNullElem.select(CosineSimExpr(col("a"), col("b"))).head().isNullAt(0))
+    // zero-norm vector: Spark's Divide yields NULL on a 0.0 divisor, so
+    // the kernel must too (not Java's NaN)
+    val zeroNorm = Seq(1L).toDF("id")
+      .select(array(lit(0.0f), lit(0.0f)).as("a"),
+        array(lit(1.0f), lit(2.0f)).as("b"))
+    assert(zeroNorm.select(CosineSimExpr(col("a"), col("b"))).head().isNullAt(0))
+    assert(zeroNorm.select(CosineSimExpr(col("b"), col("a"))).head().isNullAt(0))
   }
 
   test("kernels run inside whole-stage codegen (no fallback)") {

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSuite
-import EventTimeOps.{Doc, Ev, Session}
+import EventTimeOps.{Doc, Ev, Session, TDoc}
 
 /** Event-time semantics under MemoryStream: watermarked window
   * emission, late-event dropping, and timeout-closed sessions. */
@@ -55,11 +55,13 @@ class EventTimeOpsSpec extends SparkSuite {
       // session 1: two events 5 min apart
       input.addData(Ev(1, ts("10:00")), Ev(1, ts("10:05")))
       q.processAllAvailable()
-      // 12:00 is > 30 min after 10:05 → closes session 1 inline
+      // 12:00 is > 30 min after 10:05 → session 1 can only merge with
+      // events in (10:05, 10:35], so once the watermark passes 10:35 it
+      // is final; this batch also advances wm to 11:50 for the next one
       input.addData(Ev(1, ts("12:00")))
       q.processAllAvailable()
-      // push the watermark past 12:00 + 30 min so session 2 times out:
-      // wm after this batch = 13:30 - 10 min = 13:20
+      // wm 11:50 > 10:35 → session 1 emitted via timeout; wm after this
+      // batch = 13:30 - 10 min = 13:20 > 12:30 so session 2 expires next
       input.addData(Ev(2, ts("13:30")))
       q.processAllAvailable()
       input.addData(Ev(2, ts("13:31")))
@@ -90,11 +92,15 @@ class EventTimeOpsSpec extends SparkSuite {
       q.processAllAvailable()
       // 10:55 precedes the open session's start but is within the gap →
       // merges AND lowers session_start; 10:00 is > gap older than the
-      // (lowered) start → its own already-closed singleton session
+      // (lowered) start → its own singleton session
       input.addData(Ev(1, ts("10:55")), Ev(1, ts("10:00")))
       q.processAllAvailable()
-      // a far-future event closes the open session inline
+      // advance the watermark (to 12:00, then past it) so both early
+      // sessions become final and emit — emission is watermark-driven,
+      // never inline-speculative
       input.addData(Ev(1, ts("14:00")))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("16:00")))
       q.processAllAvailable()
       val out = spark.table("sess_ooo").as[Session].collect()
         .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
@@ -121,10 +127,79 @@ class EventTimeOpsSpec extends SparkSuite {
       q.processAllAvailable()
       input.addData(Ev(1, ts("15:00")))
       q.processAllAvailable()
+      // wm is now 13:00 — past both early sessions' end+gap → they emit
+      input.addData(Ev(1, ts("17:00")))
+      q.processAllAvailable()
       val out = spark.table("sess_two_stragglers").as[Session].collect()
         .filter(_.user_id == 1L).toSet
       assert(out.contains(Session(1L, ts("10:00"), ts("10:01"), 2)))
       assert(out.contains(Session(1L, ts("11:30"), ts("11:30"), 1)))
+    } finally q.stop()
+  }
+
+  test("a cross-batch straggler merges into a still-open earlier session " +
+    "instead of splitting it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventTimeOps.sessionize(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_cross_batch")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("10:00")))
+      q.processAllAvailable()
+      // a newer event — a speculative engine would close [10:00] here
+      // even though the watermark (8:00 → 10:00) hasn't passed 10:30
+      input.addData(Ev(1, ts("12:00")))
+      q.processAllAvailable()
+      // the straggler: within the gap of 10:00 and within the watermark
+      // → must EXTEND that session, not become its own split/overlap row
+      input.addData(Ev(1, ts("10:20")))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("15:00")))
+      q.processAllAvailable()
+      // wm now 13:00 — both early sessions final
+      input.addData(Ev(1, ts("18:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_cross_batch").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(out.contains(Session(1L, ts("10:00"), ts("10:20"), 2)))
+      assert(out.contains(Session(1L, ts("12:00"), ts("12:00"), 1)))
+      // no split: the straggler never appears as a session of its own
+      assert(!out.exists(se => se.session_start == ts("10:20")))
+    } finally q.stop()
+  }
+
+  test("TTL dedup evicts state past lastSeen+ttl and re-admits the hash") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[TDoc]
+    val q = EventTimeOps.streamingExactDedupTtl(input.toDS(),
+      ttlMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(TDoc(1L, "h", ts("10:00")))
+      q.processAllAvailable()
+      // duplicate within the TTL → suppressed, and it SLIDES the TTL
+      // (lastSeen 10:00 → 10:10, so expiry moves to 10:40)
+      input.addData(TDoc(2L, "h", ts("10:10")))
+      q.processAllAvailable()
+      // advance the watermark to 11:50 (> 10:40) → "h" state evicted
+      input.addData(TDoc(9L, "x", ts("12:00")))
+      q.processAllAvailable()
+      input.addData(TDoc(10L, "y", ts("12:01")))
+      q.processAllAvailable()
+      // beyond the retention window the same hash is re-admitted as new
+      input.addData(TDoc(3L, "h", ts("12:05")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_ttl").as[TDoc].collect().map(_.doc_id).toSet
+      assert(out == Set(1L, 9L, 10L, 3L))
     } finally q.stop()
   }
 

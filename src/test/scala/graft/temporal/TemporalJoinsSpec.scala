@@ -91,6 +91,33 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(got === brute)
   }
 
+  test("rangeJoin fails fast on a whole-axis interval instead of exploding") {
+    val intervals = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iv_id", "s", "e")
+    val points = Seq((1L, 5L)).toDF("p_id", "t")
+    val err = intercept[Exception] {
+      TemporalJoins.rangeJoin(points, intervals, "t", "s", "e",
+        bucketUs = 1L, maxBucketsPerInterval = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("fan-out guard")), s"got: $err")
+  }
+
+  test("rangeJoinAuto derives a workable bucket from the interval lengths") {
+    val r = new scala.util.Random(11)
+    val points = Seq.tabulate(200)(i => (i.toLong, r.nextInt(10000).toLong))
+      .toDF("p_id", "t")
+    val intervals = Seq.tabulate(40) { i =>
+      val s = r.nextInt(9000).toLong; (i.toLong, s, s + 100 + r.nextInt(900))
+    }.toDF("iv_id", "s", "e")
+    val brute = points.crossJoin(intervals)
+      .filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"p_id", $"iv_id").as[(Long, Long)].collect().toSet
+    val got = TemporalJoins.rangeJoinAuto(points, intervals, "t", "s", "e")
+      .select($"p_id", $"iv_id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+  }
+
   test("rangeJoin agrees with a brute-force theta join on random data") {
     val r = new scala.util.Random(7)
     val points = Seq.tabulate(200)(i => (i.toLong, r.nextInt(10000).toLong))
