@@ -1,37 +1,139 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+/** Multimodal-column processing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample stages a training pipeline hangs off them.
   *
-  * The decode step is a clearly-marked STUB — media codecs are not in
-  * this container — producing a *deterministic* fake feature vector
-  * derived from the bytes. Everything around it is real Spark plumbing:
-  * the binary schema, the typed `mapPartitions` batch shape (the Scala
-  * analogue of an Arrow-batched pandas UDF: one iterator per partition,
-  * constant memory, no driver collect), and the frame-sampling
-  * expression path.
+  * Decodes are REAL, via codecs the JVM ships: `javax.imageio`
+  * (PNG/JPEG/BMP/GIF) for images and `javax.sound.sampled` (WAV/PCM,
+  * AIFF, AU) for audio — no external dependency. Formats the JDK has no
+  * codec for (video containers, MP3/FLAC) fall back to a deterministic
+  * byte-hash feature vector, clearly reported as such via the `decoded`
+  * flag. All stages are one `mapPartitions` pass, batch-shaped like an
+  * Arrow UDF (iterator in, iterator out — constant memory, no driver
+  * collect, embarrassingly parallel: at 100 TB this scales with
+  * partition count and shuffles nothing).
   */
 object Multimodal {
 
   /** One media asset: payload + typed metadata. */
   final case class MediaRow(id: Long, media: Array[Byte], mime: String)
 
-  /** Stub decode output: per-asset fixed-width feature vector. */
+  /** Per-asset feature summary: byte stats always; `features` comes
+    * from the real decode when a JVM codec handled the payload
+    * (`decoded = true`), else from the deterministic byte-hash
+    * fallback. */
   final case class MediaFeatures(
-      id: Long, n_bytes: Int, header: String, features: Array[Float])
+      id: Long, n_bytes: Int, header: String, decoded: Boolean,
+      features: Array[Float])
+
+  /** A decoded raster image: dimensions, channel means, and the
+    * per-column luminance profile (mean of (r+g+b)/3 down each pixel
+    * column) — a compact, alignment-sensitive feature vector. */
+  final case class DecodedImage(
+      id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      col_luma: Array[Double])
+
+  /** Decoded PCM audio: format header fields plus amplitude stats over
+    * the first channel. */
+  final case class DecodedAudio(
+      id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      mean_abs: Double, peak_abs: Long)
 
   val FeatureDim = 16
 
-  /** STUB decoder: stands in for a real image/audio decode + model
-    * forward pass. Deterministic in the bytes (rolling polynomial hash
-    * per stripe) so tests and re-runs are stable. Swap the body for a
-    * real codec + encoder when available; the partition-iterator shape
-    * — the part that matters for Spark — stays identical. */
-  def stubDecode(bytes: Array[Byte]): Array[Float] = {
+  // ImageIO's default path spills decode scratch to disk files; media
+  // payloads here are in-memory byte arrays, so keep scratch on-heap.
+  ImageIO.setUseCache(false)
+
+  /** Decode one image payload; None when no installed reader claims the
+    * bytes (wrong magic, truncated stream, unsupported format). */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { bi =>
+      val w = bi.getWidth; val h = bi.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val colLuma = new Array[Double](w)
+      var x = 0
+      while (x < w) {
+        var col = 0.0
+        var y = 0
+        while (y < h) {
+          val rgb = bi.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          col += (r + g + b) / 3.0
+          y += 1
+        }
+        colLuma(x) = col / h
+        x += 1
+      }
+      val n = w.toDouble * h
+      DecodedImage(id, w, h, sr / n, sg / n, sb / n, colLuma)
+    }
+  }
+
+  /** Decode one audio payload (any format `javax.sound` has a provider
+    * for — WAV/PCM, AIFF, AU); None when unreadable. Amplitude stats
+    * are over channel 0 of 16-bit signed PCM frames. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val frameBytes = fmt.getFrameSize
+          val buf = ais.readAllBytes()
+          val n = buf.length / frameBytes
+          var sumAbs = 0.0; var peak = 0L
+          var i = 0
+          while (i < n) {
+            val off = i * frameBytes // channel 0 is first in the frame
+            val s =
+              if (fmt.isBigEndian) ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+              else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+            val a = math.abs(s.toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          Some(DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+            if (n == 0) 0.0 else sumAbs / n, peak))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Image decode over the media column: one `mapPartitions` pass;
+    * undecodable payloads are dropped (use [[extractFeatures]] when
+    * every row must survive with fallback features). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => decodeImage(r.id, r.media)))
+  }
+
+  /** Audio decode over the media column — same shape as
+    * [[decodeImages]]. */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => decodeAudio(r.id, r.media)))
+  }
+
+  /** Deterministic byte-hash fallback features (rolling polynomial hash
+    * per stripe) for payloads no JVM codec decodes — stable across runs
+    * so downstream join/dedup tests remain reproducible. */
+  def byteHashFeatures(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -42,15 +144,41 @@ object Multimodal {
     acc.map(v => (v % 1000003L).toFloat / 1000003f)
   }
 
-  /** Feature extraction over the media column: one `mapPartitions` pass,
-    * batch-shaped like an Arrow UDF (iterator in, iterator out — no
-    * materialization of the partition). */
+  /** Feature extraction over a mixed-modality media column: real decode
+    * per mime family where the JVM has a codec, byte-hash fallback
+    * elsewhere — every input row yields exactly one output row. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val header = r.media.take(4).map(b => f"${b & 0xff}%02x").mkString
-        MediaFeatures(r.id, r.media.length, header, stubDecode(r.media))
+        val real: Option[Array[Float]] =
+          if (r.mime.startsWith("image/"))
+            decodeImage(r.id, r.media).map { d =>
+              val f = new Array[Float](FeatureDim)
+              f(0) = d.width.toFloat; f(1) = d.height.toFloat
+              f(2) = d.mean_r.toFloat; f(3) = d.mean_g.toFloat
+              f(4) = d.mean_b.toFloat
+              var i = 5
+              while (i < FeatureDim) {
+                // downsample the column profile into the remaining slots
+                val at = (i - 5) * d.col_luma.length / (FeatureDim - 5)
+                f(i) = (d.col_luma(at) / 255.0).toFloat
+                i += 1
+              }
+              f
+            }
+          else if (r.mime.startsWith("audio/"))
+            decodeAudio(r.id, r.media).map { d =>
+              val f = new Array[Float](FeatureDim)
+              f(0) = d.sample_rate.toFloat; f(1) = d.channels.toFloat
+              f(2) = d.n_samples.toFloat; f(3) = (d.mean_abs / 32768.0).toFloat
+              f(4) = (d.peak_abs / 32768.0).toFloat
+              f
+            }
+          else None
+        MediaFeatures(r.id, r.media.length, header, real.isDefined,
+          real.getOrElse(byteHashFeatures(r.media)))
       }
     }
   }
@@ -65,5 +193,61 @@ object Multimodal {
       transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
         i => col(mediaCol).substr(lit(1) + i * stride, lit(frameLen))))
       .withColumn("n_frames", size(col("frames")))
+  }
+}
+
+/** Deterministic media synthesis — the fixture generator for gating the
+  * real decodes against a closed-form oracle: every pixel/sample is an
+  * integer function of the id, so DuckDB can restate the decoded
+  * dimensions and means without any codec. PNG and 16-bit PCM WAV are
+  * both lossless, so the decode must reproduce the formulas EXACTLY. */
+object MediaSynth {
+
+  /** Two-tone PNG: even width `8 + 2*(id%13)`, height `8 + (id*7)%25`;
+    * left half solid gray `(id*31)%256`, right half `(id*57)%256`.
+    * Left/right means then equal the two grays, which also pins pixel
+    * PLACEMENT (a decoder that transposed or mirrored would swap
+    * them). */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + 2 * (id % 13)).toInt
+    val h = (8 + (id * 7) % 25).toInt
+    val a = ((id * 31) % 256).toInt
+    val b = ((id * 57) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) a else b
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Alternating-sign square wave as mono 16-bit PCM WAV at 8 kHz:
+    * `160 + id%100` samples of amplitude `1000 + (id%1000)*10` — so
+    * mean |sample| and peak both equal the amplitude exactly. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (160 + id % 100).toInt
+    val amp = (1000 + (id % 1000) * 10).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte // little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 }

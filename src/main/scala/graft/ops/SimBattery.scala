@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaSynth, Multimodal}
 import graft.sim.Similarity
 
 /** Similarity-search and multimodal operator families over the
@@ -172,6 +172,71 @@ object SimBattery {
     }
   )
 
+  /** Real image decode under the gate: one deterministic two-tone PNG
+    * per document (every pixel an integer function of doc_id,
+    * [[graft.multimodal.MediaSynth.synthPng]]) is synthesized, encoded,
+    * and decoded back through `javax.imageio` in one mapPartitions pass
+    * — no shuffle, no driver collect. PNG is lossless, so DuckDB can
+    * restate the decoded width/height and the left-half / right-half /
+    * overall pixel means in closed form from doc_id alone; a decoder
+    * that misread dimensions, channels, or pixel PLACEMENT (transpose,
+    * mirror, channel swap) breaks a column. */
+  val multimodalDecode = Q(
+    "q_multimodal_decode",
+    Some(
+      "SELECT doc_id, 8 + 2 * (doc_id % 13) AS width, " +
+        "8 + (doc_id * 7) % 25 AS height, " +
+        "CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_left, " +
+        "CAST((doc_id * 57) % 256 AS DOUBLE) AS mean_right, " +
+        "CAST((doc_id * 31) % 256 + (doc_id * 57) % 256 AS DOUBLE) / 2 AS mean_luma " +
+        "FROM documents ORDER BY doc_id"),
+    (s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, MediaSynth.synthPng(id), "image/png")))
+      val half = (col("width") / 2).cast("int")
+      def arrMean(a: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x) / n
+      Multimodal.decodeImages(media)
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          arrMean(slice(col("col_luma"), lit(1), half), half).as("mean_left"),
+          arrMean(slice(col("col_luma"), half + 1, half), half).as("mean_right"),
+          arrMean(col("col_luma"), col("width")).as("mean_luma"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Real audio decode under the gate: a deterministic square-wave WAV
+    * per document ([[graft.multimodal.MediaSynth.synthWav]]) decoded
+    * back through `javax.sound.sampled`; 16-bit PCM is exact, so header
+    * fields and amplitude stats have closed forms in doc_id. */
+  val audioDecode = Q(
+    "q_audio_decode",
+    Some(
+      "SELECT doc_id, 8000 AS sample_rate, 1 AS channels, " +
+        "160 + doc_id % 100 AS n_samples, " +
+        "CAST(1000 + (doc_id % 1000) * 10 AS DOUBLE) AS mean_abs, " +
+        "1000 + (doc_id % 1000) * 10 AS peak_abs " +
+        "FROM documents ORDER BY doc_id"),
+    (s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, MediaSynth.synthWav(id), "audio/wav")))
+      Multimodal.decodeAudios(media)
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("int").as("sample_rate"),
+          col("channels").cast("int").as("channels"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("mean_abs"),
+          col("peak_abs").cast("long").as("peak_abs"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
-    annIvf, embedQuantize)
+    annIvf, embedQuantize, multimodalDecode, audioDecode)
 }
