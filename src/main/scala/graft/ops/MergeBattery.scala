@@ -130,5 +130,56 @@ object MergeBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert)
+  /** The reference's central semantic axis — incremental sync — in its
+    * STREAMING form, end-to-end: a full snapshot seeds a
+    * bucket-partitioned parquet target, three disjoint date slices of
+    * orders replay as three micro-batches (file source,
+    * `maxFilesPerTrigger = 1`) through `StreamingSync.syncTable` →
+    * `foreachBatch` → `Upsert.mergeAndWrite`, and the final on-disk
+    * table is returned. Per-key last-writer-wins makes N sequential
+    * merges ≡ one merge of the union (slices are disjoint, so batch
+    * ORDER cannot matter either) — which is the closed form the oracle
+    * states. Everything is freshly-created temp dirs per invocation, so
+    * the query is idempotent under bench repetition. */
+  val streamSync = Q(
+    "q_stream_sync",
+    Some(
+      "SELECT o_orderkey AS id, o_orderstatus AS status, 'old' AS src FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01' " +
+        "UNION ALL " +
+        "SELECT o_orderkey, 'X', 'staged' FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' ORDER BY 1"),
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sync")
+        .toString
+      val feed = s"$base/feed"; val target = s"$base/orders_pk"
+      val o = Td(s, dir, "orders")
+      def staged(lo: String, hi: String) = o
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select(col("o_orderkey").as("id"), lit("X").as("status"),
+          lit("staged").as("src"))
+      // seed: the full table as the pre-sync snapshot
+      Upsert.mergeAndWrite(s, target,
+        o.select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          lit("old").as("src")),
+        ordersPk, fullSync = true, numBuckets = 16)
+      // the feed: one parquet file per slice → one micro-batch each
+      // testdata orderdates span 1995..2001 — the last slice's upper
+      // bound must cover the tail or those orders silently stay 'old'
+      Seq("1997-01-01" -> "1997-09-01", "1997-09-01" -> "1999-01-01",
+        "1999-01-01" -> "2002-01-01").foreach { case (lo, hi) =>
+        staged(lo, hi).coalesce(1).write.mode("append").parquet(feed)
+      }
+      val q = graft.streaming.StreamingSync.syncTable(
+        s.readStream.schema(staged("1997-01-01", "1997-05-01").schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed),
+        target, s"$base/ckpt", ordersPk, numBuckets = 16)
+      q.awaitTermination()
+      s.read.parquet(target).drop(Upsert.BucketCol).orderBy(col("id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert,
+    streamSync)
 }

@@ -47,6 +47,28 @@ object StreamingSync {
       }
       .start()
 
+  /** Single-table continuous sync: each micro-batch of already-staged
+    * rows is one incremental merge into the bucket-partitioned parquet
+    * target ([[Upsert.mergeAndWrite]]) — the streaming form of the
+    * reference's incremental run (2_database_load.ts:186-223), with the
+    * checkpoint supplying exactly-once batch tracking. Because each
+    * merge is per-key last-writer-wins, N sequential micro-batch merges
+    * end in the same state as ONE merge of the union's latest versions
+    * — the closed form the `q_stream_sync` oracle states. */
+  def syncTable(rows: DataFrame, targetPath: String, checkpointDir: String,
+                spec: TableSpec, numBuckets: Int = 64,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist() // read twice: touched-bucket scan + merge
+        try Upsert.mergeAndWrite(batch.sparkSession, targetPath, cached, spec,
+          fullSync = false, numBuckets)
+        finally cached.unpersist()
+      }
+      .start()
+
   /** Directory-feed variant: new quad-parquet files appearing under
     * `sourceDir` stream in, `maxFilesPerTrigger` bounds batch size. */
   def fromParquetDir(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
