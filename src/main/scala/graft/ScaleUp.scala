@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for bench runs above the driver-provided
+  * testdata: replicates the FACT tables `factor`× with key offsets
+  * (dimension tables stay fixed — dims don't grow with fact data),
+  * preserving the workload's *density* characteristics:
+  *
+  *  - keys are offset per copy so join fan-ins scale linearly;
+  *  - document texts are stride-permuted per copy (distinct odd stride
+  *    per copy, word multiset preserved) so shingle-based near-dup
+  *    density stays ~linear — verbatim copies would instead form
+  *    10-clone cliques and grow pair outputs quadratically, measuring a
+  *    different (artificially adversarial) workload;
+  *  - embeddings are cyclically rotated per copy — random-vector
+  *    rotations are near-orthogonal, so ANN neighborhood sizes scale
+  *    linearly too.
+  *
+  * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> <factor>`.
+  */
+object ScaleUp {
+
+  /** Distinct odd strides per copy; copy 0 is the identity. */
+  private val strides =
+    Array(1, 3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
+
+  private def copies(df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(
+      spark(df).range(factor.toLong).select(col("id").cast("int").as("__k")))
+
+  private def spark(df: DataFrame) = df.sparkSession
+
+  private def off(key: Column, k: Column, stride: Long): Column =
+    key + k.cast("long") * stride
+
+  /** Pseudo-permute the words of `text` with the copy's stride (word j
+    * of the output is word (j*p mod n) of the input — not a bijection
+    * when gcd(p, n) > 1, irrelevant for benching) AND tag every 5th
+    * word with the copy index. The permutation destroys cross-copy
+    * shingle adjacency; the tagging grows the shingle VOCABULARY with
+    * the corpus (Heaps-law-like), keeping per-shingle posting lengths
+    * ~flat. Without it the scaled corpus reuses one small shingle
+    * vocabulary, posting lists grow ∝ corpus, and any posting-driven
+    * join (set-similarity candidates ∝ Σ|posting|²) measures a
+    * quadratic blowup that says nothing about real-corpus scaling. */
+  private def permuteText(text: Column, k: Column): Column = {
+    val w = split(text, " ")
+    val p = element_at(lit(strides), k + 1).cast("long")
+    when(k === 0 || size(w) <= 1, text).otherwise(
+      array_join(
+        transform(sequence(lit(0L), size(w).cast("long") - 1L),
+          j => {
+            val word = element_at(w,
+              (pmod(j * p, size(w).cast("long")) + 1L).cast("int"))
+            when(pmod(j, lit(5L)) === 0, concat(word, lit("~"), k))
+              .otherwise(word)
+          }),
+        " "))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1 && factor <= strides.length, s"factor 1..${strides.length}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    def rd(t: String) = s.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // key strides: larger than any source key so copies never collide —
+    // documents/embeddings use 1e8, clear of the +1e6 planted-dup id
+    // offset some batteries add (a collision would alias two distinct
+    // docs under one id and corrupt per-id set sizes downstream)
+    val C = 10000000L; val O = 100000000L; val D = 100000000L; val E = 100000000L
+
+    val k = col("__k")
+    wr(copies(rd("customer"), factor).select(
+      off(col("c_custkey"), k, C).as("c_custkey"),
+      when(k === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit(" x"), k)).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", factor * 2)
+
+    wr(copies(rd("orders"), factor).select(
+      off(col("o_orderkey"), k, O).as("o_orderkey"),
+      off(col("o_custkey"), k, C).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")),
+      "orders", factor * 4)
+
+    wr(copies(rd("lineitem"), factor).select(
+      off(col("l_orderkey"), k, O).as("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate")),
+      "lineitem", factor * 8)
+
+    wr(copies(rd("documents"), factor).select(
+      off(col("doc_id"), k, D).as("doc_id"),
+      permuteText(col("text"), k).as("text"),
+      col("lang"), col("source"), col("n_chars")),
+      "documents", factor * 2)
+
+    wr(copies(rd("embeddings"), factor).select(
+      off(col("vec_id"), k, E).as("vec_id"),
+      when(k === 0, col("embedding")).otherwise(
+        concat(slice(col("embedding"), k + 1, size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), k))).as("embedding"),
+      col("label")),
+      "embeddings", factor * 2)
+
+    // events: a stream fact — offset ids, keep the time axis
+    wr(copies(rd("events"), factor).select(
+      off(col("event_id"), k, 100000000L).as("event_id"),
+      col("ts"),
+      off(col("user_id"), k, 1000000L).as("user_id"),
+      col("event_type"), col("value"), col("props")),
+      "events", factor * 4)
+
+    // dimension tables ride along unchanged
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      wr(rd(t), t, 1)
+    }
+    s.stop()
+  }
+}

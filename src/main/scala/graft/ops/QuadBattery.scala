@@ -390,9 +390,22 @@ object QuadBattery {
         "CAST(NULL AS VARCHAR) AS schema_maintainer, " +
         "'samenvatting ' || o_orderpriority AS schema_abstract, " +
         "strftime(o_orderdate, '%Y-%m-%d') AS schema_date_created, " +
+        "strftime(o_orderdate, '%Y') || '-01-01' AS ha_des_min_date_created, " +
+        "strftime(o_orderdate, '%Y') || '-12-31' AS ha_des_max_date_created, " +
         "CAST(NULL AS VARCHAR) AS schema_date_published, " +
+        "CAST(NULL AS VARCHAR) AS ha_des_min_date_published, " +
+        "CAST(NULL AS VARCHAR) AS ha_des_max_date_published, " +
         "CAST(NULL AS VARCHAR) AS dcterms_available, " +
+        "'rights-' || o_orderstatus AS dcterms_rights, " +
+        "o_orderpriority AS ebucore_has_object_type, " +
+        "'cast-' || CAST(o_custkey AS VARCHAR) AS ebucore_has_cast_member, " +
+        "'syn ' || o_orderpriority AS ebucore_synopsis, " +
+        "strftime(o_orderdate, '%Y') AS schema_copyright_year, " +
         "CAST(NULL AS VARCHAR) AS schema_copyright_notice, " +
+        "'credit ' || o_orderstatus AS schema_credit_text, " +
+        "CAST(NULL AS VARCHAR) AS schema_issue_number, " +
+        "CAST(NULL AS VARCHAR) AS schema_position, " +
+        "CAST(NULL AS VARCHAR) AS bibframe_edition, " +
         "'urn:col/' || CAST(o_custkey AS VARCHAR) AS relation_is_part_of, " +
         "(o_orderstatus = 'O') AS has_open_captions, " +
         "o_orderpriority AS schema_spatial, " +
@@ -422,6 +435,28 @@ object QuadBattery {
         q(lit(EV.Abstract), concat(lit("samenvatting "), col("o_orderpriority")), lit("nl"))
           .withField("subject", e),
         q(lit(EV.Abstract), concat(lit("EN "), col("o_orderpriority")), lit("en"))
+          .withField("subject", e),
+        // en-only description: the nl filter must leave the column NULL
+        q(lit(EV.Description), concat(lit("EN desc "), col("o_orderpriority")), lit("en"))
+          .withField("subject", e),
+        // audit-added scalar families (av-audio.sparql:262-274,303-311)
+        q(lit(EV.DctRights), concat(lit("rights-"), col("o_orderstatus")), noLang)
+          .withField("subject", e),
+        q(lit(EV.HasObjectType), col("o_orderpriority"), noLang)
+          .withField("subject", e),
+        q(lit(EV.HasCastMember), concat(lit("cast-"), col("o_custkey")), noLang)
+          .withField("subject", e),
+        q(lit(EV.Synopsis), concat(lit("syn "), col("o_orderpriority")), noLang)
+          .withField("subject", e),
+        q(lit(EV.CopyrightYear), date_format(col("o_orderdate"), "yyyy"), noLang)
+          .withField("subject", e),
+        q(lit(EV.CreditText), concat(lit("credit "), col("o_orderstatus")), noLang)
+          .withField("subject", e),
+        q(lit(EV.MinDateCreated),
+          concat(date_format(col("o_orderdate"), "yyyy"), lit("-01-01")), noLang)
+          .withField("subject", e),
+        q(lit(EV.MaxDateCreated),
+          concat(date_format(col("o_orderdate"), "yyyy"), lit("-12-31")), noLang)
           .withField("subject", e),
         q(lit(EV.DateCreated), date_format(col("o_orderdate"), "yyyy-MM-dd"), noLang)
           .withField("subject", e),
@@ -463,6 +498,237 @@ object QuadBattery {
         .join(one("graph.schema_temporal", "schema_temporal"), Seq("id"), "left")
         .join(one("graph.schema_copyright_holder", "schema_copyright_holder"),
           Seq("id"), "left")
+        .orderBy(col("id"))
+    }
+  )
+
+  /** The audit-added UNION families end to end (av-audio.sparql
+    * :328-453 roles/things, collection, carrier, coloring; :457-520 rep
+    * + file extras): orders melt into one quad feed exercising every
+    * family — VALUES-typed collections with season numbers, the
+    * carrier's thesauri-hopped medium and production method, the
+    * height quantity node, the EXISTS captioning flag, the inverse
+    * digitization-event hop, rep fragment scalars, file storedAt/value
+    * and thumbnails, role names and thing rows — and the final frame
+    * joins one row per entity across all family tables. DuckDB
+    * restates every column in closed form from orders, so a wrong hop
+    * direction, a lost lang filter, or a duplicated link row flips the
+    * hash. */
+  val entityFamilies = Q(
+    "q_entity_families",
+    Some(
+      "SELECT 'urn:e/' || CAST(o_orderkey AS VARCHAR) AS id, " +
+        "'urn:col/' || CAST(o_custkey AS VARCHAR) AS collection_id, " +
+        "CASE WHEN o_custkey % 2 = 0 THEN 'episode' ELSE 'archive' END AS collection_type, " +
+        "'Collection ' || CAST(o_custkey AS VARCHAR) AS collection_name, " +
+        "CASE WHEN o_custkey % 2 = 0 THEN CAST(o_custkey % 12 AS VARCHAR) END AS schema_season_number, " +
+        "'urn:super/' || CAST(o_custkey % 5 AS VARCHAR) AS collection_parent, " +
+        "'urn:pc/' || CAST(o_orderkey AS VARCHAR) AS carrier_id, " +
+        "'Carrier ' || CAST(o_orderkey AS VARCHAR) AS carrier_name, " +
+        "'medium-' || o_orderstatus AS premis_medium, " +
+        "(o_orderstatus = 'O') AS ebucore_has_captioning, " +
+        "'pm-' || o_orderpriority AS bibframe_production_method, " +
+        "CAST(o_orderkey AS VARCHAR) AS carrier_identifier, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN 'mat-' || o_orderstatus END AS schema_material, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'ext-' || o_orderstatus END AS schema_material_extent, " +
+        "CAST(o_orderkey % 50 AS VARCHAR) || ' cm' AS schema_height, " +
+        "CASE WHEN o_orderstatus = 'O' THEN strftime(o_orderdate, '%Y-%m-%d') END AS digitization_date, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'color-' || o_orderpriority END AS ha_des_coloring_type, " +
+        "'urn:rep/' || CAST(o_orderkey AS VARCHAR) AS rep_id, " +
+        "'Rep ' || CAST(o_orderkey AS VARCHAR) AS rep_name, " +
+        "'cap-' || CAST(o_orderkey AS VARCHAR) AS schema_caption, " +
+        "'tr-' || CAST(o_orderkey AS VARCHAR) AS schema_transcript, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN '0' END AS schema_start_time, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_orderkey % 100 AS VARCHAR) END AS schema_end_time, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN 'urn:parent/' || CAST(o_orderkey AS VARCHAR) END AS is_media_fragment_of, " +
+        "'urn:root/' || CAST(o_orderkey AS VARCHAR) AS relation_has_root, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'urn:prev/' || CAST(o_orderkey AS VARCHAR) END AS edm_is_next_in_sequence, " +
+        "'urn:f/' || CAST(o_orderkey AS VARCHAR) AS file_id, " +
+        "'f' || CAST(o_orderkey AS VARCHAR) || '.mp3' AS premis_original_name, " +
+        "CAST(120.0 AS DOUBLE) AS schema_duration, " +
+        "'File ' || CAST(o_orderkey AS VARCHAR) AS file_name, " +
+        "'http://t/' || CAST(o_orderkey AS VARCHAR) AS schema_thumbnail_url, " +
+        "'s3://b/' || CAST(o_orderkey AS VARCHAR) AS premis_stored_at, " +
+        "'schema_creator' AS role_type, " +
+        "'maker' AS schema_role_name, " +
+        "'Thing ' || CAST(o_custkey AS VARCHAR) AS thing_name " +
+        "FROM orders WHERE o_orderstatus <> 'F' ORDER BY 1"),
+    (s, dir) => {
+      import graft.view.EntityPipeline
+      import EntityPipeline.{Vocab => EV}
+      val orders = Td(s, dir, "orders")
+      val ok = col("o_orderkey"); val ck = col("o_custkey")
+      val e = concat(lit("urn:e/"), ok)
+      val coll = concat(lit("urn:col/"), ck)
+      val crep = concat(lit("urn:crep/"), ok)
+      val pc = concat(lit("urn:pc/"), ok)
+      val med = concat(lit("urn:med/"), col("o_orderstatus"))
+      val pm = concat(lit("urn:pm/"), col("o_orderpriority"))
+      val ct = concat(lit("urn:ct/"), col("o_orderpriority"))
+      val h = concat(lit("urn:h/"), ok)
+      val ev = concat(lit("urn:ev/"), ok)
+      val cc = concat(lit("urn:cc/"), ok)
+      val rep = concat(lit("urn:rep/"), ok)
+      val file = concat(lit("urn:f/"), ok)
+      val loc = concat(lit("urn:loc/"), ok)
+      val th = concat(lit("urn:th/"), ck)
+      val even = ok % 2 === 0
+      val open = col("o_orderstatus") === "O"
+      def onlyIf(cond: Column, v: Column): Column = when(cond, v).otherwise(lit(null))
+      val quads = orders.select(explode(array(
+        // base match
+        q(lit(graft.model.Ns.RdfType), lit(EV.SchemaNs + "AudioObject"), noLang)
+          .withField("subject", e),
+        q(lit(EV.License),
+          when(col("o_orderstatus") =!= "F", lit("VIAA-PUBLIEK-METADATA-ALL"))
+            .otherwise(lit("NOT-ALLOWED")), noLang).withField("subject", e),
+        // collection family
+        q(lit(EV.IsPartOf), coll, noLang).withField("subject", e),
+        q(lit(graft.model.Ns.RdfType),
+          when(ck % 2 === 0, lit(EV.SchemaNs + "Episode"))
+            .otherwise(lit(EV.SchemaNs + "ArchiveComponent")), noLang)
+          .withField("subject", coll),
+        q(lit(EV.SchemaNs + "name"), concat(lit("Collection "), ck), noLang)
+          .withField("subject", coll),
+        q(lit(EV.SeasonNumber), onlyIf(ck % 2 === 0, ck % 12), noLang)
+          .withField("subject", coll),
+        q(lit(EV.IsPartOf), concat(lit("urn:super/"), ck % 5), noLang)
+          .withField("subject", coll),
+        // carrier family
+        q(lit(EV.Isr), crep, noLang).withField("subject", e),
+        q(lit(EV.StoredAt), pc, noLang).withField("subject", crep),
+        q(lit(EV.SchemaNs + "name"), concat(lit("Carrier "), ok), lit("nl"))
+          .withField("subject", pc),
+        q(lit(EV.SchemaNs + "name"), lit("EN Carrier"), lit("en"))
+          .withField("subject", pc),
+        q(lit(EV.Medium), med, noLang).withField("subject", pc),
+        q(lit(EV.PrefLabel), concat(lit("medium-"), col("o_orderstatus")), lit("nl"))
+          .withField("subject", med),
+        q(lit(EV.ProductionMethod), pm, noLang).withField("subject", crep),
+        q(lit(EV.PrefLabel), concat(lit("pm-"), col("o_orderpriority")), lit("nl"))
+          .withField("subject", pm),
+        q(lit(EV.Identifier), ok, noLang).withField("subject", pc),
+        q(lit(EV.Material),
+          onlyIf(ok % 2 === 1, concat(lit("mat-"), col("o_orderstatus"))), noLang)
+          .withField("subject", pc),
+        q(lit(EV.MaterialExtent),
+          onlyIf(even, concat(lit("ext-"), col("o_orderstatus"))), noLang)
+          .withField("subject", pc),
+        q(lit(EV.HeightProp), h, noLang).withField("subject", pc),
+        q(lit(EV.ValueProp), ok % 50, noLang).withField("subject", h),
+        q(lit(EV.UnitText), lit("cm"), noLang).withField("subject", h),
+        q(lit(EV.HasCaptioning), onlyIf(open, cc), noLang).withField("subject", pc),
+        q(lit(graft.model.Ns.RdfType), onlyIf(open, lit(EV.OpenCaptions)), noLang)
+          .withField("subject", cc),
+        q(lit(EV.ErorSou), onlyIf(open, pc), noLang).withField("subject", ev),
+        q(lit(graft.model.Ns.RdfType), onlyIf(open, lit(EV.DigitizationType)), noLang)
+          .withField("subject", ev),
+        q(lit(EV.StartedAtTime),
+          onlyIf(open, date_format(col("o_orderdate"), "yyyy-MM-dd")), noLang)
+          .withField("subject", ev),
+        q(lit(EV.ColoringType), onlyIf(even, ct), noLang).withField("subject", pc),
+        q(lit(EV.PrefLabel), concat(lit("color-"), col("o_orderpriority")), lit("nl"))
+          .withField("subject", ct),
+        // representation + file
+        q(lit(EV.Represents), e, noLang).withField("subject", rep),
+        q(lit(EV.SchemaNs + "name"), concat(lit("Rep "), ok), lit("nl"))
+          .withField("subject", rep),
+        q(lit(EV.Caption), concat(lit("cap-"), ok), noLang).withField("subject", rep),
+        q(lit(EV.Transcript), concat(lit("tr-"), ok), noLang).withField("subject", rep),
+        q(lit(EV.StartTime), onlyIf(ok % 2 === 1, lit("0")), noLang)
+          .withField("subject", rep),
+        q(lit(EV.EndTime), onlyIf(ok % 2 === 1, ok % 100), noLang)
+          .withField("subject", rep),
+        q(lit(EV.IsMediaFragmentOf),
+          onlyIf(ok % 2 === 1, concat(lit("urn:parent/"), ok)), noLang)
+          .withField("subject", rep),
+        q(lit(EV.Hsr), concat(lit("urn:root/"), ok), noLang).withField("subject", rep),
+        q(lit(EV.NextInSequence), onlyIf(even, concat(lit("urn:prev/"), ok)), noLang)
+          .withField("subject", rep),
+        q(lit(EV.MimeType), lit("audio/mpeg"), noLang).withField("subject", file),
+        q(lit(EV.OriginalName), concat(lit("f"), ok, lit(".mp3")), noLang)
+          .withField("subject", file),
+        q(lit(EV.Duration), lit("PT2M"), noLang).withField("subject", file),
+        q(lit(EV.SchemaNs + "name"), concat(lit("File "), ok), lit("nl"))
+          .withField("subject", file),
+        q(lit(EV.ThumbnailUrl), concat(lit("http://t/"), ok), noLang)
+          .withField("subject", file),
+        q(lit(EV.StoredAt), loc, noLang).withField("subject", file),
+        q(lit(EV.RdfValue), concat(lit("s3://b/"), ok), noLang)
+          .withField("subject", loc),
+        q(lit(EV.Includes), file, noLang).withField("subject", rep),
+        // roles + things
+        q(lit(EV.Creator), th, noLang).withField("subject", e),
+        q(lit(EV.RoleName), lit("maker"), noLang).withField("subject", th),
+        q(lit(EV.SchemaNs + "name"), concat(lit("Thing "), ck), noLang)
+          .withField("subject", th)
+      )).as("t"))
+        .filter(col("t.obj").isNotNull)
+        .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
+          col("t.obj").as("obj"), col("t.lang").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      val cfg = EntityPipeline.Config("gate-families",
+        Seq(EV.SchemaNs + "AudioObject"),
+        mimeTypes = Seq("audio/mpeg"), includePeaks = true, nullLicenses = Nil)
+      val tables = EntityPipeline(quads, cfg)
+      val isp = tables("graph.schema_is_part_of")
+        .select(col("intellectual_entity_id").as("id"), col("collection_id"))
+      val collT = tables("graph.collection").select(
+        col("id").as("collection_id"), col("collection_type"),
+        col("schema_name").as("collection_name"), col("schema_season_number"),
+        col("schema_is_part_of").as("collection_parent"))
+      val car = tables("graph.carrier").select(
+        col("intellectual_entity_id").as("id"), col("id").as("carrier_id"),
+        col("schema_name").as("carrier_name"), col("premis_medium"),
+        col("ebucore_has_captioning"), col("bibframe_production_method"),
+        col("schema_identifier").as("carrier_identifier"),
+        col("schema_material"), col("schema_material_extent"),
+        col("schema_height"), col("digitization_date"))
+      val colr = tables("graph.ha_des_coloring_type")
+        .select(col("carrier_id"), col("ha_des_coloring_type"))
+      val repT = tables("graph.representation").select(
+        col("premis_represents").as("id"), col("id").as("rep_id"),
+        col("schema_name").as("rep_name"), col("schema_caption"),
+        col("schema_transcript"), col("schema_start_time"),
+        col("schema_end_time"), col("is_media_fragment_of"),
+        col("relation_has_root"), col("edm_is_next_in_sequence"))
+      val inc = tables("graph.includes")
+        .select(col("representation_id").as("rep_id"), col("file_id"))
+      val fil = tables("graph.file").select(
+        col("id").as("file_id"), col("premis_original_name"),
+        col("schema_duration"), col("schema_name").as("file_name"),
+        col("schema_thumbnail_url"), col("premis_stored_at"))
+      val role = tables("graph.schema_role").select(
+        col("intellectual_entity_id").as("id"), col("type").as("role_type"),
+        col("schema_role_name"), col("thing_id"))
+      val thing = tables("graph.thing")
+        .select(col("id").as("thing_id"), col("schema_name").as("thing_name"))
+      isp
+        .join(collT, Seq("collection_id"))
+        .join(car, Seq("id"))
+        .join(colr, Seq("carrier_id"), "left")
+        .join(repT, Seq("id"))
+        .join(inc, Seq("rep_id"))
+        .join(fil, Seq("file_id"))
+        .join(role, Seq("id"))
+        .join(thing, Seq("thing_id"))
+        .select(col("id"), col("collection_id"), col("collection_type"),
+          col("collection_name"), col("schema_season_number"),
+          col("collection_parent"), col("carrier_id"), col("carrier_name"),
+          col("premis_medium"), col("ebucore_has_captioning"),
+          col("bibframe_production_method"), col("carrier_identifier"),
+          col("schema_material"), col("schema_material_extent"),
+          col("schema_height"), col("digitization_date"),
+          col("ha_des_coloring_type"), col("rep_id"), col("rep_name"),
+          col("schema_caption"), col("schema_transcript"),
+          col("schema_start_time"), col("schema_end_time"),
+          col("is_media_fragment_of"), col("relation_has_root"),
+          col("edm_is_next_in_sequence"), col("file_id"),
+          col("premis_original_name"), col("schema_duration"),
+          col("file_name"), col("schema_thumbnail_url"),
+          col("premis_stored_at"), col("role_type"), col("schema_role_name"),
+          col("thing_name"))
         .orderBy(col("id"))
     }
   )
@@ -569,5 +835,5 @@ object QuadBattery {
 
   val all: Seq[Q] = Seq(quadPivot, quadPattern, pathSeq, pathAlt, pathInv,
     orgPipeline, personPipeline, deleteFlags, ntRoundtrip, ttlRoundtrip,
-    entityPipeline, iiifPipeline, collectionPipeline)
+    entityPipeline, entityFamilies, iiifPipeline, collectionPipeline)
 }

@@ -220,7 +220,7 @@ object TextBattery {
         "WHERE CAST(o AS DOUBLE) / (na.n + nb.n - o) >= 0.7 ORDER BY 1, 2"),
     (s, dir) =>
       Dedup.ngramJaccardNearDup(withPlantedDups(s, dir), "doc_id", "text",
-        shingleK = 3, minJaccard = 0.7, rareFirst = false)
+        shingleK = 3, minJaccard = 0.7)
         .orderBy(col("id_a"), col("id_b"))
   )
 

@@ -18,6 +18,51 @@ import graft.functions.{Functions => F}
   * match alive) is the base entity row itself. This is what keeps 4
   * queries × 25 branches from becoming 5k lines of copy-paste
   * (SURVEY.md §7.4).
+  *
+  * == Branch audit: av-audio.sparql:231-520 → implementation ==
+  * | sparql | branch | here |
+  * | :231 alternateName (nl) | branch table | BranchSpec schema_alternate_name |
+  * | :239 inLanguage | branch table | BranchSpec schema_in_language |
+  * | :244 keywords | branch table | BranchSpec schema_keywords |
+  * | :249 genre | branch table | BranchSpec schema_genre |
+  * | :253 spatial/name | `/`-path | BranchSpec schema_spatial (via) |
+  * | :257 temporal | branch table | BranchSpec schema_temporal |
+  * | :262 dateCreated + haDes min/max | ie scalars | ieScalars rows 6-8 |
+  * | :270 datePublished + haDes min/max | ie scalars | ieScalars rows 9-11 |
+  * | :278 description (nl) | ie scalar | ieScalars (nl filter) |
+  * | :283 abstract (nl) | ie scalar | ieScalars (nl filter) |
+  * | :287 premis:identifier typed | child table | premisRows |
+  * | :303 rel:isp | ie scalar | ieScalars relation_is_part_of |
+  * | :304 dct:available | ie scalar | ieScalars dcterms_available |
+  * | :305 ebucore:hasObjectType | ie scalar | ieScalars |
+  * | :306 ebucore:hasCastMember | ie scalar | ieScalars |
+  * | :307 schema:copyrightYear | ie scalar | ieScalars |
+  * | :308 schema:copyrightNotice | ie scalar | ieScalars |
+  * | :309 dct:rights | ie scalar | ieScalars dcterms_rights |
+  * | :310 schema:creditText | ie scalar | ieScalars |
+  * | :311 ebucore:synopsis | ie scalar | ieScalars ebucore_synopsis |
+  * | :313 copyrightHolder prefLabel\|name | `\|`-alt | 2 BranchSpecs, one table |
+  * | :328 roles (creator/contributor/publisher) + roleName + thing | child tables | roleRows + thingRows |
+  * | :346 isPartOf + collection VALUES-type + name + season/parent | child tables | collLinks + collectionRows |
+  * | :368 rel:isr/premis:storedAt carrier: nl name, thesauri medium | child table | carrierLink/carrierRows |
+  * | :392 captioning EXISTS | bool bind | existsFlag in carrierRows |
+  * | :398 bf:productionMethod (crep, thesauri) | carrier col | crepMethod |
+  * | :405 pc schema:identifier | carrier col | carrierRows |
+  * | :409 ^eror:sou digitization date | `^`-path | digitizedAt |
+  * | :416 height value+unit | quantity node | quantity(HeightProp) |
+  * | :423 width value+unit | quantity node | quantity(WidthProp) |
+  * | :430 materialExtent / :433 material | carrier cols | carrierRows |
+  * | :437 reel type + coloringType (thesauri) | side table | coloringRows |
+  * | :459 digital/fragment rep + nl name | child table | rep (premis_represents) |
+  * | :465 fragment start/end/isMediaFragmentOf | rep cols | repScalars |
+  * | :476 rep inLanguage/hsr/hss/nextInSeq/caption/transcript | rep cols | repScalars |
+  * | :484 file name/originalName/storedAt/value/mime VALUES | child table | files |
+  * | :497 peak files (json + contains "peak") | cfg rule | includePeaks filter |
+  * | :513 file nextInSeq/thumbnailUrl/duration | file cols | fileScalars + fileDur |
+  * | :519 includes keys | link table | includesRows |
+  * Newspaper-only scalars (issueNumber, position, bibframe edition)
+  * are ieScalars rows too — unbound in av-* families, exactly like the
+  * SPARQL leaves them unbound.
   */
 object EntityPipeline {
 
@@ -49,6 +94,60 @@ object EntityPipeline {
     val Creator = SchemaNs + "creator"
     val Contributor = SchemaNs + "contributor"
     val Publisher = SchemaNs + "publisher"
+    // IE scalar families added by the av-audio.sparql:231-520 audit
+    val HaDesNs = "https://data.hetarchief.be/ns/description/"
+    val MinDateCreated = HaDesNs + "minDateCreated"
+    val MaxDateCreated = HaDesNs + "maxDateCreated"
+    val MinDatePublished = HaDesNs + "minDatePublished"
+    val MaxDatePublished = HaDesNs + "maxDatePublished"
+    val EbucoreNs = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#"
+    val HasObjectType = EbucoreNs + "hasObjectType"
+    val HasCastMember = EbucoreNs + "hasCastMember"
+    val Synopsis = EbucoreNs + "synopsis"
+    val CopyrightYear = SchemaNs + "copyrightYear"
+    val CreditText = SchemaNs + "creditText"
+    val DctRights = "http://purl.org/dc/terms/rights"
+    // newspaper-family scalars (newspaper.sparql; unbound in av-*)
+    val IssueNumber = SchemaNs + "issueNumber"
+    val Position = SchemaNs + "position"
+    val BfEdition = "http://id.loc.gov/ontologies/bibframe/edition"
+    // collection family (av-audio.sparql:341-362)
+    val IsPartOf = SchemaNs + "isPartOf"
+    val SeasonNumber = SchemaNs + "seasonNumber"
+    val CollectionTypes: Seq[(String, String)] = Seq(
+      SchemaNs + "Episode" -> "episode",
+      SchemaNs + "ArchiveComponent" -> "archive",
+      SchemaNs + "CreativeWorkSeries" -> "series",
+      SchemaNs + "CreativeWorkSeason" -> "season",
+      SchemaNs + "BroadcastEvent" -> "program")
+    // carrier family (av-audio.sparql:364-453)
+    val RelNs = "http://id.loc.gov/vocabulary/preservation/relationshipSubType/"
+    val Isr = RelNs + "isr"
+    val StoredAt = "http://www.loc.gov/premis/rdf/v3/storedAt"
+    val Medium = "http://www.loc.gov/premis/rdf/v3/medium"
+    val ProductionMethod = "http://id.loc.gov/ontologies/bibframe/productionMethod"
+    val HeightProp = SchemaNs + "height"
+    val WidthProp = SchemaNs + "width"
+    val ValueProp = SchemaNs + "value"
+    val UnitText = SchemaNs + "unitText"
+    val Material = SchemaNs + "material"
+    val MaterialExtent = SchemaNs + "materialExtent"
+    val ColoringType = HaDesNs + "coloringType"
+    val ErorSou = "http://id.loc.gov/vocabulary/preservation/eventRelatedObjectRole/sou"
+    val StartedAtTime = "http://www.w3.org/ns/prov#startedAtTime"
+    val DigitizationType = "https://data.hetarchief.be/id/event-type/digitization"
+    // representation extras (av-audio.sparql:457-482) + file extras (:483-520)
+    val RoleName = SchemaNs + "roleName"
+    val StartTime = SchemaNs + "startTime"
+    val EndTime = SchemaNs + "endTime"
+    val IsMediaFragmentOf = EbucoreNs + "isMediaFragmentOf"
+    val Caption = SchemaNs + "caption"
+    val Transcript = SchemaNs + "transcript"
+    val Hsr = RelNs + "hsr"
+    val Hss = RelNs + "hss"
+    val NextInSequence = "http://www.europeana.eu/schemas/edm/isNextInSequence"
+    val ThumbnailUrl = SchemaNs + "thumbnailUrl"
+    val RdfValue = "http://www.w3.org/1999/02/22-rdf-syntax-ns#value"
     val DctFormat = "http://purl.org/dc/terms/format"
     val PremisId = "http://www.loc.gov/premis/rdf/v3/identifier"
     val FragmentPid = "https://data.hetarchief.be/ns/mh/fragmentPid"
@@ -183,20 +282,37 @@ object EntityPipeline {
       .filter(col("__t") && col("__l") && col("__m"))
       .select(col("subject").as("s"))
 
-    // Entity-row scalar OPTIONALs (av-audio.sparql:221-300): plain
-    // single-value binds, nl-filtered literals (description/abstract,
-    // :277-283), dates, availability, copyright notice, is-part-of —
-    // each an aggregate-to-one left join, so the base row never fans out.
+    // Entity-row scalar OPTIONALs (av-audio.sparql:221-300 + the
+    // single-scalar UNION arms :303-311): plain single-value binds,
+    // nl-filtered literals (description/abstract, :277-283), dates and
+    // their haDes min/max companions (:263-274), availability,
+    // copyright year/notice, credit text, rights, cast member, object
+    // type, synopsis, is-part-of, and the newspaper-family scalars
+    // (issue number, position, edition — unbound in av-*) — each an
+    // aggregate-to-one left join, so the base row never fans out.
     val ieScalars: Seq[(String, String, Option[String])] = Seq(
       (Identifier, "schema_identifier", None),
       (Name, "schema_name", None),
-      (Description, "schema_description", None),
+      (Description, "schema_description", Some("nl")),
       (Maintainer, "schema_maintainer", None),
       (Abstract, "schema_abstract", Some("nl")),
       (DateCreated, "schema_date_created", None),
+      (MinDateCreated, "ha_des_min_date_created", None),
+      (MaxDateCreated, "ha_des_max_date_created", None),
       (DatePublished, "schema_date_published", None),
+      (MinDatePublished, "ha_des_min_date_published", None),
+      (MaxDatePublished, "ha_des_max_date_published", None),
       (Available, "dcterms_available", None),
+      (DctRights, "dcterms_rights", None),
+      (HasObjectType, "ebucore_has_object_type", None),
+      (HasCastMember, "ebucore_has_cast_member", None),
+      (Synopsis, "ebucore_synopsis", None),
+      (CopyrightYear, "schema_copyright_year", None),
       (CopyrightNotice, "schema_copyright_notice", None),
+      (CreditText, "schema_credit_text", None),
+      (IssueNumber, "schema_issue_number", None),
+      (Position, "schema_position", None),
+      (BfEdition, "bibframe_edition", None),
       (IsPartOfRel, "relation_is_part_of", None))
     // ONE conditional-agg pass for all scalar OPTIONALs (10 predicates
     // → 1 shuffle + 1 join, not 10 of each — see Patterns.optionalSingles).
@@ -235,7 +351,8 @@ object EntityPipeline {
 
     // Roles: role type derived from the predicate (nested IF →
     // when-chain, av-audio.sparql:330-334); synthesized row key
-    // (IRI(CONCAT(...md5...)), :228-229).
+    // (IRI(CONCAT(...md5...)), :228-229); the role node's
+    // schema:roleName rides along as a left-joined scalar (:336).
     val roleRows = Seq(Creator -> "schema_creator", Contributor -> "schema_contributor",
       Publisher -> "schema_publisher")
       .map { case (pred, roleType) =>
@@ -248,26 +365,170 @@ object EntityPipeline {
             col("thing_id"))
       }
       .reduce(_ unionByName _)
+      .join(optionalSingle(quads, RoleName, "schema_role_name")
+        .select(col("s").as("thing_id"), col("schema_role_name")),
+        Seq("thing_id"), "left")
+      .select(col("id"), col("type"), col("intellectual_entity_id"),
+        col("schema_role_name"), col("thing_id"))
+
+    // Things referenced by roles (av-audio.sparql:338-339 ?thing a
+    // schema:Thing; schema:name): one row per distinct role target.
+    val thingRows = roleRows.select(col("thing_id").as("s")).distinct()
+      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"),
+        Seq("s"), "left")
+      .select(col("s").as("id"), col("schema_name"))
+
+    // Collection family (av-audio.sparql:341-362): ?ie schema:isPartOf
+    // ?collection with the VALUES-typed classification (episode /
+    // archive / series / season / program), the collection's name and
+    // optional season number / parent — emitted as graph.collection
+    // (one row per collection) + graph.schema_is_part_of (the ie ↔
+    // collection link carrying the type name).
+    val collTypeName = CollectionTypes.foldLeft(lit(null).cast("string")) {
+      case (acc, (iri, nm)) => when(col("coll_type") === iri, lit(nm)).otherwise(acc)
+    }
+    val collLinks = po(quads, IsPartOf, "collection_id")
+      .join(base, Seq("s"), "left_semi")
+      // distinct: RDF quads are a SET, but a melted feed may repeat the
+      // same type statement (one per source row naming the collection) —
+      // without dedup the link join would multiply rows per repeat
+      .join(quads.filter(col("predicate") === graft.model.Ns.RdfType)
+        .select(col("subject").as("collection_id"), col("obj").as("coll_type"))
+        .distinct(),
+        Seq("collection_id"))
+      .filter(col("coll_type").isin(CollectionTypes.map(_._1): _*))
+      .select(col("s").as("intellectual_entity_id"),
+        collTypeName.as("type"), col("collection_id"))
+    val collectionRows = collLinks.select(col("collection_id").as("s"),
+        col("type")).distinct()
+      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"), Seq("s"), "left")
+      .join(optionalSingle(quads, SeasonNumber, "schema_season_number"),
+        Seq("s"), "left")
+      .join(optionalSingle(quads, IsPartOf, "schema_is_part_of"), Seq("s"), "left")
+      .select(col("s").as("id"), col("type").as("collection_type"),
+        col("schema_name"), col("schema_season_number"),
+        col("schema_is_part_of"))
+
+    // Carrier family (av-audio.sparql:364-453): ?ie rel:isr ?crep
+    // premis:storedAt ?pc — the physical carrier with nl name, medium
+    // via the thesauri prefLabel hop, the captioning EXISTS flag, and
+    // the optional attribute arms (production method via the crep node,
+    // identifier, material, material extent, height/width value+unit
+    // concat, digitization date via the inverse eror:sou event hop).
+    // The reel-type + coloring arm (:438-453) feeds the side table.
+    // two-hop scalar keyed by the START node, aggregated to one row:
+    // ?x <p1> ?mid . ?mid <p2> ?v  (nl-preferred pick)
+    def hop2(p1: String, p2: String, as: String): DataFrame =
+      seqPath(quads, p1, p2, as).groupBy(col("s"))
+        .agg(F.langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
+    // quantity node: ?x <prop> ?q . ?q schema:value ?v ; schema:unitText
+    // ?u → concat(v, ' ', u) (av-audio.sparql:416-427)
+    def quantity(prop: String, as: String): DataFrame = {
+      val node = po(quads, prop, "node")
+        .select(col("s"), col("node"))
+      val v = po(quads, ValueProp, "v").select(col("s").as("node"), col("v"))
+      val u = po(quads, UnitText, "u").select(col("s").as("node"), col("u"))
+      node.join(v, Seq("node")).join(u, Seq("node"))
+        .groupBy(col("s"))
+        .agg(min(concat(col("v"), lit(" "), col("u"))).as(as))
+    }
+    def byPc(df: DataFrame): DataFrame = df.withColumnRenamed("s", "pc")
+
+    val carrierLink = seqPath(quads, Isr, StoredAt, "pc")
+      .join(base, Seq("s"), "left_semi")
+      .select(col("s").as("intellectual_entity_id"), col("pc"))
+    // production method hangs off the carrier REPRESENTATION node, not
+    // the physical carrier (av-audio.sparql:398-403)
+    val crepMethod = po(quads, Isr, "crep")
+      .join(base, Seq("s"), "left_semi")
+      .join(po(quads, StoredAt, "pc").select(col("s").as("crep"), col("pc")),
+        Seq("crep"))
+      .join(hop2(ProductionMethod, PrefLabel, "bibframe_production_method")
+        .select(col("s").as("crep"), col("bibframe_production_method")),
+        Seq("crep"))
+      .groupBy(col("pc"))
+      .agg(min(col("bibframe_production_method")).as("bibframe_production_method"))
+    // ?pc ^eror:sou ?event . ?event a digitization ; prov:startedAtTime
+    val digitizedAt = invPath(quads, ErorSou, "event")
+      .join(typed(quads, DigitizationType).select(col("s").as("event")), Seq("event"))
+      .join(po(quads, StartedAtTime, "digitization_date")
+        .select(col("s").as("event"), col("digitization_date")), Seq("event"))
+      .groupBy(col("s")).agg(min(col("digitization_date")).as("digitization_date"))
+    val carrierRows = carrierLink
+      .join(byPc(optionalSingle(quads, SchemaNs + "name", "schema_name",
+        langFilter = Some("nl"))), Seq("pc"), "left")
+      .join(byPc(hop2(Medium, PrefLabel, "premis_medium")), Seq("pc"), "left")
+      .join(byPc(existsFlag(quads, HasCaptioning, graft.model.Ns.RdfType,
+        OpenCaptions, "ebucore_has_captioning")), Seq("pc"), "left")
+      .join(crepMethod, Seq("pc"), "left")
+      .join(byPc(optionalSingle(quads, Identifier, "schema_identifier")),
+        Seq("pc"), "left")
+      .join(byPc(optionalSingle(quads, Material, "schema_material")),
+        Seq("pc"), "left")
+      .join(byPc(optionalSingle(quads, MaterialExtent, "schema_material_extent")),
+        Seq("pc"), "left")
+      .join(byPc(quantity(HeightProp, "schema_height")), Seq("pc"), "left")
+      .join(byPc(quantity(WidthProp, "schema_width")), Seq("pc"), "left")
+      .join(byPc(digitizedAt), Seq("pc"), "left")
+      .select(col("pc").as("id"), col("intellectual_entity_id"),
+        col("schema_name"), col("premis_medium"),
+        coalesce(col("ebucore_has_captioning"), lit(false))
+          .as("ebucore_has_captioning"),
+        col("bibframe_production_method"), col("schema_identifier"),
+        col("schema_material"), col("schema_material_extent"),
+        col("schema_height"), col("schema_width"),
+        col("digitization_date"))
+    val coloringRows = carrierLink.select(col("pc")).distinct()
+      .join(byPc(hop2(ColoringType, PrefLabel, "ha_des_coloring_type")),
+        Seq("pc"))
+      .select(col("pc").as("carrier_id"), col("ha_des_coloring_type"))
 
     // Representation → file navigation (object→subject joins,
     // av-audio.sparql:194-204,483-492) with the MIME VALUES and the
-    // family's peak-file rule (:491,504).
+    // family's peak-file rule (:491,504). The rep node's optional
+    // scalars (:457-482: nl name, language, root/source relations,
+    // sequence link, caption, transcript, and the fragment-rep
+    // start/end/is-media-fragment-of triple) ride along from ONE
+    // conditional-agg pass, same as the ie scalars.
+    val repScalars: Seq[(String, String, Option[String])] = Seq(
+      (SchemaNs + "name", "schema_name", Some("nl")),
+      (InLanguage, "schema_in_language", None),
+      (Hsr, "relation_has_root", None),
+      (Hss, "relation_has_source", None),
+      (NextInSequence, "edm_is_next_in_sequence", None),
+      (Caption, "schema_caption", None),
+      (Transcript, "schema_transcript", None),
+      (IsMediaFragmentOf, "is_media_fragment_of", None),
+      (StartTime, "schema_start_time", None),
+      (EndTime, "schema_end_time", None))
     val rep = po(quads, Represents, "ie")
       .join(base.select(col("s").as("ie")), Seq("ie"), "left_semi")
-      .select(col("s").as("id"), col("ie").as("premis_represents"))
+      .join(optionalSingles(quads, repScalars), Seq("s"), "left")
+      .select((col("s").as("id") +: col("ie").as("premis_represents") +:
+        repScalars.map { case (_, c, _) => col(c) }): _*)
     val fileMime = po(quads, MimeType, "ebucore_has_mime_type")
       .filter(col("ebucore_has_mime_type").isin(cfg.mimeTypes: _*))
     val fileName = optionalSingle(quads, OriginalName, "premis_original_name")
     val fileDur = optionalSingle(quads, Duration, "dur_raw")
+    // file extras (av-audio.sparql:483-520): nl display name, storedAt
+    // → rdf:value two-hop, thumbnail url, sequence link
+    val fileScalars: Seq[(String, String, Option[String])] = Seq(
+      (SchemaNs + "name", "schema_name", Some("nl")),
+      (ThumbnailUrl, "schema_thumbnail_url", None),
+      (NextInSequence, "edm_is_next_in_sequence", None))
     val files = fileMime
       .join(fileName, Seq("s"), "left")
       .join(fileDur, Seq("s"), "left")
+      .join(optionalSingles(quads, fileScalars), Seq("s"), "left")
+      .join(hop2(StoredAt, RdfValue, "premis_stored_at"), Seq("s"), "left")
       .filter(
         if (cfg.includePeaks) lit(true)
         else !coalesce(col("premis_original_name"), lit("")).contains("peak"))
       .select(col("s").as("id"), col("ebucore_has_mime_type"),
         col("premis_original_name"),
-        graft.functions.IsoDurationSecondsExpr(col("dur_raw")).as("schema_duration"))
+        graft.functions.IsoDurationSecondsExpr(col("dur_raw")).as("schema_duration"),
+        col("schema_name"), col("schema_thumbnail_url"),
+        col("edm_is_next_in_sequence"), col("premis_stored_at"))
     val includesRows = po(quads, Includes, "file_id")
       .join(rep.select(col("id").as("s")), Seq("s"), "left_semi")
       .join(files.select(col("id").as("file_id")), Seq("file_id"), "left_semi")
@@ -298,6 +559,11 @@ object EntityPipeline {
       "graph.premis_identifier" -> premisRows,
       "graph.mh_fragment_identifier" -> fragmentRows,
       "graph.schema_role" -> roleRows,
+      "graph.thing" -> thingRows,
+      "graph.collection" -> collectionRows,
+      "graph.schema_is_part_of" -> collLinks,
+      "graph.carrier" -> carrierRows,
+      "graph.ha_des_coloring_type" -> coloringRows,
       "graph.representation" -> rep,
       "graph.file" -> files,
       "graph.includes" -> includesRows
