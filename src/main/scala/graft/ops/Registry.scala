@@ -11,7 +11,7 @@ object Registry {
     AggBattery.all ++ JoinBattery.all ++ ScalarBattery.all ++
       WindowSetBattery.all ++ QuadBattery.all ++ TextBattery.all ++
       SimBattery.all ++ DocsBattery.all ++ MergeBattery.all ++
-      TemporalBattery.all ++ GraphBattery.all
+      TemporalBattery.all ++ GraphBattery.all ++ StreamBattery.all
 
   def byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventTimeOps
+
+/** The custom-state streaming operators under the DuckDB oracle gate —
+  * replayed deterministically from parquet file feeds, the same
+  * discipline as `q_stream_sync`:
+  *
+  *  - batch ORDER is pinned by explicit file modification times (the
+  *    file source triggers oldest-first), so the replay is
+  *    reproducible run over run;
+  *  - slices are cut along the dimension that makes the end state
+  *    order-insensitive anyway (ascending event time / min-id-first),
+  *    so even a tie in mod times cannot move the hash;
+  *  - watermark-held results are flushed by sentinel batches whose own
+  *    rows can never emit (their event times sit beyond every
+  *    watermark the query will reach).
+  */
+object StreamBattery {
+
+  private def writeSlice(df: DataFrame, dir: String, seq: Int): Unit = {
+    val spark = df.sparkSession
+    df.coalesce(1).write.mode("append").parquet(dir)
+    // pin the batch order: the file source sorts by modification time
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.listStatus(new Path(dir))
+      .filter(f => f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getModificationTime)
+    status.zipWithIndex.foreach { case (f, i) =>
+      fs.setTimes(f.getPath, 1000000000000L + i * 10000L, -1)
+    }
+    require(status.length == seq + 1, s"expected ${seq + 1} slice files")
+  }
+
+  /** Streaming gap sessionization (EventTimeOps.sessionize,
+    * watermark-final emission) replayed over the events table in three
+    * ascending event-time slices — ascending order means no slice can
+    * fall behind the watermark, so nothing is dropped and the final
+    * session set must equal the BATCH lag-cumsum sessionization the
+    * oracle states (q_sessionize's mirror, regrouped to one row per
+    * session). Times are truncated to millis on both sides: the
+    * streaming state keys on epoch-millis, so the oracle must use the
+    * same grid or a sub-ms gap exactly at the 30-min boundary would
+    * split differently. Two far-future sentinel batches advance the
+    * watermark past every real session's end+gap and trigger the
+    * timeout pass that emits them; the sentinel user's own sessions
+    * stay held in state and never reach the output. */
+  val streamSessionize = Q(
+    "q_stream_sessionize",
+    Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id FROM events), " +
+        "f AS (SELECT user_id, ms, event_id, CASE WHEN lag(ms) OVER w IS NULL " +
+        "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+        "g AS (SELECT user_id, ms, sum(is_new) OVER (" +
+        "PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms, " +
+        "count(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1, 2"),
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+        .toString
+      val feed = s"$base/feed"
+      val ev = Td(s, dir, "events")
+        .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("ts"))
+      val Row2 = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+        .head()
+      val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val ms = unix_millis(col("ts"))
+      writeSlice(ev.filter(ms < cut1), feed, 0)
+      writeSlice(ev.filter(ms >= cut1 && ms < cut2), feed, 1)
+      writeSlice(ev.filter(ms >= cut2), feed, 2)
+      // sentinels: far beyond every real end+gap, for a user id outside
+      // the real key space — the second one triggers the timeout pass
+      // under the watermark the first one advanced. They sit within one
+      // gap of EACH OTHER, so the sentinel session's own end+gap stays
+      // ahead of any watermark the query reaches (including the final
+      // empty commit batch) and it can never leak into the output.
+      val day = 86400000L
+      writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day)))
+        .toDF("user_id", "ts"), feed, 3)
+      writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day + 60000L)))
+        .toDF("user_id", "ts"), feed, 4)
+      val name = s"stream_sess_${System.nanoTime()}"
+      val q = EventTimeOps.sessionize(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed).as[EventTimeOps.Ev],
+        gapMinutes = 30, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+  )
+
+  /** Streaming exact dedup (first-seen-wins across micro-batches)
+    * replayed as originals-then-duplicates: the originals slice goes
+    * first (pinned mod time), so every hash's keeper is its global min
+    * doc id — which is exactly the closed form the oracle states over
+    * the union. Emission is immediate on first sight (no watermark),
+    * so no sentinel batches are needed. */
+  val streamDedup = Q(
+    "q_stream_dedup",
+    Some(
+      "WITH u AS (SELECT doc_id, md5(text) AS content_hash FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents) " +
+        "SELECT min(doc_id) AS doc_id, content_hash FROM u " +
+        "GROUP BY content_hash ORDER BY 1"),
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+        .toString
+      val feed = s"$base/feed"
+      val docs = Td(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      writeSlice(docs, feed, 0)
+      val dups = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("content_hash"))
+      writeSlice(dups.filter(col("doc_id") % 2 === 0), feed, 1)
+      writeSlice(dups.filter(col("doc_id") % 2 === 1), feed, 2)
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = EventTimeOps.streamingExactDedup(
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed).as[EventTimeOps.Doc])
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name).select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(streamSessionize, streamDedup)
+}
