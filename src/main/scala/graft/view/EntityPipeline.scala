@@ -417,10 +417,22 @@ object EntityPipeline {
     // concat, digitization date via the inverse eror:sou event hop).
     // The reel-type + coloring arm (:438-453) feeds the side table.
     // two-hop scalar keyed by the START node, aggregated to one row:
-    // ?x <p1> ?mid . ?mid <p2> ?v  (nl-preferred pick)
-    def hop2(p1: String, p2: String, as: String): DataFrame =
-      seqPath(quads, p1, p2, as).groupBy(col("s"))
+    // ?x <p1> ?mid . ?mid <p2> ?v  (nl-preferred pick). The second hop
+    // is aggregated BEFORE the join: thesauri-style mid nodes (media,
+    // production methods, coloring types) are shared by MANY subjects
+    // and a melted feed repeats their label quad per referring row, so
+    // joining the raw slices fans out |links per mid| × |labels per
+    // mid| — measured as a 3-partition billion-row spilling sort at
+    // sf0.1. Aggregated first, the label side is one row per mid and
+    // the join is linear in the links.
+    def hop2(p1: String, p2: String, as: String): DataFrame = {
+      val labels = po(quads, p2, as).groupBy(col("s"))
         .agg(F.langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
+        .select(col("s").as("mid"), col(as))
+      po(quads, p1, "mid").select(col("s"), col("mid"))
+        .join(labels, Seq("mid"))
+        .groupBy(col("s")).agg(min(col(as)).as(as))
+    }
     // quantity node: ?x <prop> ?q . ?q schema:value ?v ; schema:unitText
     // ?u → concat(v, ' ', u) (av-audio.sparql:416-427)
     def quantity(prop: String, as: String): DataFrame = {
