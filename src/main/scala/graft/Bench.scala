@@ -26,9 +26,22 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Partition count must track DATA, not core count: at 10× sf the
+      // 32-partition aggregation state for the widest groupBys
+      // overflows a task's execution-memory share (measured:
+      // AGGREGATE_OUT_OF_MEMORY at sf1). Start shuffles wide and let
+      // AQE coalesce small stages back down — big stages keep enough
+      // partitions that per-task state fits.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // Execution-heavy battery: checkpointed pipeline inputs should
+      // yield to aggregation/sort memory instead of pinning half the
+      // unified pool (they spill to disk gracefully; an aggregation
+      // that cannot get pages dies). Default 0.5 protected storage
+      // starved 32 concurrent agg tasks at sf1.
+      .config("spark.memory.storageFraction", "0.2")
       // pipeline-input materialization mode (see Patterns.ensurePersisted)
       .config("spark.graft.pipelineInput",
-        sys.env.getOrElse("GRAFT_PIPELINE_INPUT", "checkpoint"))
+        sys.env.getOrElse("GRAFT_PIPELINE_INPUT", "persist"))
       // ContextCleaner frees checkpoint/broadcast blocks only on GC; a
       // big-heap JVM may not GC for the whole battery, so stale blocks
       // squeeze execution memory (observed: one query 4.9s standalone →
@@ -89,8 +102,13 @@ object Bench {
           System.err.println(f"[bench-debug] $name warm=$warm%.2f runs=" +
             raw.map(t => f"$t%.2f").mkString(","))
         val times = raw.sorted
-        // ...and the explicit GC here lets the cleaner drop the blocks
-        // THIS query checkpointed before the next one is timed.
+        // Drop THIS query's cached pipeline inputs before the next one
+        // is timed: within a query the warm-up materializes the cache
+        // and the timed runs measure the operator (input prep is fixed
+        // cost, like the parquet scan); across queries the entries
+        // would only add eviction churn to unrelated timings. The GC
+        // additionally lets the cleaner drop checkpoint-mode blocks.
+        spark.catalog.clearCache()
         System.gc()
         R(name, times(times.size / 2), ok = true)
       } catch {

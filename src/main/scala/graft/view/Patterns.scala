@@ -27,29 +27,36 @@ object Patterns {
     * would recompute the whole upstream tree, so pipelines materialize
     * their input on entry.
     *
-    * The default is `localCheckpoint`, NOT `persist`: a `persist` pins
-    * the plan in the CacheManager forever (nothing inside a lazily-
-    * composed pipeline can ever safely unpersist), so repeated
-    * invocations — a benchmark loop, a long-lived service, a micro-batch
-    * stream — leak cache entries until eviction thrash (measured: 5
-    * repeated entity-pipeline runs degrade 8 s → 46 s). A checkpointed
-    * RDD is instead released by the ContextCleaner when unreferenced,
-    * and measured 2× faster than no materialization at all (4.9 s vs
-    * 9.9 s at sf0.1). A caller that already persisted its input is left
-    * untouched, and `spark.graft.pipelineInput` = `off` / `persist` /
-    * `checkpoint` overrides. At 100 TB the pipeline input is the
-    * graph-pruned org slice, not the full corpus — that is the frame
-    * being materialized. */
+    * The default is `persist` (serialized compressed columnar,
+    * MEMORY_AND_DISK): measured faster than `localCheckpoint` at sf0.1
+    * (entity pipeline 9.4 → 7.9 s, families 17.4 → 14.3 s) and the only
+    * mode that survives 10× data on the same heap — checkpoint stores
+    * DESERIALIZED rows, and a 69M-quad melt OOMs a 12 GiB driver
+    * (AGGREGATE_OUT_OF_MEMORY) where the columnar cache of the same
+    * frame fits in ~1/10th the bytes and evicts to disk under pressure.
+    * Lifetime: CacheManager keys entries by canonicalized plan, so
+    * re-invoking the same pipeline REUSES one entry (no per-invocation
+    * leak); distinct inputs add entries that spill/evict LRU rather
+    * than pinning heap. (An earlier measurement blaming persist for
+    * 8 s → 46 s degradation over repeated runs was re-traced to JIT
+    * code-cache exhaustion, fixed in build.sbt since round 6.)
+    * A long-lived service that wants deterministic release can pass
+    * `spark.graft.pipelineInput` = `checkpoint` (ContextCleaner frees
+    * blocks on GC) or clear the cache between jobs; `off` disables
+    * materialization. A caller that already persisted its input is left
+    * untouched. At 100 TB the pipeline input is the graph-pruned org
+    * slice, not the full corpus — that is the frame being
+    * materialized. */
   def ensurePersisted(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.pipelineInput").getOrElse("checkpoint") match {
+    df.sparkSession.conf.getOption("spark.graft.pipelineInput").getOrElse("persist") match {
       case "off" => df
-      case "persist" =>
+      case "checkpoint" =>
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.localCheckpoint()
         else df
       case _ =>
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          df.localCheckpoint()
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df
     }
 
@@ -65,7 +72,15 @@ object Patterns {
 
   /** Property path `/` (sequence): `?s <p1>/<p2> ?o` through an anonymous
     * mid-node (reference: typescript/queries/organization.sparql:106
-    * `org:hasSite/org:siteAddress`; av-audio.sparql:253). */
+    * `org:hasSite/org:siteAddress`; av-audio.sparql:253).
+    *
+    * Cardinality caveat: RDF quads are a SET; this join assumes the
+    * input honors that. A synthetic/melted feed that repeats the same
+    * second-hop statement per referring row fans the join out by the
+    * repeat count — when the hop ends in a single value per mid (label
+    * lookups), aggregate the second hop BEFORE joining instead (see
+    * EntityPipeline's hop2, where the raw form measured a
+    * billion-row spill on a shared-thesauri-node feed). */
   def seqPath(quads: DataFrame, p1: String, p2: String, as: String): DataFrame = {
     val a = po(quads, p1, "mid")
     val b = po(quads, p2, as)
