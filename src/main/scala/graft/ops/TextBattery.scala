@@ -585,9 +585,68 @@ object TextBattery {
     }
   )
 
+  /** Sliding-window token chunking (context packing): every document
+    * becomes overlapping 32-token windows every 24 tokens — the
+    * document → training-sample transform. The oracle restates the
+    * window arithmetic (chunk count, slice bounds, tail shortening)
+    * in closed form, so an off-by-one in either the chunk count or
+    * the slice start flips the hash. */
+  val chunkQ = Q(
+    "q_chunk",
+    Some {
+      val toks = s"string_split($normSql, ' ')"
+      s"WITH t AS (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents), " +
+        "c AS (SELECT doc_id, toks, n, CASE WHEN n <= 32 THEN 1 " +
+        "ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1 END AS nc FROM t), " +
+        "x AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, nc - 1)) AS i FROM c) " +
+        "SELECT doc_id, i AS chunk_idx, i * 24 AS token_start, " +
+        "array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text, " +
+        "least(32, n - i * 24) AS n_tokens " +
+        "FROM x ORDER BY doc_id, chunk_idx"
+    },
+    (s, dir) =>
+      graft.text.Chunker.chunk(Td(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+  )
+
+  /** Within-document repetition (a Gopher-style quality rule): the
+    * count of word-bigram occurrences vs distinct bigrams, and a
+    * 20%-duplicate flag — integer-only output so the compare never
+    * touches engine double formatting. Distinct from `q_novelty`
+    * (cross-corpus): this measures a document repeating ITSELF. */
+  val repetitionQ = Q(
+    "q_repetition",
+    Some {
+      val toks = s"string_split($normSql, ' ')"
+      // all bigrams (NOT deduped — duplicates are the signal)
+      val bi = s"CASE WHEN len($toks) >= 2 " +
+        s"THEN list_transform(range(1, len($toks)), i -> array_to_string($toks[i:i+1], ' ')) " +
+        s"ELSE [$normSql] END"
+      s"WITH b AS (SELECT doc_id, $bi AS bi FROM documents) " +
+        "SELECT doc_id, len(bi) AS n_bigrams, " +
+        "len(list_distinct(bi)) AS n_distinct, " +
+        "(len(bi) - len(list_distinct(bi))) * 5 > len(bi) AS is_repetitive " +
+        "FROM b ORDER BY doc_id"
+    },
+    (s, dir) => {
+      val bi = TextFunctions.shinglesFromTokens(col("__toks"), 2)
+      Td(s, dir, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), bi.as("__bi"))
+        .select(col("doc_id"), size(col("__bi")).as("n_bigrams"),
+          size(array_distinct(col("__bi"))).as("n_distinct"))
+        .withColumn("is_repetitive",
+          (col("n_bigrams") - col("n_distinct")) * 5 > col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
-    fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ)
+    fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
+    repetitionQ)
 }
