@@ -83,8 +83,29 @@ object Bench {
     // Local-dev filter: bench only the named queries (comma-separated).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
 
+    // JVM-pool occupancy (code cache + metaspace), read per query: the
+    // late-battery drift signature is "queries slow down in battery
+    // order" — if code-cache occupancy approaches the reserve as the
+    // battery progresses, the JIT is the cause (it silently stops
+    // compiling near the cap); if occupancy is flat, look elsewhere.
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def poolMb(fragment: String): Double =
+      pools.filter(_.getName.toLowerCase.contains(fragment))
+        .map(_.getUsage.getUsed).sum / 1e6
+    def jvmStats: String =
+      f"codecache=${poolMb("codeheap") + poolMb("code cache")}%.0fMB metaspace=${poolMb("metaspace")}%.0fMB"
+
+    // Reverse alphabetical order flips which queries sit "late" in the
+    // battery: a query that is slow only when late (same number in both
+    // orders' tails, fast in both heads) indicts battery position (JIT /
+    // accumulated JVM state), not the query.
+    val reverse = sys.env.contains("SPARK_GRAFT_BENCH_REVERSE")
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = if (reverse) ordered0.reverse else ordered0
+
     case class R(name: String, sec: Double, ok: Boolean)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
@@ -100,7 +121,7 @@ object Bench {
         val raw = Seq.fill(iters) { settle(); once(fn) }
         if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
           System.err.println(f"[bench-debug] $name warm=$warm%.2f runs=" +
-            raw.map(t => f"$t%.2f").mkString(","))
+            raw.map(t => f"$t%.2f").mkString(",") + s" $jvmStats")
         val times = raw.sorted
         // Drop THIS query's cached pipeline inputs before the next one
         // is timed: within a query the warm-up materializes the cache
@@ -123,10 +144,20 @@ object Bench {
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
+    // The per-query map must not depend on log capture at all: persist
+    // it to disk so round-over-round comparisons always see 100/100
+    // numbers even when the driver's log window truncates the wide line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outFile),
+        s"""{"total":${f"$total%.3f"},"failed":$nFail,"sf":"$sfDir","order":"${if (reverse) "reverse" else "forward"}","queries":$qs}""".getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
-    // survives a tail capture.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
+    // survives a tail capture. Distinct metric name so a parser keying
+    // on metric=="total" never double-counts the two lines.
+    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

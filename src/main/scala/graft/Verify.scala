@@ -34,7 +34,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // let the ContextCleaner drop this query's checkpoint blocks
+      // Drop this query's cached pipeline inputs (ensurePersisted's
+      // default persists per distinct canonical plan, and ~100 queries
+      // share one session here — without this the CacheManager grows
+      // monotonically and spilled blocks accumulate on disk for the
+      // whole run), then let the ContextCleaner drop checkpoint blocks.
+      spark.catalog.clearCache()
       System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

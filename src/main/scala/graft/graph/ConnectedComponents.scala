@@ -52,7 +52,12 @@ object ConnectedComponents {
       .localCheckpoint()
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    // try/finally: on ANY exit — success, non-convergence, or a failed
+    // round — the edge frame's blocks are freed, and on the failure
+    // paths the last round's label blocks are freed too (they used to
+    // leak for the application lifetime when the require below threw).
+    try {
+      while (!converged && round < maxRounds) {
       // (1) neighbor-min: min label over self and all neighbors
       val viaNbr = und.join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
         .select(col("a").as("id"), col("lbl"))
@@ -77,21 +82,35 @@ object ConnectedComponents {
       // round's blocks are unreachable from here on — free them, or
       // every round's checkpoint stays in block-manager memory for the
       // application lifetime.
-      freeCheckpoint(lbl)
-      lbl = next
-      round += 1
-    }
-    require(converged, s"did not converge in $maxRounds rounds — " +
-      "component diameter exceeds 2^maxRounds or the graph is malformed")
-    freeCheckpoint(und)
+        freeCheckpoint(lbl)
+        lbl = next
+        round += 1
+      }
+      require(converged, s"did not converge in $maxRounds rounds — " +
+        "component diameter exceeds 2^maxRounds or the graph is malformed")
+    } catch {
+      case e: Throwable => freeCheckpoint(lbl); throw e
+    } finally freeCheckpoint(und)
+    // The result still reads the final round's checkpointed label
+    // blocks — callers that materialize the result (write/collect)
+    // should then hand it to [[release]] to drop them.
     lbl.select(col("id").as(idCol), col("lbl").as("component"))
   }
+
+  /** Free the checkpoint blocks behind a frame returned by [[run]].
+    * Call only AFTER materializing (writing/collecting) every result
+    * derived from it — a local checkpoint truncates lineage, so the
+    * data cannot be recomputed once released. */
+  def release(components: DataFrame): Unit = freeCheckpoint(components)
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame.
     * Only call once nothing can recompute from it — a local checkpoint
     * truncates lineage, so unpersisted blocks are gone for good. */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+    // Traverse, don't pattern-match the root: [[release]] hands in a
+    // Project over the checkpointed LogicalRDD, not the LogicalRDD
+    // itself.
+    df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -533,6 +533,7 @@ object QuadBattery {
         "CASE WHEN o_orderkey % 2 = 0 THEN 'ext-' || o_orderstatus END AS schema_material_extent, " +
         "CAST(o_orderkey % 50 AS VARCHAR) || ' cm' AS schema_height, " +
         "CASE WHEN o_orderstatus = 'O' THEN strftime(o_orderdate, '%Y-%m-%d') END AS digitization_date, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'beeldspoel' END AS car_type, " +
         "CASE WHEN o_orderkey % 2 = 0 THEN 'color-' || o_orderpriority END AS ha_des_coloring_type, " +
         "'urn:rep/' || CAST(o_orderkey AS VARCHAR) AS rep_id, " +
         "'Rep ' || CAST(o_orderkey AS VARCHAR) AS rep_name, " +
@@ -571,6 +572,7 @@ object QuadBattery {
       val rep = concat(lit("urn:rep/"), ok)
       val file = concat(lit("urn:f/"), ok)
       val loc = concat(lit("urn:loc/"), ok)
+      val roleNode = concat(lit("urn:role/"), ok)
       val th = concat(lit("urn:th/"), ck)
       val even = ok % 2 === 0
       val open = col("o_orderstatus") === "O"
@@ -594,9 +596,23 @@ object QuadBattery {
           .withField("subject", coll),
         q(lit(EV.IsPartOf), concat(lit("urn:super/"), ck % 5), noLang)
           .withField("subject", coll),
-        // carrier family
+        // carrier family — crep/pc carry their REQUIRED type rows
+        // (av-audio.sparql:379-384)
         q(lit(EV.Isr), crep, noLang).withField("subject", e),
+        q(lit(graft.model.Ns.RdfType), lit(EV.CarrierRepresentation), noLang)
+          .withField("subject", crep),
         q(lit(EV.StoredAt), pc, noLang).withField("subject", crep),
+        q(lit(graft.model.Ns.RdfType), lit(EV.PhysicalCarrier), noLang)
+          .withField("subject", pc),
+        // reel arm (:437-453): even carriers are ImageReels; the
+        // ontology labels the type nl (plus an en decoy the lang filter
+        // must drop) — car_type binds and the coloring arm unlocks
+        q(lit(graft.model.Ns.RdfType), onlyIf(even, lit(EV.ImageReel)), noLang)
+          .withField("subject", pc),
+        q(lit(EV.RdfsLabel), lit("beeldspoel"), lit("nl"))
+          .withField("subject", lit(EV.ImageReel)),
+        q(lit(EV.RdfsLabel), lit("image reel"), lit("en"))
+          .withField("subject", lit(EV.ImageReel)),
         q(lit(EV.SchemaNs + "name"), concat(lit("Carrier "), ok), lit("nl"))
           .withField("subject", pc),
         q(lit(EV.SchemaNs + "name"), lit("EN Carrier"), lit("en"))
@@ -657,9 +673,19 @@ object QuadBattery {
         q(lit(EV.RdfValue), concat(lit("s3://b/"), ok), noLang)
           .withField("subject", loc),
         q(lit(EV.Includes), file, noLang).withField("subject", rep),
-        // roles + things
-        q(lit(EV.Creator), th, noLang).withField("subject", e),
-        q(lit(EV.RoleName), lit("maker"), noLang).withField("subject", th),
+        // roles + things — the TWO-node structure (av-audio.sparql
+        // :328-343): e →creator→ role (a Role, roleName) →creator→
+        // thing (a Thing, name). The direct e →contributor→ thing decoy
+        // is the OLD flattened shape and must produce NO role row (the
+        // thing is not a typed Role node).
+        q(lit(EV.Creator), roleNode, noLang).withField("subject", e),
+        q(lit(graft.model.Ns.RdfType), lit(EV.SchemaRole), noLang)
+          .withField("subject", roleNode),
+        q(lit(EV.RoleName), lit("maker"), noLang).withField("subject", roleNode),
+        q(lit(EV.Creator), th, noLang).withField("subject", roleNode),
+        q(lit(EV.Contributor), th, noLang).withField("subject", e),
+        q(lit(graft.model.Ns.RdfType), lit(EV.SchemaThing), noLang)
+          .withField("subject", th),
         q(lit(EV.SchemaNs + "name"), concat(lit("Thing "), ck), noLang)
           .withField("subject", th)
       )).as("t"))
@@ -684,7 +710,7 @@ object QuadBattery {
         col("ebucore_has_captioning"), col("bibframe_production_method"),
         col("schema_identifier").as("carrier_identifier"),
         col("schema_material"), col("schema_material_extent"),
-        col("schema_height"), col("digitization_date"))
+        col("schema_height"), col("digitization_date"), col("car_type"))
       val colr = tables("graph.ha_des_coloring_type")
         .select(col("carrier_id"), col("ha_des_coloring_type"))
       val repT = tables("graph.representation").select(
@@ -719,7 +745,7 @@ object QuadBattery {
           col("premis_medium"), col("ebucore_has_captioning"),
           col("bibframe_production_method"), col("carrier_identifier"),
           col("schema_material"), col("schema_material_extent"),
-          col("schema_height"), col("digitization_date"),
+          col("schema_height"), col("digitization_date"), col("car_type"),
           col("ha_des_coloring_type"), col("rep_id"), col("rep_name"),
           col("schema_caption"), col("schema_transcript"),
           col("schema_start_time"), col("schema_end_time"),

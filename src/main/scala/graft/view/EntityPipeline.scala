@@ -42,17 +42,18 @@ import graft.functions.{Functions => F}
   * | :310 schema:creditText | ie scalar | ieScalars |
   * | :311 ebucore:synopsis | ie scalar | ieScalars ebucore_synopsis |
   * | :313 copyrightHolder prefLabel\|name | `\|`-alt | 2 BranchSpecs, one table |
-  * | :328 roles (creator/contributor/publisher) + roleName + thing | child tables | roleRows + thingRows |
+  * | :328 roles: ie→role node (a Role, roleName) →creator\|contributor\|publisher→ thing (a Thing, name) | child tables | roleCore/roleRows + thingRows |
   * | :346 isPartOf + collection VALUES-type + name + season/parent | child tables | collLinks + collectionRows |
-  * | :368 rel:isr/premis:storedAt carrier: nl name, thesauri medium | child table | carrierLink/carrierRows |
+  * | :368 rel:isr ?crep (a CarrierRepresentation) storedAt ?pc (a PhysicalCarrier): nl name + thesauri nl medium MANDATORY | child table | crepLink/carrierRows |
   * | :392 captioning EXISTS | bool bind | existsFlag in carrierRows |
   * | :398 bf:productionMethod (crep, thesauri) | carrier col | crepMethod |
   * | :405 pc schema:identifier | carrier col | carrierRows |
   * | :409 ^eror:sou digitization date | `^`-path | digitizedAt |
   * | :416 height value+unit | quantity node | quantity(HeightProp) |
   * | :423 width value+unit | quantity node | quantity(WidthProp) |
-  * | :430 materialExtent / :433 material | carrier cols | carrierRows |
-  * | :437 reel type + coloringType (thesauri) | side table | coloringRows |
+  * | :430 materialExtent / :433 material | carrier cols | carrierRows (fused pcScalars pass) |
+  * | :437 reel VALUES type + nl rdfs:label → car_type | carrier col | carType |
+  * | :446 coloringType (thesauri, OPTIONAL inside reel arm) | side table | coloringRows (reel-gated) |
   * | :459 digital/fragment rep + nl name | child table | rep (premis_represents) |
   * | :465 fragment start/end/isMediaFragmentOf | rep cols | repScalars |
   * | :476 rep inLanguage/hsr/hss/nextInSeq/caption/transcript | rep cols | repScalars |
@@ -94,6 +95,10 @@ object EntityPipeline {
     val Creator = SchemaNs + "creator"
     val Contributor = SchemaNs + "contributor"
     val Publisher = SchemaNs + "publisher"
+    // role/thing node types (av-audio.sparql:336-339: ?role a
+    // schema:Role, ?thing a schema:Thing — both mandatory)
+    val SchemaRole = SchemaNs + "Role"
+    val SchemaThing = SchemaNs + "Thing"
     // IE scalar families added by the av-audio.sparql:231-520 audit
     val HaDesNs = "https://data.hetarchief.be/ns/description/"
     val MinDateCreated = HaDesNs + "minDateCreated"
@@ -123,6 +128,16 @@ object EntityPipeline {
     // carrier family (av-audio.sparql:364-453)
     val RelNs = "http://id.loc.gov/vocabulary/preservation/relationshipSubType/"
     val Isr = RelNs + "isr"
+    // required node types (av-audio.sparql:379-384: ?crep a
+    // haObj:CarrierRepresentation, ?pc a haObj:PhysicalCarrier)
+    val HaObjNs = "https://data.hetarchief.be/ns/object/"
+    val CarrierRepresentation = HaObjNs + "CarrierRepresentation"
+    val PhysicalCarrier = HaObjNs + "PhysicalCarrier"
+    // reel-type VALUES arm (av-audio.sparql:437-453): the carrier's
+    // car_type is the nl rdfs:label of its ImageReel/AudioReel type row
+    val ImageReel = HaDesNs + "ImageReel"
+    val AudioReel = HaDesNs + "AudioReel"
+    val RdfsLabel = "http://www.w3.org/2000/01/rdf-schema#label"
     val StoredAt = "http://www.loc.gov/premis/rdf/v3/storedAt"
     val Medium = "http://www.loc.gov/premis/rdf/v3/medium"
     val ProductionMethod = "http://id.loc.gov/ontologies/bibframe/productionMethod"
@@ -349,33 +364,54 @@ object EntityPipeline {
       .select(col("s").as("intellectual_entity_id"),
         col("mh_fragment_identifier"), lit(false).as("is_deleted"))
 
-    // Roles: role type derived from the predicate (nested IF →
-    // when-chain, av-audio.sparql:330-334); synthesized row key
-    // (IRI(CONCAT(...md5...)), :228-229); the role node's
-    // schema:roleName rides along as a left-joined scalar (:336).
-    val roleRows = Seq(Creator -> "schema_creator", Contributor -> "schema_contributor",
-      Publisher -> "schema_publisher")
-      .map { case (pred, roleType) =>
-        po(quads, pred, "thing_id")
-          .join(base, Seq("s"), "left_semi")
-          .select(
-            F.synthKey(col("s"), roleType, col("thing_id")).as("id"),
-            lit(roleType).as("type"),
-            col("s").as("intellectual_entity_id"),
-            col("thing_id"))
-      }
-      .reduce(_ unionByName _)
-      .join(optionalSingle(quads, RoleName, "schema_role_name")
-        .select(col("s").as("thing_id"), col("schema_role_name")),
-        Seq("thing_id"), "left")
-      .select(col("id"), col("type"), col("intellectual_entity_id"),
+    // Roles & things (av-audio.sparql:328-343) — the TWO-node structure:
+    // `?ie ?role_pred ?role . ?role a schema:Role ; schema:roleName ?n ;
+    // schema:creator|contributor|publisher ?thing . ?thing a
+    // schema:Thing ; schema:name ?tn` — every pattern MANDATORY, the row
+    // id is the role NODE itself (CONSTRUCT `:id ?role`, :93-98), the
+    // roleName lives on the role node, and the thing hangs one hop
+    // further. role_type classifies the ie→role predicate with the
+    // reference's "unknown" fallback (nested IF, :330-334).
+    // Multi-valued roleName/thing-name aggregate to a deterministic
+    // single value (lexicographic min) so one link stays one row.
+    val rolePreds = Seq(Creator, Contributor, Publisher)
+    // distinct: RDF quads are a SET, but a melted feed repeats a shared
+    // node's type statement once per referring row (same trap as
+    // collLinks below) — these type slices feed INNER joins, so a
+    // duplicate type row would duplicate every downstream row.
+    val thingNamed = typed(quads, SchemaThing).distinct()
+      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"),
+        Seq("s")) // inner ⇒ the name is mandatory (:339)
+    // One row per well-formed role node: typed, named, linked to a
+    // typed+named thing. This side is tiny relative to the quad corpus
+    // (only role nodes survive the type semi-join), so the any-predicate
+    // join below broadcasts it rather than shuffling the big slice.
+    val roleCore = typed(quads, SchemaRole).distinct()
+      .join(optionalSingle(quads, RoleName, "schema_role_name"),
+        Seq("s")) // inner ⇒ roleName mandatory (:337)
+      .join(quads.filter(col("predicate").isin(rolePreds: _*))
+        .select(col("subject").as("s"), col("obj").as("thing_id")).distinct(),
+        Seq("s")) // role → thing via creator|contributor|publisher (:338)
+      .join(thingNamed.select(col("s").as("thing_id")), Seq("thing_id"),
+        "left_semi") // thing must be typed schema:Thing with a name
+      .select(col("s").as("role"), col("schema_role_name"), col("thing_id"))
+    val roleRows = quads
+      .select(col("subject").as("s"), col("predicate").as("role_pred"),
+        col("obj").as("role"))
+      .join(base, Seq("s"), "left_semi")
+      .join(roleCore, Seq("role"))
+      .select(col("role").as("id"),
+        when(col("role_pred") === Creator, "schema_creator")
+          .when(col("role_pred") === Contributor, "schema_contributor")
+          .when(col("role_pred") === Publisher, "schema_publisher")
+          .otherwise("unknown").as("type"),
+        col("s").as("intellectual_entity_id"),
         col("schema_role_name"), col("thing_id"))
 
-    // Things referenced by roles (av-audio.sparql:338-339 ?thing a
-    // schema:Thing; schema:name): one row per distinct role target.
+    // Things referenced by roles: one row per distinct role target
+    // (CONSTRUCT `?thing :id ?thing; :schema_name ?thing_schema_name`).
     val thingRows = roleRows.select(col("thing_id").as("s")).distinct()
-      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"),
-        Seq("s"), "left")
+      .join(thingNamed, Seq("s"))
       .select(col("s").as("id"), col("schema_name"))
 
     // Collection family (av-audio.sparql:341-362): ?ie schema:isPartOf
@@ -425,37 +461,63 @@ object EntityPipeline {
     // mid| — measured as a 3-partition billion-row spilling sort at
     // sf0.1. Aggregated first, the label side is one row per mid and
     // the join is linear in the links.
-    def hop2(p1: String, p2: String, as: String): DataFrame = {
-      val labels = po(quads, p2, as).groupBy(col("s"))
+    def hop2(p1: String, p2: String, as: String,
+             langFilter: Option[String] = None): DataFrame = {
+      val raw = po(quads, p2, as)
+      // `FILTER langMatches(lang(?label), "nl")` inside the thesauri
+      // hop (av-audio.sparql:386-390,400-402,446-449): a non-nl-labeled
+      // mid node contributes nothing.
+      val fl = langFilter match {
+        case Some(l) => raw.filter(col(s"${as}_lang").startsWith(l))
+        case None    => raw
+      }
+      val labels = fl.groupBy(col("s"))
         .agg(F.langPreferredFirst(col(as), col(s"${as}_lang")).as(as))
         .select(col("s").as("mid"), col(as))
       po(quads, p1, "mid").select(col("s"), col("mid"))
         .join(labels, Seq("mid"))
         .groupBy(col("s")).agg(min(col(as)).as(as))
     }
-    // quantity node: ?x <prop> ?q . ?q schema:value ?v ; schema:unitText
-    // ?u → concat(v, ' ', u) (av-audio.sparql:416-427)
-    def quantity(prop: String, as: String): DataFrame = {
-      val node = po(quads, prop, "node")
-        .select(col("s"), col("node"))
+    // quantity nodes: ?x <prop> ?q . ?q schema:value ?v ; schema:unitText
+    // ?u → concat(v, ' ', u) (av-audio.sparql:416-427) — BOTH props
+    // (height, width) in one pass: one multi-predicate slice, one
+    // mid-node join pair, one conditional-agg shuffle instead of two of
+    // each (the same fusion optionalSingles does for plain scalars).
+    def quantities(props: Seq[(String, String)]): DataFrame = {
+      val node = quads.filter(col("predicate").isin(props.map(_._1): _*))
+        .select(col("subject").as("s"), col("predicate").as("prop"),
+          col("obj").as("node"))
       val v = po(quads, ValueProp, "v").select(col("s").as("node"), col("v"))
       val u = po(quads, UnitText, "u").select(col("s").as("node"), col("u"))
+      val aggs = props.map { case (prop, as) =>
+        min(when(col("prop") === prop, concat(col("v"), lit(" "), col("u"))))
+          .as(as)
+      }
       node.join(v, Seq("node")).join(u, Seq("node"))
-        .groupBy(col("s"))
-        .agg(min(concat(col("v"), lit(" "), col("u"))).as(as))
+        .groupBy(col("s")).agg(aggs.head, aggs.tail: _*)
     }
     def byPc(df: DataFrame): DataFrame = df.withColumnRenamed("s", "pc")
 
-    val carrierLink = seqPath(quads, Isr, StoredAt, "pc")
+    // ?ie rel:isr ?crep (a haObj:CarrierRepresentation) premis:storedAt
+    // ?pc (a haObj:PhysicalCarrier) — both type rows REQUIRED
+    // (av-audio.sparql:379-384); kept as (ie, crep, pc) so the
+    // production-method arm reuses the typed link instead of re-deriving
+    // it.
+    val crepLink = po(quads, Isr, "crep").select(col("s"), col("crep"))
       .join(base, Seq("s"), "left_semi")
+      .join(typed(quads, CarrierRepresentation).select(col("s").as("crep")),
+        Seq("crep"), "left_semi")
+      .join(po(quads, StoredAt, "pc").select(col("s").as("crep"), col("pc")),
+        Seq("crep"))
+      .join(typed(quads, PhysicalCarrier).select(col("s").as("pc")),
+        Seq("pc"), "left_semi")
+    val carrierLink = crepLink
       .select(col("s").as("intellectual_entity_id"), col("pc"))
     // production method hangs off the carrier REPRESENTATION node, not
     // the physical carrier (av-audio.sparql:398-403)
-    val crepMethod = po(quads, Isr, "crep")
-      .join(base, Seq("s"), "left_semi")
-      .join(po(quads, StoredAt, "pc").select(col("s").as("crep"), col("pc")),
-        Seq("crep"))
-      .join(hop2(ProductionMethod, PrefLabel, "bibframe_production_method")
+    val crepMethod = crepLink.select(col("crep"), col("pc"))
+      .join(hop2(ProductionMethod, PrefLabel, "bibframe_production_method",
+        langFilter = Some("nl"))
         .select(col("s").as("crep"), col("bibframe_production_method")),
         Seq("crep"))
       .groupBy(col("pc"))
@@ -466,22 +528,41 @@ object EntityPipeline {
       .join(po(quads, StartedAtTime, "digitization_date")
         .select(col("s").as("event"), col("digitization_date")), Seq("event"))
       .groupBy(col("s")).agg(min(col("digitization_date")).as("digitization_date"))
+    // reel-type VALUES arm (av-audio.sparql:437-453): ?pc a ?type_res
+    // VALUES { ImageReel AudioReel }, car_type = the type row's nl
+    // rdfs:label — an optional carrier column, and the gate the coloring
+    // side table sits behind.
+    val reelTyped = quads.filter(col("predicate") === graft.model.Ns.RdfType &&
+        col("obj").isin(ImageReel, AudioReel))
+      .select(col("subject").as("pc"), col("obj").as("type_res")).distinct()
+    val reelLabels = po(quads, RdfsLabel, "car_type")
+      .filter(col("car_type_lang").startsWith("nl"))
+      .groupBy(col("s")).agg(min(col("car_type")).as("car_type"))
+      .select(col("s").as("type_res"), col("car_type"))
+    val carType = reelTyped.join(reelLabels, Seq("type_res"))
+      .groupBy(col("pc")).agg(min(col("car_type")).as("car_type"))
+    // The four single-predicate scalars share ONE conditional-agg pass
+    // (the ieScalars fusion): 1 shuffle + 1 join instead of 4 of each.
+    // The join is INNER and nl name is then required — `?pc schema:name
+    // ?n ; premis:medium ?m` with the nl lang filter are mandatory
+    // patterns (:383-390): a carrier without both produces NO row.
+    val pcScalars: Seq[(String, String, Option[String])] = Seq(
+      (SchemaNs + "name", "schema_name", Some("nl")),
+      (Identifier, "schema_identifier", None),
+      (Material, "schema_material", None),
+      (MaterialExtent, "schema_material_extent", None))
     val carrierRows = carrierLink
-      .join(byPc(optionalSingle(quads, SchemaNs + "name", "schema_name",
-        langFilter = Some("nl"))), Seq("pc"), "left")
-      .join(byPc(hop2(Medium, PrefLabel, "premis_medium")), Seq("pc"), "left")
+      .join(byPc(optionalSingles(quads, pcScalars)), Seq("pc"))
+      .filter(col("schema_name").isNotNull)
+      .join(byPc(hop2(Medium, PrefLabel, "premis_medium",
+        langFilter = Some("nl"))), Seq("pc")) // inner: medium mandatory
       .join(byPc(existsFlag(quads, HasCaptioning, graft.model.Ns.RdfType,
         OpenCaptions, "ebucore_has_captioning")), Seq("pc"), "left")
       .join(crepMethod, Seq("pc"), "left")
-      .join(byPc(optionalSingle(quads, Identifier, "schema_identifier")),
-        Seq("pc"), "left")
-      .join(byPc(optionalSingle(quads, Material, "schema_material")),
-        Seq("pc"), "left")
-      .join(byPc(optionalSingle(quads, MaterialExtent, "schema_material_extent")),
-        Seq("pc"), "left")
-      .join(byPc(quantity(HeightProp, "schema_height")), Seq("pc"), "left")
-      .join(byPc(quantity(WidthProp, "schema_width")), Seq("pc"), "left")
+      .join(byPc(quantities(Seq(HeightProp -> "schema_height",
+        WidthProp -> "schema_width"))), Seq("pc"), "left")
       .join(byPc(digitizedAt), Seq("pc"), "left")
+      .join(carType, Seq("pc"), "left")
       .select(col("pc").as("id"), col("intellectual_entity_id"),
         col("schema_name"), col("premis_medium"),
         coalesce(col("ebucore_has_captioning"), lit(false))
@@ -489,10 +570,14 @@ object EntityPipeline {
         col("bibframe_production_method"), col("schema_identifier"),
         col("schema_material"), col("schema_material_extent"),
         col("schema_height"), col("schema_width"),
-        col("digitization_date"))
+        col("digitization_date"), col("car_type"))
+    // coloring rows exist only inside the matched reel arm: the pc must
+    // carry a LABELED reel type (the OPTIONAL coloring block is nested
+    // in that UNION arm, :446-453).
     val coloringRows = carrierLink.select(col("pc")).distinct()
-      .join(byPc(hop2(ColoringType, PrefLabel, "ha_des_coloring_type")),
-        Seq("pc"))
+      .join(carType.select(col("pc")), Seq("pc"), "left_semi")
+      .join(byPc(hop2(ColoringType, PrefLabel, "ha_des_coloring_type",
+        langFilter = Some("nl"))), Seq("pc"))
       .select(col("pc").as("carrier_id"), col("ha_des_coloring_type"))
 
     // Representation → file navigation (object→subject joins,

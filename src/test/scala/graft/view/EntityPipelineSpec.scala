@@ -25,6 +25,16 @@ class EntityPipelineSpec extends SparkSuite {
     t("ie1", Keywords, "nieuws"),
     t("ie1", Keywords, "archief"),
     t("ie1", Genre, "journaal"),
+    // roles: the TWO-node structure (av-audio.sparql:328-343) — ie →
+    // creator → role node (a schema:Role, roleName) → creator → thing
+    // (a schema:Thing, name). The direct ie→creator→thing triple below
+    // is the OLD flattened shape kept as a decoy: it must yield NO row.
+    t("ie1", Creator, "urn:role/1"),
+    t("urn:role/1", Ns.RdfType, SchemaRole),
+    t("urn:role/1", RoleName, "maker"),
+    t("urn:role/1", Creator, "urn:thing/jan"),
+    t("urn:thing/jan", Ns.RdfType, SchemaThing),
+    t("urn:thing/jan", Name, "Jan"),
     t("ie1", Creator, "urn:thing/jan"),
     t("ie1", FragmentPid, "pid-ie1"),
     t("ie1", PremisId, "urn:primary:qs25b0dn3k"),
@@ -81,15 +91,20 @@ class EntityPipelineSpec extends SparkSuite {
     assert(videoFiles == Set("file1")) // peak json dropped
   }
 
-  test("duration parses to seconds; roles get synthesized keys and types") {
+  test("duration parses to seconds; two-node roles keyed by role node") {
     val tables = EntityPipeline(quads, EntityPipeline.avAudio)
     val f1 = tables("graph.file").filter("id = 'file1'").collect().head
     assert(f1.getAs[Double]("schema_duration") == 3723.0)
     val roles = tables("graph.schema_role").collect()
-    assert(roles.length == 1)
+    assert(roles.length == 1) // the flattened decoy produced no row
     assert(roles.head.getAs[String]("type") == "schema_creator")
-    assert(roles.head.getAs[String]("id").startsWith("ie1/schema_creator/"))
+    // CONSTRUCT `:id ?role` (av-audio.sparql:94): the id IS the role node
+    assert(roles.head.getAs[String]("id") == "urn:role/1")
+    assert(roles.head.getAs[String]("schema_role_name") == "maker")
     assert(roles.head.getAs[String]("thing_id") == "urn:thing/jan")
+    val things = tables("graph.thing").collect()
+    assert(things.map(r => (r.getAs[String]("id"), r.getAs[String]("schema_name")))
+      .toSet == Set(("urn:thing/jan", "Jan")))
   }
 
   test("premis identifier classification: primary vs local name") {
