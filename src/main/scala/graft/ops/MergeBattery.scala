@@ -180,6 +180,70 @@ object MergeBattery {
     }
   )
 
+  /** Orphan cleanup ([[Upsert.dropOrphans]], SURVEY.md §2.3 #30 —
+    * reference database.ts:300-355: DELETE representations whose IE is
+    * gone; DELETE includes rows whose rep or file is gone). Modeled as
+    * the kept-set chain: surviving IEs = non-'F' orders; reps =
+    * lineitem rows kept per IE; includes = (rep→file) pairs kept only
+    * when BOTH the rep survived the first cleanup AND the file survived
+    * its own filter — two semi-joins, zero extra shuffles beyond them. */
+  val orphanCleanup = Q(
+    "q_orphan_cleanup",
+    Some(
+      "SELECT l_orderkey AS rep_id, l_partkey AS file_id FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderstatus <> 'F') " +
+        "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25) " +
+        "ORDER BY 1, 2"),
+    (s, dir) => {
+      val surviving = Td(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+      val reps = Upsert.dropOrphans(
+        Td(s, dir, "lineitem"), surviving, "l_orderkey", "o_orderkey")
+      val files = Td(s, dir, "part").filter(col("p_size") > 25)
+      val includes = reps
+        .select(col("l_orderkey").as("rep_id"), col("l_partkey").as("file_id"))
+      Upsert.dropOrphans(includes, files, "file_id", "p_partkey")
+        .orderBy(col("rep_id"), col("file_id"))
+    }
+  )
+
+  /** Org-rename detection ([[graft.run.Runner.renamedOrgs]], SURVEY.md
+    * §2.9 #82 — reference arc_db_load_index_tables_flow.py:156-227):
+    * the organization dimension's current label is compared against the
+    * maintainer name stored INSIDE each partition's documents; a
+    * mismatch marks that whole partition for truncate+rebuild. Nations
+    * play the orgs; even nation keys carry a stale stored name. The
+    * driver-side collect is bounded by the org count (25 here; ~300 in
+    * the reference's catalog), which is the reference's own shape — the
+    * rebuild list feeds orchestration, not a data path. */
+  val orgRename = Q(
+    "q_org_rename",
+    Some(
+      "SELECT lower(n_name) AS org_index FROM nation " +
+        "WHERE n_nationkey % 2 = 0 ORDER BY 1"),
+    (s, dir) => {
+      val nation = Td(s, dir, "nation")
+      val orgDim = nation.select(
+        col("n_name").as("org_identifier"),
+        concat(lit("Org "), col("n_name")).as("skos_pref_label"))
+      // two docs per org: one with the stored maintainer name (stale
+      // for even keys), one without the field (first(ignoreNulls) must
+      // skip it — the reference reads the name off whichever stored doc
+      // has one)
+      val named = nation.select(
+        lower(col("n_name")).as("index"),
+        concat(lit("{\"schema_maintainer\":{\"schema_name\":\"Org"),
+          when(col("n_nationkey") % 2 === 0, lit(" OLD ")).otherwise(lit(" ")),
+          col("n_name"), lit("\"}}")).as("document"))
+      val unnamed = nation.select(
+        lower(col("n_name")).as("index"), lit("{}").as("document"))
+      val renamed = graft.run.Runner.renamedOrgs(
+        orgDim, unnamed.unionByName(named))
+      import s.implicits._
+      renamed.sorted.toDF("org_index")
+    }
+  )
+
   val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert,
-    streamSync)
+    streamSync, orphanCleanup, orgRename)
 }

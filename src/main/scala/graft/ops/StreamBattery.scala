@@ -22,6 +22,29 @@ import graft.streaming.EventTimeOps
   */
 object StreamBattery {
 
+  /** Run `body` with the RocksDB state store provider — the provider a
+    * full-corpus deployment uses (state no longer bounded by executor
+    * heap; see EventTimeOps scaladoc). Gating the custom-state queries
+    * on it proves the sessionize/dedup state contracts are not
+    * HDFSBackedStateStore-only: same oracle hashes either way.
+    * Restores the previous provider afterwards — Verify/Bench share one
+    * session across the battery. `GRAFT_STATE_STORE=hdfs` opts out
+    * (e.g. a platform without the rocksdbjni native lib). */
+  private def withStateStore[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    if (sys.env.get("GRAFT_STATE_STORE").contains("hdfs")) body
+    else {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   private def writeSlice(df: DataFrame, dir: String, seq: Int): Unit = {
     val spark = df.sparkSession
     df.coalesce(1).write.mode("append").parquet(dir)
@@ -60,7 +83,7 @@ object StreamBattery {
         "PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
         "SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms, " +
         "count(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1, 2"),
-    (s, dir) => {
+    (s, dir) => withStateStore(s) {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_stream_sess")
         .toString
@@ -115,7 +138,7 @@ object StreamBattery {
         "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents) " +
         "SELECT min(doc_id) AS doc_id, content_hash FROM u " +
         "GROUP BY content_hash ORDER BY 1"),
-    (s, dir) => {
+    (s, dir) => withStateStore(s) {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
         .toString
@@ -140,5 +163,90 @@ object StreamBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(streamSessionize, streamDedup)
+  /** Multi-table streaming sync ([[graft.streaming.StreamingSync.start]]):
+    * each micro-batch of RAW QUADS is pivoted per registry table and
+    * merged in FK topo order — parent `graph.intellectual_entity` (PK
+    * merge) before child `graph.schema_license` (entity-key key-clear) —
+    * the full streaming analogue of the reference's per-run load
+    * (2_database_load.ts:188-223), here once per micro-batch.
+    *
+    * Three slices with PINNED batch order (the seed must land first —
+    * the update waves overwrite its rows): a full seed giving every
+    * entity name `N-id` and licenses {L0,L1}, then two disjoint-entity
+    * waves (1997–98 orders → `U1-id`/{L2}; 1999+ orders → `U2-id`/
+    * {L3,L4}). Because the waves touch disjoint entities, the end state
+    * has the closed form the oracle states: the last wave to touch an
+    * entity defines BOTH its parent row (PK last-writer-wins) and its
+    * complete license set (key-clear replaced the seed's rows). */
+  val streamMultisync = Q(
+    "q_stream_multisync",
+    Some(
+      "WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS id, " +
+        "CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 2 " +
+        "WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS ph " +
+        "FROM orders), " +
+        "n AS (SELECT id, (CASE ph WHEN 0 THEN 'N-' WHEN 1 THEN 'U1-' " +
+        "ELSE 'U2-' END) || id AS schema_name, ph FROM p), " +
+        "lic AS (SELECT id, 'L0' AS schema_license FROM p WHERE ph = 0 " +
+        "UNION ALL SELECT id, 'L1' FROM p WHERE ph = 0 " +
+        "UNION ALL SELECT id, 'L2' FROM p WHERE ph = 1 " +
+        "UNION ALL SELECT id, 'L3' FROM p WHERE ph = 2 " +
+        "UNION ALL SELECT id, 'L4' FROM p WHERE ph = 2) " +
+        "SELECT n.id, n.schema_name, l.schema_license " +
+        "FROM n JOIN lic l ON l.id = n.id ORDER BY 1, 3"),
+    (s, dir) => {
+      import graft.model.{Ns, Tables}
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_multi")
+        .toString
+      val feed = s"$base/feed"; val target = s"$base/tables"
+      val o = Td(s, dir, "orders")
+      val kg = Ns.KgToPostgres
+      // one quad as a struct matching QuadSource.schema
+      def q3(subj: org.apache.spark.sql.Column, pred: String,
+             ob: org.apache.spark.sql.Column) =
+        struct(subj.as("subject"), lit(pred).as("predicate"), ob.as("obj"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("datatype"),
+          lit(null).cast("string").as("graph"))
+      // one slice: parent record + `lics` license child records per order
+      def slice(rows: DataFrame, prefix: String, lics: Seq[String],
+                tag: String): DataFrame = {
+        val okS = col("o_orderkey").cast("string")
+        val ie = concat(lit("urn:ie/"), okS)
+        val parent = Seq(
+          q3(ie, Ns.TableName, lit(Tables.intellectualEntity.name)),
+          q3(ie, kg + "id", okS),
+          q3(ie, kg + "schema_name", concat(lit(prefix), okS)))
+        val lic = lics.zipWithIndex.flatMap { case (l, i) =>
+          val subj = concat(lit(s"urn:lic/$tag/$i/"), okS)
+          Seq(
+            q3(subj, Ns.TableName, lit(Tables.schemaLicense.name)),
+            q3(subj, kg + "intellectual_entity_id", okS),
+            q3(subj, kg + "schema_license", lit(l)))
+        }
+        rows.select(explode(array(parent ++ lic: _*)).as("t")).select("t.*")
+      }
+      val d = col("o_orderdate")
+      val t97 = lit("1997-01-01").cast("timestamp")
+      val t99 = lit("1999-01-01").cast("timestamp")
+      writeSlice(slice(o, "N-", Seq("L0", "L1"), "s0"), feed, 0)
+      writeSlice(slice(o.filter(d >= t97 && d < t99), "U1-", Seq("L2"), "s1"),
+        feed, 1)
+      writeSlice(slice(o.filter(d >= t99), "U2-", Seq("L3", "L4"), "s2"),
+        feed, 2)
+      val q = graft.streaming.StreamingSync.start(
+        s.readStream.schema(graft.source.QuadSource.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed),
+        Seq(Tables.intellectualEntity, Tables.schemaLicense),
+        target, s"$base/ckpt")
+      q.awaitTermination()
+      val parent = s.read.parquet(s"$target/graph_intellectual_entity")
+        .select(col("id"), col("schema_name"))
+      val lic = s.read.parquet(s"$target/graph_schema_license")
+        .select(col("intellectual_entity_id").as("id"), col("schema_license"))
+      parent.join(lic, Seq("id")).orderBy(col("id"), col("schema_license"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync)
 }

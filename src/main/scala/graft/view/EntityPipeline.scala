@@ -375,31 +375,42 @@ object EntityPipeline {
     // Multi-valued roleName/thing-name aggregate to a deterministic
     // single value (lexicographic min) so one link stays one row.
     val rolePreds = Seq(Creator, Contributor, Publisher)
-    // distinct: RDF quads are a SET, but a melted feed repeats a shared
-    // node's type statement once per referring row (same trap as
-    // collLinks below) — these type slices feed INNER joins, so a
-    // duplicate type row would duplicate every downstream row.
-    val thingNamed = typed(quads, SchemaThing).distinct()
-      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"),
-        Seq("s")) // inner ⇒ the name is mandatory (:339)
+    // typedWithSingles fuses the type flag (set-semantics dedup of a
+    // melted feed's repeated type rows — these feed INNER joins, so a
+    // duplicate would multiply downstream rows) with the name pick: one
+    // shuffle instead of distinct + aggregate + join. The isNotNull
+    // filter is the unfused form's inner join: the name/roleName are
+    // MANDATORY patterns (:337,:339).
+    val thingNamed = typedWithSingles(quads, SchemaThing,
+      Seq((SchemaNs + "name", "schema_name", None)))
+      .filter(col("schema_name").isNotNull)
     // One row per well-formed role node: typed, named, linked to a
     // typed+named thing. This side is tiny relative to the quad corpus
     // (only role nodes survive the type semi-join), so the any-predicate
     // join below broadcasts it rather than shuffling the big slice.
-    val roleCore = typed(quads, SchemaRole).distinct()
-      .join(optionalSingle(quads, RoleName, "schema_role_name"),
-        Seq("s")) // inner ⇒ roleName mandatory (:337)
+    val roleCore = typedWithSingles(quads, SchemaRole,
+      Seq((RoleName, "schema_role_name", None)))
+      .filter(col("schema_role_name").isNotNull)
       .join(quads.filter(col("predicate").isin(rolePreds: _*))
         .select(col("subject").as("s"), col("obj").as("thing_id")).distinct(),
         Seq("s")) // role → thing via creator|contributor|publisher (:338)
       .join(thingNamed.select(col("s").as("thing_id")), Seq("thing_id"),
         "left_semi") // thing must be typed schema:Thing with a name
       .select(col("s").as("role"), col("schema_role_name"), col("thing_id"))
+    // The `?ie ?role_pred ?role` pattern has an UNBOUND predicate — the
+    // only slice of the pipeline that cannot predicate-prune, so joined
+    // unhinted it shuffles the ENTIRE quad input on obj (measured 118 MB
+    // at sf0.1, the single biggest exchange in the plan). The broadcast
+    // hint makes it a map-side filter: role nodes are a metadata sliver
+    // of any real corpus (each carries its mandatory type+roleName rows,
+    // already aggregated to one row here), the same boundedness argument
+    // as the thesauri label sides. The base semi-join then runs on the
+    // surviving links only.
     val roleRows = quads
       .select(col("subject").as("s"), col("predicate").as("role_pred"),
         col("obj").as("role"))
+      .join(broadcast(roleCore), Seq("role"))
       .join(base, Seq("s"), "left_semi")
-      .join(roleCore, Seq("role"))
       .select(col("role").as("id"),
         when(col("role_pred") === Creator, "schema_creator")
           .when(col("role_pred") === Contributor, "schema_contributor")
@@ -435,12 +446,14 @@ object EntityPipeline {
       .filter(col("coll_type").isin(CollectionTypes.map(_._1): _*))
       .select(col("s").as("intellectual_entity_id"),
         collTypeName.as("type"), col("collection_id"))
+    // the three collection scalars share ONE conditional-agg pass
+    // (the ieScalars fusion): 1 shuffle + 1 join instead of 3 of each
     val collectionRows = collLinks.select(col("collection_id").as("s"),
         col("type")).distinct()
-      .join(optionalSingle(quads, SchemaNs + "name", "schema_name"), Seq("s"), "left")
-      .join(optionalSingle(quads, SeasonNumber, "schema_season_number"),
-        Seq("s"), "left")
-      .join(optionalSingle(quads, IsPartOf, "schema_is_part_of"), Seq("s"), "left")
+      .join(optionalSingles(quads, Seq(
+        (SchemaNs + "name", "schema_name", None),
+        (SeasonNumber, "schema_season_number", None),
+        (IsPartOf, "schema_is_part_of", None))), Seq("s"), "left")
       .select(col("s").as("id"), col("type").as("collection_type"),
         col("schema_name"), col("schema_season_number"),
         col("schema_is_part_of"))
@@ -605,17 +618,18 @@ object EntityPipeline {
         repScalars.map { case (_, c, _) => col(c) }): _*)
     val fileMime = po(quads, MimeType, "ebucore_has_mime_type")
       .filter(col("ebucore_has_mime_type").isin(cfg.mimeTypes: _*))
-    val fileName = optionalSingle(quads, OriginalName, "premis_original_name")
-    val fileDur = optionalSingle(quads, Duration, "dur_raw")
-    // file extras (av-audio.sparql:483-520): nl display name, storedAt
-    // → rdf:value two-hop, thumbnail url, sequence link
+    // file extras (av-audio.sparql:483-520): original name, duration,
+    // nl display name, thumbnail url, sequence link — ALL the file's
+    // single-predicate scalars in one conditional-agg pass (the
+    // storedAt → rdf:value two-hop stays separate: it joins through a
+    // mid node).
     val fileScalars: Seq[(String, String, Option[String])] = Seq(
+      (OriginalName, "premis_original_name", None),
+      (Duration, "dur_raw", None),
       (SchemaNs + "name", "schema_name", Some("nl")),
       (ThumbnailUrl, "schema_thumbnail_url", None),
       (NextInSequence, "edm_is_next_in_sequence", None))
     val files = fileMime
-      .join(fileName, Seq("s"), "left")
-      .join(fileDur, Seq("s"), "left")
       .join(optionalSingles(quads, fileScalars), Seq("s"), "left")
       .join(hop2(StoredAt, RdfValue, "premis_stored_at"), Seq("s"), "left")
       .filter(

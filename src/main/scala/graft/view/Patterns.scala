@@ -152,6 +152,34 @@ object Patterns {
       .withColumnRenamed("subject", "s")
   }
 
+  /** `?s a <cls>` + N scalar binds on the SAME node in ONE aggregation
+    * pass — the fused form of `typed(quads, cls).distinct + N ×
+    * optionalSingle + joins` (one scan + one shuffle instead of 1+N of
+    * each). The type row is a `bool_or` flag over the same grouped
+    * slice, so only `cls`-typed subjects survive; the distinct is free
+    * (groupBy). Scalar semantics are optionalSingles': null when the
+    * predicate is absent — callers modelling MANDATORY patterns filter
+    * the null out (equivalent to the inner join of the unfused form). */
+  def typedWithSingles(quads: DataFrame, cls: String,
+                       specs: Seq[(String, String, Option[String])]): DataFrame = {
+    val preds = specs.map(_._1).distinct
+    val aggs = specs.map { case (pred, as, langF) =>
+      val v = langF match {
+        case Some(l) =>
+          when(col("predicate") === pred && col("lang").startsWith(l), col("obj"))
+        case None => when(col("predicate") === pred, col("obj"))
+      }
+      graft.functions.Functions.langPreferredFirst(v, col("lang")).as(as)
+    }
+    quads.filter((col("predicate") === Ns.RdfType && col("obj") === cls) ||
+        col("predicate").isin(preds: _*))
+      .groupBy(col("subject"))
+      .agg(bool_or(col("predicate") === Ns.RdfType && col("obj") === cls)
+        .as("__typed"), aggs: _*)
+      .filter(col("__typed")).drop("__typed")
+      .withColumnRenamed("subject", "s")
+  }
+
   /** `EXISTS { ?s <p1>/<p2> <obj> }` → DataFrame(s, <as>=true): one row
     * per subject where the two-hop path reaches `obj` — for left-joining
     * a boolean bind onto a base match (reference: av-audio.sparql:392-394
