@@ -142,7 +142,18 @@ object Dedup {
     * boilerplate), e.g. pre-deduplicated or synthetic corpora. Zipfian
     * corpora should keep the rare-first default: one hot token landing
     * in many prefixes turns the candidate join quadratic in its
-    * posting length. */
+    * posting length.
+    *
+    * == Exact-vs-LSH operator choice (measured, BENCH_NOTES.md r8) ==
+    * On the ScaleUp corpus family (vocabulary growing with corpus),
+    * exact SSJoin costs 2.6× banded-LSH [[minhashNearDup]] at 5k docs
+    * and the gap WIDENS with scale (5.2× at 50k, 6.6× at 75k; exact's
+    * local scaling exponent rises 1.0 → 1.6 while LSH stays ≤ 1.0) —
+    * there is no size at which exact becomes cheaper. Rule: reach for
+    * this operator only when 100%-recall-at-threshold is a hard
+    * requirement and the Σ|posting|² budget fits; default to
+    * MinHash-LSH for corpus-scale dedup, and treat its banding
+    * (b, r) as the recall/cost dial. */
   def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, minJaccard: Double = 0.8,
                           rareFirst: Boolean = true): DataFrame = {
