@@ -184,7 +184,7 @@ object StreamBattery {
       "WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS id, " +
         "CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 2 " +
         "WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS ph " +
-        "FROM orders), " +
+        "FROM orders WHERE o_orderkey % 3 = 0), " +
         "n AS (SELECT id, (CASE ph WHEN 0 THEN 'N-' WHEN 1 THEN 'U1-' " +
         "ELSE 'U2-' END) || id AS schema_name, ph FROM p), " +
         "lic AS (SELECT id, 'L0' AS schema_license FROM p WHERE ph = 0 " +
@@ -199,7 +199,11 @@ object StreamBattery {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_multi")
         .toString
       val feed = s"$base/feed"; val target = s"$base/tables"
-      val o = Td(s, dir, "orders")
+      // deterministic 1/3 subset: the gate proves the COMPOSITION
+      // (pivot → topo-ordered PK + key-clear merges per micro-batch),
+      // not throughput — the full-volume merge path is q_stream_sync's
+      // and q_upsert_*'s job
+      val o = Td(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
       val kg = Ns.KgToPostgres
       // one quad as a struct matching QuadSource.schema
       def q3(subj: org.apache.spark.sql.Column, pred: String,
@@ -238,7 +242,7 @@ object StreamBattery {
         s.readStream.schema(graft.source.QuadSource.schema)
           .option("maxFilesPerTrigger", 1).parquet(feed),
         Seq(Tables.intellectualEntity, Tables.schemaLicense),
-        target, s"$base/ckpt")
+        target, s"$base/ckpt", numBuckets = 16)
       q.awaitTermination()
       val parent = s.read.parquet(s"$target/graph_intellectual_entity")
         .select(col("id"), col("schema_name"))

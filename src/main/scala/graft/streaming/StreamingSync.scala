@@ -30,7 +30,8 @@ object StreamingSync {
     * merge per table under the incremental strategy. */
   def start(quadStream: DataFrame, specs: Seq[TableSpec], targetDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            numBuckets: Int = 64): StreamingQuery =
     quadStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -41,7 +42,7 @@ object StreamingSync {
           val staged = SubjectPivot.pivotAll(cached, specs)
           Tables.topoOrder(specs).foreach { spec =>
             Upsert.mergeAndWrite(spark, s"$targetDir/${sanitize(spec.name)}",
-              staged(spec.name), spec, fullSync = false)
+              staged(spec.name), spec, fullSync = false, numBuckets)
           }
         } finally cached.unpersist()
       }

@@ -49,6 +49,9 @@ object ProfileQuery {
     })
 
     val fn = graft.SparkEntry.queries(name)
+    if (sys.env.contains("GRAFT_PROFILE_EXPLAIN"))
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val cold = (System.nanoTime() - t0) / 1e9

@@ -491,6 +491,29 @@ object EntityPipeline {
         .join(labels, Seq("mid"))
         .groupBy(col("s")).agg(min(col(as)).as(as))
     }
+    // The three thesauri hops (medium, production method, coloring
+    // type) resolve their mid nodes through the SAME label pattern —
+    // nl-filtered skos:prefLabel aggregated per node. One shared frame
+    // keeps the three label-aggregation subtrees canonical-identical
+    // (single column, so per-consumer pruning cannot specialize them
+    // apart), letting exchange reuse compute the aggregation once.
+    // NOTE a wider cross-consumer fusion of the scalar OPTIONALs was
+    // tried and measured AGAINST here: with per-consumer column sets,
+    // Catalyst's pruning splits a shared multi-consumer aggregate back
+    // into per-consumer copies — each then filtering the UNION
+    // predicate slice (strictly more input than its own slice), and
+    // forcing it with a persist barrier serializes the DAG (families
+    // 20→23 s). Per-consumer fused passes + this single-column shared
+    // frame are the right grain.
+    val nlPrefLabels = po(quads, PrefLabel, "label")
+      .filter(col("label_lang").startsWith("nl"))
+      .groupBy(col("s"))
+      .agg(F.langPreferredFirst(col("label"), col("label_lang")).as("label"))
+      .select(col("s").as("mid"), col("label"))
+    def thesauriHop(p1: String, as: String): DataFrame =
+      po(quads, p1, "mid").select(col("s"), col("mid"))
+        .join(nlPrefLabels, Seq("mid"))
+        .groupBy(col("s")).agg(min(col("label")).as(as))
     // quantity nodes: ?x <prop> ?q . ?q schema:value ?v ; schema:unitText
     // ?u → concat(v, ' ', u) (av-audio.sparql:416-427) — BOTH props
     // (height, width) in one pass: one multi-predicate slice, one
@@ -529,8 +552,7 @@ object EntityPipeline {
     // production method hangs off the carrier REPRESENTATION node, not
     // the physical carrier (av-audio.sparql:398-403)
     val crepMethod = crepLink.select(col("crep"), col("pc"))
-      .join(hop2(ProductionMethod, PrefLabel, "bibframe_production_method",
-        langFilter = Some("nl"))
+      .join(thesauriHop(ProductionMethod, "bibframe_production_method")
         .select(col("s").as("crep"), col("bibframe_production_method")),
         Seq("crep"))
       .groupBy(col("pc"))
@@ -567,8 +589,8 @@ object EntityPipeline {
     val carrierRows = carrierLink
       .join(byPc(optionalSingles(quads, pcScalars)), Seq("pc"))
       .filter(col("schema_name").isNotNull)
-      .join(byPc(hop2(Medium, PrefLabel, "premis_medium",
-        langFilter = Some("nl"))), Seq("pc")) // inner: medium mandatory
+      .join(byPc(thesauriHop(Medium, "premis_medium")),
+        Seq("pc")) // inner: medium mandatory
       .join(byPc(existsFlag(quads, HasCaptioning, graft.model.Ns.RdfType,
         OpenCaptions, "ebucore_has_captioning")), Seq("pc"), "left")
       .join(crepMethod, Seq("pc"), "left")
@@ -589,8 +611,7 @@ object EntityPipeline {
     // in that UNION arm, :446-453).
     val coloringRows = carrierLink.select(col("pc")).distinct()
       .join(carType.select(col("pc")), Seq("pc"), "left_semi")
-      .join(byPc(hop2(ColoringType, PrefLabel, "ha_des_coloring_type",
-        langFilter = Some("nl"))), Seq("pc"))
+      .join(byPc(thesauriHop(ColoringType, "ha_des_coloring_type")), Seq("pc"))
       .select(col("pc").as("carrier_id"), col("ha_des_coloring_type"))
 
     // Representation → file navigation (object→subject joins,
