@@ -244,6 +244,78 @@ object MergeBattery {
     }
   )
 
+  /** Intersecting-schema static sources ([[graft.run.Runner.sync]] via
+    * `withStaticSources`, SURVEY.md §2.1 #8 — reference
+    * database.ts:35-45, 2_database_load.ts:196-202): tables present in
+    * both the static seed set and the graph targets are appended to the
+    * staged batch and merged, never truncated. Staged (1998+) and
+    * static (every 7th pre-1998 order) key sets are disjoint, so the
+    * merged end state has the closed form below; a wrong implementation
+    * that truncates on static input or drops the static rows flips the
+    * hash. */
+  val staticSources = Q(
+    "q_static_sources",
+    Some(
+      "SELECT o_orderkey AS id, " +
+        "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 'X' " +
+        "WHEN o_orderkey % 7 = 0 THEN 'S' ELSE o_orderstatus END AS status, " +
+        "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 'staged' " +
+        "WHEN o_orderkey % 7 = 0 THEN 'static' ELSE 'old' END AS src " +
+        "FROM orders ORDER BY 1"),
+    (s, dir) => {
+      val o = Td(s, dir, "orders")
+      val cut = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+      val target = o.select(col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"), lit("old").as("src"))
+      val staged = o.filter(cut).select(col("o_orderkey").as("id"),
+        lit("X").as("status"), lit("staged").as("src"))
+      val static = o.filter(!cut && col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("id"),
+          lit("S").as("status"), lit("static").as("src"))
+      val out = graft.run.Runner.sync(
+        current = Map(ordersPk.name -> target),
+        staged = Map(ordersPk.name -> staged),
+        static = Map(ordersPk.name -> static),
+        specs = Seq(ordersPk),
+        params = graft.run.Runner.RunParams())
+      out.head._2.orderBy(col("id"))
+    }
+  )
+
+  /** Quirk #91 ([[graft.run.Runner.RunParams.effectiveFullSync]],
+    * reference arc_db_load_flow.py:72-74): `full_sync` WITH `or_ids`
+    * demotes to merge-everything — a truncate would drop other
+    * organizations' rows. The staged batch covers only post-cutoff
+    * orders; under a true full sync the pre-cutoff lineitems would
+    * vanish, so the oracle's untouched-'old'-rows-survive closed form
+    * (the key-clear merge) is exactly the demotion contract. */
+  val fullSyncOrIds = Q(
+    "q_fullsync_orids",
+    Some(
+      "SELECT l_orderkey, l_linenumber, 'old' AS src FROM lineitem " +
+        "WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01') " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'staged' FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' ORDER BY 1, 2"),
+    (s, dir) => {
+      val li = Td(s, dir, "lineitem")
+      val target = li.select(
+        col("l_orderkey"), col("l_linenumber"), lit("old").as("src"))
+      val staged = li
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), lit("staged").as("src"))
+      val out = graft.run.Runner.sync(
+        current = Map(lineitemChild.name -> target),
+        staged = Map(lineitemChild.name -> staged),
+        static = Map.empty,
+        specs = Seq(lineitemChild),
+        params = graft.run.Runner.RunParams(fullSync = true,
+          orIds = Seq("OR-test-org")))
+      out.head._2.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
   val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert,
-    streamSync, orphanCleanup, orgRename)
+    streamSync, orphanCleanup, orgRename, staticSources, fullSyncOrIds)
 }
