@@ -101,5 +101,40 @@ object DocsBattery {
         .orderBy(col("id"))
   )
 
-  val all: Seq[Q] = Seq(indexDoc)
+  /** Partition truncate / rebuild / drop on the LIST-partitioned doc
+    * table (SURVEY.md §2.9 #79 — reference
+    * arc_db_load_index_tables_flow.py:77-112 per-org truncate+rebuild,
+    * arc_db_delete_flow.py:97-130 empty-partition drop), executed
+    * against real partitioned parquet: seed all five segment
+    * partitions at v1, dynamic-overwrite two of them at v2 (other
+    * partitions must be untouched — a non-dynamic overwrite would
+    * erase them), then drop one entirely. The read-back end state is
+    * the closed form the oracle states. */
+  val partitionRefresh = Q(
+    "q_partition_refresh",
+    Some(
+      "SELECT c_custkey AS id, lower(c_mktsegment) AS idx, " +
+        "CASE WHEN lower(c_mktsegment) IN ('automobile', 'building') " +
+        "THEN 'v2' ELSE 'v1' END AS ver FROM customer " +
+        "WHERE lower(c_mktsegment) <> 'machinery' ORDER BY 1"),
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, lower}
+      val base = java.nio.file.Files.createTempDirectory("graft_part_refresh")
+        .toString + "/docs"
+      val c = Td(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        lower(col("c_mktsegment")).as("index"))
+      IndexDocuments.writePartitioned(
+        c.withColumn("ver", lit("v1")), base)
+      IndexDocuments.overwriteTouchedPartitions(
+        c.filter(col("index").isin("automobile", "building"))
+          .withColumn("ver", lit("v2")), base)
+      IndexDocuments.dropPartitions(s, base, Seq("machinery"))
+      s.read.parquet(base)
+        .select(col("id"), col("index").as("idx"), col("ver"))
+        .orderBy(col("id"))
+    }
+  )
+
+  val all: Seq[Q] = Seq(indexDoc, partitionRefresh)
 }
