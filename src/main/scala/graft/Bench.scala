@@ -68,7 +68,8 @@ object Bench {
         if (shm.canWrite && shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir")
       })
-      // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
+      // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos
+      // (a no-op on the current TIMESTAMP_MICROS testdata — Td.tsUs adapts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

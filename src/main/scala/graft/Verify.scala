@@ -16,7 +16,8 @@ object Verify {
       // data-sized shuffles: start wide, AQE coalesces (see Bench)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — surfaced as LONG nanos.
+      // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos
+      // (a no-op on the current TIMESTAMP_MICROS testdata — Td.tsUs adapts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // free checkpoint/broadcast blocks between queries (see Bench)
       .config("spark.cleaner.periodicGC.interval", "30s")

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One registered correctness/bench query.
   *
@@ -22,4 +24,56 @@ final case class Q(
 object Td {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Event-time accessors, adaptive to the physical type the parquet
+    * writer chose for `events.ts`. The testdata has shipped it two
+    * ways so far: TIMESTAMP(NANOS) surfaced as nanos-since-epoch LONG
+    * (under `spark.sql.legacy.parquet.nanosAsLong=true`), and — since
+    * the round-9 regeneration — TIMESTAMP_MICROS with
+    * isAdjustedToUTC=0, which Spark reads as TIMESTAMP_NTZ. A real
+    * user's parquet (Spark's, DuckDB's, pandas' default writers) is
+    * the MICROS form. Resolving the type from the DataFrame schema at
+    * plan-build time keeps every battery green on either encoding and
+    * costs nothing at run time.
+    *
+    * All three accessors agree with the DuckDB oracle exactly:
+    * `tsUs` is integer µs identical to `epoch_us(ts)` (DuckDB reads
+    * ns-parquet at µs precision too, so µs is the common grid), and
+    * sessions run with `spark.sql.session.timeZone=UTC`, making the
+    * NTZ→instant cast the identity the oracle's naive-as-UTC reading
+    * implies.
+    */
+  def tsUs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType    => unix_micros(col(name))
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      // legacy nanos-as-long: integer div keeps the ns→µs step exact
+      // (ns magnitudes ~1.7e18 overflow double's 2^53 exact range)
+      case LongType         => expr(s"$name div 1000")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for `$name`: $other " +
+          "(expected timestamp, timestamp_ntz, or nanos-as-long)")
+    }
+
+  /** Event-time as a µs-precision `TimestampType` column (for
+    * `window()` / `session_window()` / watermark feeds). */
+  def tsStamp(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType    => col(name)
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case LongType         => timestamp_micros(expr(s"$name div 1000"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for `$name`: $other")
+    }
+
+  /** Event-time truncated to integer epoch-millis (the streaming
+    * state grid — matches the oracle's `epoch_us(ts) // 1000`). */
+  def tsMs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType    => unix_millis(col(name))
+      case TimestampNTZType => unix_millis(col(name).cast(TimestampType))
+      case LongType         => expr(s"$name div 1000000")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for `$name`: $other")
+    }
 }

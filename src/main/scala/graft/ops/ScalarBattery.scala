@@ -191,27 +191,27 @@ object ScalarBattery {
     * (duration arithmetic family, reference:
     * flows/queries/update_partition.sql:98 `schema_end_time - schema_start_time`).
     *
-    * `events.ts` is Parquet TIMESTAMP(NANOS); Spark reads it only with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Bench/Verify
-    * sessions), surfacing the column as nanoseconds-since-epoch LONG.
-    * Both sides truncate to microseconds *before* aggregating (DuckDB
-    * reads ns-parquet at µs precision, so µs is the common resolution);
-    * the span is then an exact integer µs difference divided once by 1e6
-    * — deterministic in both engines, no rounding step. `div` keeps the
-    * ns→µs step in integer arithmetic: ns magnitudes (~1.7e18) overflow
-    * double's 2^53 exact range, so a float division would corrupt it. */
+    * `events.ts` arrives as either TIMESTAMP_MICROS (read TIMESTAMP_NTZ)
+    * or legacy nanos-as-long — `Td.tsUs` resolves the encoding from the
+    * schema and yields exact integer µs either way (see its scaladoc).
+    * Both sides aggregate on that µs grid (DuckDB's `epoch_us` is the
+    * same resolution); the span is then an exact integer µs difference
+    * divided once by 1e6 — deterministic in both engines, no rounding
+    * step. */
   val durationSpan = Q(
     "q_duration_span",
     Some(
       "SELECT user_id, (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_sec, " +
         "count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1"),
-    (s, dir) =>
-      Td(s, dir, "events")
-        .groupBy(col("user_id"))
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      val us = Td.tsUs(ev)
+      ev.groupBy(col("user_id"))
         .agg(
-          ((max(expr("ts div 1000")) - min(expr("ts div 1000"))) / lit(1000000.0)).as("span_sec"),
+          ((max(us) - min(us)) / lit(1000000.0)).as("span_sec"),
           count(lit(1)).as("cnt"))
         .orderBy(col("user_id"))
+    }
   )
 
   /** ISO-8601 duration parse → seconds (reference:

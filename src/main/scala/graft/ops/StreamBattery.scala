@@ -88,8 +88,9 @@ object StreamBattery {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_sess")
         .toString
       val feed = s"$base/feed"
-      val ev = Td(s, dir, "events")
-        .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("ts"))
+      val ev0 = Td(s, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), timestamp_millis(Td.tsMs(ev0)).as("ts"))
       val Row2 = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
         .head()
       val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))

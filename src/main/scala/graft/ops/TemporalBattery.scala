@@ -7,8 +7,9 @@ import graft.temporal.TemporalJoins
 /** Time-series join operators over the `events` table, each restated in
   * closed-form DuckDB SQL (correlated subqueries — the oracle states the
   * *semantics*; the Spark side is the scale-shaped plan). All time
-  * arithmetic is integer µs (`ts` is nanos-as-long — see q_sessionize),
-  * so both engines agree bit-exactly.
+  * arithmetic is integer µs via the schema-adaptive `Td.tsUs` (exact on
+  * either `ts` encoding — see its scaladoc), so both engines agree
+  * bit-exactly.
   */
 object TemporalBattery {
 
@@ -33,7 +34,7 @@ object TemporalBattery {
     },
     (s, dir) => {
       val ev = Td(s, dir, "events")
-      val us = expr("ts div 1000")
+      val us = Td.tsUs(ev)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), us.as("t_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -64,7 +65,7 @@ object TemporalBattery {
         "FROM events e WHERE e.event_type = 'click' ORDER BY 1"),
     (s, dir) => {
       val ev = Td(s, dir, "events")
-      val us = expr("ts div 1000")
+      val us = Td.tsUs(ev)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), us.as("t_us"))
       val incidents = ev.filter(col("event_type") === "error")

@@ -109,8 +109,8 @@ object WindowSetBattery {
     * starts after a >30-minute silence per user (lag + flag-sum — the
     * classic large-scale sessionize; conversation threading in a
     * training-data pipeline has the same shape). All arithmetic is
-    * integer µs (ts is nanos-as-long, see q_duration_span), tie-broken
-    * on event_id, so both engines agree exactly. */
+    * integer µs via the schema-adaptive `Td.tsUs` (see its scaladoc),
+    * tie-broken on event_id, so both engines agree exactly. */
   val sessionize = Q(
     "q_sessionize",
     Some(
@@ -121,9 +121,10 @@ object WindowSetBattery {
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 " +
         "THEN 1 ELSE 0 END AS is_new FROM events) GROUP BY 1 ORDER BY 1"),
     (s, dir) => {
-      val us = expr("ts div 1000")
+      val ev = Td(s, dir, "events")
+      val us = Td.tsUs(ev)
       val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
-      Td(s, dir, "events")
+      ev
         .withColumn("prev_us", lag(us, 1).over(w))
         .withColumn("is_new",
           when(col("prev_us").isNull || (us - col("prev_us") > 1800000000L), 1)
@@ -206,26 +207,27 @@ object WindowSetBattery {
 
   /** Tumbling event-time window aggregation (batch twin of
     * `graft.streaming.EventTimeOps.windowedCounts` — SURVEY.md §2.10
-    * #86): per-user hourly event counts via `window()`. ts is
-    * nanos-as-long (TESTDATA), floored to µs on both engines; the
-    * window start serializes as a string so timestamp encodings can't
-    * diverge. */
+    * #86): per-user hourly event counts via `window()`. `ts` enters as
+    * a µs-grid timestamp on both engines (`Td.tsStamp` adapts to the
+    * parquet encoding); the window start serializes as a string so
+    * timestamp encodings can't diverge. */
   val eventWindow = Q(
     "q_event_window",
     Some(
       "SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), " +
         "'%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
-    (s, dir) =>
-      Td(s, dir, "events")
-        .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("tsx"))
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      ev
+        .select(col("user_id"), Td.tsStamp(ev).as("tsx"))
         .groupBy(col("user_id"), window(col("tsx"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("n_events"))
         .orderBy(col("user_id"), col("window_start"))
+    }
   )
 
   /** The built-in `session_window` operator (batch mode) — the
@@ -245,14 +247,16 @@ object WindowSetBattery {
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 " +
         "THEN 1 ELSE 0 END AS is_new FROM events) GROUP BY 1 ORDER BY 1"),
-    (s, dir) =>
-      Td(s, dir, "events")
-        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      ev
+        .withColumn("ts_us", Td.tsStamp(ev))
         .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
         .agg(count(lit(1)).as("in_session"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("in_session")).as("n_events"))
         .orderBy(col("user_id"))
+    }
   )
 
   val all: Seq[Q] = Seq(windowRn, windowPriority, topK, limitOffset, unionAll,
