@@ -105,10 +105,41 @@ object Bench {
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = if (reverse) ordered0.reverse else ordered0
 
-    case class R(name: String, sec: Double, ok: Boolean)
+    // Environment canary (round-9 advice): the last two rounds each
+    // burned an adjudication cycle on "is this 3× swing the code or the
+    // machine?". A FIXED single-stage query — parquet scan + one
+    // map-side sum, no shuffle, no codegen growth across the battery —
+    // re-timed at intervals, plus /proc/loadavg, separates the two in
+    // one read: canary flat ⇒ swings are code; canary drifting ⇒
+    // ambient contention, discount the round's comparisons.
+    def loadavg: (Double, Double, Double) =
+      try {
+        val p = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+        (p(0).toDouble, p(1).toDouble, p(2).toDouble)
+      } catch { case _: Exception => (-1.0, -1.0, -1.0) }
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.sum("l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ListBuffer.empty[String]
+    def recordCanary(at: String): Unit = {
+      val sec = canaryOnce()
+      val (l1, l5, _) = loadavg
+      canaries += f"""{"at":"$at","sec":$sec%.3f,"load1":$l1%.2f,"load5":$l5%.2f}"""
+    }
+    recordCanary("start")
+
+    case class R(name: String, sec: Double, ok: Boolean,
+        raw: Seq[Double] = Nil)
+    var sinceCanary = 0
     val results = ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      sinceCanary += 1
+      if (sinceCanary >= 20) { sinceCanary = 0; recordCanary("mid") }
       try {
         // GC between iterations: a pipeline invocation leaves its
         // (unreferenced) checkpoint blocks behind, and the ContextCleaner
@@ -132,13 +163,14 @@ object Bench {
         // additionally lets the cleaner drop checkpoint-mode blocks.
         spark.catalog.clearCache()
         System.gc()
-        R(name, times(times.size / 2), ok = true)
+        R(name, times(times.size / 2), ok = true, raw = raw)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           R(name, 0.0, ok = false)
       }
     }
+    recordCanary("end")
     val qs = results
       .map(r => s""""${r.name}":${if (r.ok) f"${r.sec}%.3f" else s"""{"sec":${f"${r.sec}%.3f"},"ok":false}"""}""")
       .mkString("{", ",", "}")
@@ -154,6 +186,26 @@ object Bench {
         java.nio.file.Paths.get(outFile),
         s"""{"total":${f"$total%.3f"},"failed":$nFail,"sf":"$sfDir","order":"${if (reverse) "reverse" else "forward"}","queries":$qs}""".getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // Per-query dispersion artifact: {median,min,max,spread,raw} per
+    // query + the canary timeline. The verdict reads THIS (not the
+    // single-number map) to adjudicate regressions: a real regression
+    // moves the min; contention moves the spread.
+    val statsFile = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_QUERIES_OUT", "bench_queries_last.json")
+    try {
+      val perQ = results.map { r =>
+        if (!r.ok) s""""${r.name}":{"ok":false}"""
+        else {
+          val med = r.sec
+          val (mn, mx) = (r.raw.min, r.raw.max)
+          val rawS = r.raw.map(t => f"$t%.3f").mkString("[", ",", "]")
+          f""""${r.name}":{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f,"spread":${mx - mn}%.3f,"raw":$rawS}"""
+        }
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(statsFile),
+        s"""{"sf":"$sfDir","iters":$iters,"order":"${if (reverse) "reverse" else "forward"}","canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""".getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
     // survives a tail capture. Distinct metric name so a parser keying

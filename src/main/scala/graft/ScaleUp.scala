@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Distinct odd strides per copy; copy 0 is the identity. */
+  /** Distinct odd strides per copy; copy 0 is the identity. The table
+    * length is the max supported factor (extended 15 → 32 in round 10
+    * for the 30× scale run). */
   private val strides =
-    Array(1, 3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
+    Array(1, 3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+      59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113,
+      127, 131, 137)
 
   private def copies(df: DataFrame, factor: Int): DataFrame =
     df.crossJoin(
