@@ -84,10 +84,21 @@ object ScaleUp {
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // key strides: larger than any source key so copies never collide —
-    // documents/embeddings use 1e8, clear of the +1e6 planted-dup id
-    // offset some batteries add (a collision would alias two distinct
-    // docs under one id and corrupt per-id set sizes downstream)
-    val C = 10000000L; val O = 100000000L; val D = 100000000L; val E = 100000000L
+    // documents/embeddings floor at 1e8, clear of the +1e6 planted-dup
+    // id offset some batteries add (a collision would alias two distinct
+    // docs under one id and corrupt per-id set sizes downstream). The
+    // max-key term makes scaling NESTABLE: running ScaleUp on an
+    // already-scaled dir (30× → ×3 = 90×, for near-100× curve points)
+    // sees keys far above the floor and strides past them instead of
+    // aliasing copy (k1=1,k2=0) with copy (k1=0,k2=1).
+    def keyCeil(t: String, c: String, floor: Long): Long =
+      math.max(floor, rd(t).agg(max(col(c)).cast("long")).head().getLong(0) + 1)
+    val C = keyCeil("customer", "c_custkey", 10000000L)
+    val O = keyCeil("orders", "o_orderkey", 100000000L)
+    val D = keyCeil("documents", "doc_id", 100000000L)
+    val E = keyCeil("embeddings", "vec_id", 100000000L)
+    val EvId = keyCeil("events", "event_id", 100000000L)
+    val EvUser = keyCeil("events", "user_id", 1000000L)
 
     val k = col("__k")
     wr(copies(rd("customer"), factor).select(
@@ -128,9 +139,9 @@ object ScaleUp {
 
     // events: a stream fact — offset ids, keep the time axis
     wr(copies(rd("events"), factor).select(
-      off(col("event_id"), k, 100000000L).as("event_id"),
+      off(col("event_id"), k, EvId).as("event_id"),
       col("ts"),
-      off(col("user_id"), k, 1000000L).as("user_id"),
+      off(col("user_id"), k, EvUser).as("user_id"),
       col("event_type"), col("value"), col("props")),
       "events", factor * 4)
 
