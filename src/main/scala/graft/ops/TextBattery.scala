@@ -643,10 +643,52 @@ object TextBattery {
     }
   )
 
+  /** PII redaction (graft.text.Redact): emails / IPv4 / phone numbers
+    * scrubbed to typed tokens via chained codegen `regexp_replace`, in
+    * the documented order, plus per-class audit counts on the raw
+    * text. PII is PLANTED deterministically from doc_id on BOTH sides
+    * (the synthetic corpus has none of its own), so the gate proves
+    * the two engines redact byte-identically under the shared
+    * RE2 ∩ java.util.regex pattern subset — scrub-equivalence is the
+    * contract, not just "a replace ran". */
+  val piiRedactQ = Q(
+    "q_pii_redact",
+    Some {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+?[0-9][0-9() -]{6,}[0-9]"
+      "WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com via 10.0.' || (doc_id % 256) || '.7 or tel +32 2 555 0' || " +
+        "(doc_id % 100) || ' bye' AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), " +
+        s"'$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS redacted, " +
+        s"CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones " +
+        "FROM p ORDER BY doc_id"
+    },
+    (s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 or tel +32 2 555 0"),
+        pmod(col("doc_id"), lit(100)).cast("string"), lit(" bye"))
+      val counts = graft.text.Redact.piiCounts(col("__t"))
+        .map { case (n, c) => c.cast("int").as(n) }
+      Td(s, dir, "documents")
+        .select(col("doc_id"), planted.as("__t"))
+        .select(Seq(col("doc_id"),
+          graft.text.Redact.redactPii(col("__t")).as("redacted")) ++ counts: _*)
+        .orderBy(col("doc_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
-    repetitionQ)
+    repetitionQ, piiRedactQ)
 }
