@@ -32,7 +32,14 @@ object Bench {
       // AGGREGATE_OUT_OF_MEMORY at sf1). Start shuffles wide and let
       // AQE coalesce small stages back down — big stages keep enough
       // partitions that per-task state fits.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // Env-overridable for scale runs: 256 fits ≤30× on the 12g local
+      // harness; ≥90× needs proportionally more initial partitions so
+      // per-task aggregation state stays inside an execution-memory
+      // share (measured: AGGREGATE_OUT_OF_MEMORY for the entity
+      // pipeline at 90× with 256). A real cluster gets this from
+      // executor count; local[32] must get it from partition width.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256"))
       // Execution-heavy battery: checkpointed pipeline inputs should
       // yield to aggregation/sort memory instead of pinning half the
       // unified pool (they spill to disk gracefully; an aggregation
