@@ -130,6 +130,49 @@ object Multimodal {
     media.mapPartitions(_.flatMap(r => decodeAudio(r.id, r.media)))
   }
 
+  /** Decode + nearest-neighbor resize to a fixed target grid in the
+    * SAME `mapPartitions` pass (the normalize-resolution stage of an
+    * image training pipeline — batch it with the decode, never
+    * materialize full-resolution pixels into a shuffle). Source pixel
+    * for output (x, y) is (⌊x·w/outW⌋, ⌊y·h/outH⌋) — integer floor
+    * mapping, chosen over an AA/interpolating `Graphics2D` scale
+    * because it is exactly restatable by an oracle (and deterministic
+    * across JVMs, which AA filtering is not guaranteed to be).
+    * Output is the resized per-column luminance profile, the same
+    * alignment-sensitive shape [[DecodedImage]] carries. */
+  final case class ResizedImage(
+      id: Long, width: Int, height: Int, col_luma: Array[Double])
+
+  def decodeResizeImages(media: Dataset[MediaRow],
+      outW: Int, outH: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cols = new Array[Double](outW)
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            var sum = 0.0
+            var y = 0
+            while (y < outH) {
+              val sy = (y.toLong * h / outH).toInt
+              val rgb = img.getRGB(sx, sy)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              y += 1
+            }
+            cols(x) = sum / outH
+            x += 1
+          }
+          Some(ResizedImage(r.id, outW, outH, cols))
+        }
+      } catch { case _: Exception => None }
+    })
+  }
+
   /** Deterministic byte-hash fallback features (rolling polynomial hash
     * per stripe) for payloads no JVM codec decodes — stable across runs
     * so downstream join/dedup tests remain reproducible. */

@@ -209,6 +209,42 @@ object SimBattery {
     }
   )
 
+  /** Decode + nearest-neighbor resize under the gate (the
+    * normalize-resolution stage; [[graft.multimodal.Multimodal
+    * .decodeResizeImages]] fuses it into the decode's mapPartitions
+    * pass). Resizing the two-tone fixture to a FIXED ODD width makes
+    * the NN column mapping exactly restatable: for every source width
+    * w ∈ {8,10,…,32}, output columns 0-3 sample the left tone `a` and
+    * columns 4-6 the right tone `b` (⌊x·w/7⌋ < w/2 ⟺ x ≤ 3), so the
+    * left-3 mean is `a`, the right-4 mean is (a+3b)/4, and the overall
+    * mean is (4a+3b)/7 — all integer-exact or single-IEEE-division
+    * forms both engines compute bit-identically. A resize that
+    * mirrored, transposed, or rounded instead of flooring breaks a
+    * column. */
+  val multimodalResize = Q(
+    "q_multimodal_resize",
+    Some(
+      "SELECT doc_id, 7 AS width, 5 AS height, " +
+        "CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_left, " +
+        "CAST((doc_id * 31) % 256 + 3 * ((doc_id * 57) % 256) AS DOUBLE) / 4 AS mean_right, " +
+        "CAST(4 * ((doc_id * 31) % 256) + 3 * ((doc_id * 57) % 256) AS DOUBLE) / 7 AS mean_all " +
+        "FROM documents ORDER BY doc_id"),
+    (s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, MediaSynth.synthPng(id), "image/png")))
+      def arrMean(a: org.apache.spark.sql.Column, n: Int) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x) / n
+      Multimodal.decodeResizeImages(media, outW = 7, outH = 5)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          arrMean(slice(col("col_luma"), 1, 3), 3).as("mean_left"),
+          arrMean(slice(col("col_luma"), 4, 4), 4).as("mean_right"),
+          arrMean(col("col_luma"), 7).as("mean_all"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Real audio decode under the gate: a deterministic square-wave WAV
     * per document ([[graft.multimodal.MediaSynth.synthWav]]) decoded
     * back through `javax.sound.sampled`; 16-bit PCM is exact, so header
@@ -238,5 +274,5 @@ object SimBattery {
   )
 
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
-    annIvf, embedQuantize, multimodalDecode, audioDecode)
+    annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode)
 }
