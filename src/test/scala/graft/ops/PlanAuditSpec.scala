@@ -76,6 +76,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("PII redaction rides the scan: no exchange before the ordering, " +
+    "no UDF anywhere") {
+    // The scrub stage must stay a narrow codegen projection — at
+    // 100 TB it is bandwidth-bound or it is wrong. The gate's final
+    // orderBy adds one range exchange for deterministic compare; the
+    // redaction itself must contribute zero shuffles and zero
+    // non-codegen expressions.
+    val plan = planOf("q_pii_redact").executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the sort's exchange:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"redaction fell out of codegen:\n$plan")
+  }
+
   test("rank<=k window filters compile to WindowGroupLimit pruning") {
     // Spark's InferWindowGroupLimit turns row_number<=k filters into a
     // partial (pre-shuffle) + final group-limit pair, so top-k-per-key
