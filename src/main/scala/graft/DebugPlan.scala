@@ -7,6 +7,7 @@ object DebugPlan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graft.pipelineInput", "checkpoint")
       .config("spark.ui.enabled", "false")
