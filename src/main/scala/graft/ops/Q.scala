@@ -47,13 +47,24 @@ object Td {
     df.schema(name).dataType match {
       case TimestampType    => unix_micros(col(name))
       case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
-      // legacy nanos-as-long: integer div keeps the ns→µs step exact
-      // (ns magnitudes ~1.7e18 overflow double's 2^53 exact range)
-      case LongType         => expr(s"$name div 1000")
+      // legacy nanos-as-long: exact integer FLOOR division (the time-
+      // grid convention everywhere — `unix_millis`/`unix_micros` floor,
+      // DuckDB's `//` floors; plain `div` truncates toward zero and
+      // would disagree one grid cell on pre-epoch instants). Stays in
+      // integer arithmetic: ns magnitudes ~1.7e18 overflow double's
+      // 2^53 exact range.
+      case LongType         => floorDiv(name, 1000L)
       case other => throw new IllegalArgumentException(
         s"unsupported event-time type for `$name`: $other " +
           "(expected timestamp, timestamp_ntz, or nanos-as-long)")
     }
+
+  /** Exact integer floor division of a LONG column: subtract the
+    * (always non-negative) `pmod` remainder first, so `div` acts on an
+    * exact multiple where truncation and floor coincide. All-integer —
+    * a double detour would lose ns-magnitude (~2^63) exactness. */
+  private def floorDiv(name: String, k: Long): Column =
+    expr(s"($name - pmod($name, ${k}L)) div ${k}L")
 
   /** Event-time as a µs-precision `TimestampType` column (for
     * `window()` / `session_window()` / watermark feeds). */
@@ -61,7 +72,7 @@ object Td {
     df.schema(name).dataType match {
       case TimestampType    => col(name)
       case TimestampNTZType => col(name).cast(TimestampType)
-      case LongType         => timestamp_micros(expr(s"$name div 1000"))
+      case LongType         => timestamp_micros(floorDiv(name, 1000L))
       case other => throw new IllegalArgumentException(
         s"unsupported event-time type for `$name`: $other")
     }
@@ -72,7 +83,7 @@ object Td {
     df.schema(name).dataType match {
       case TimestampType    => unix_millis(col(name))
       case TimestampNTZType => unix_millis(col(name).cast(TimestampType))
-      case LongType         => expr(s"$name div 1000000")
+      case LongType         => floorDiv(name, 1000000L)
       case other => throw new IllegalArgumentException(
         s"unsupported event-time type for `$name`: $other")
     }

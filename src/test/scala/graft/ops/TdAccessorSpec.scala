@@ -15,8 +15,18 @@ import graft.SparkSuite
   * `epoch_us` reading. */
 class TdAccessorSpec extends SparkSuite {
 
-  // instants in µs: epoch, a 2023 date with sub-second µs, a sub-ms one
-  private val usValues = Seq(0L, 1700000000123456L, 999L)
+  // instants in µs: epoch, a 2023 date with sub-second µs, a sub-ms
+  // one, plus 200 seeded random instants — the equivalence must hold
+  // on the whole grid, not on round numbers. Domain: ±9.0e15 µs
+  // (±ca. 285 years around epoch), the intersection of the encodings'
+  // ranges — nanos-as-long saturates at ±2^63 ns ≈ year 2262, so wider
+  // instants are unrepresentable in the LEGACY encoding by
+  // construction (not an accessor defect).
+  private val usValues: Seq[Long] = {
+    val rnd = new scala.util.Random(42L)
+    Seq(0L, 1700000000123456L, 999L) ++
+      Seq.fill(200)(rnd.nextLong() % 9_000_000_000_000_000L)
+  }
 
   private def encodings: Seq[(String, DataFrame)] = {
     import spark.implicits._
@@ -37,7 +47,9 @@ class TdAccessorSpec extends SparkSuite {
 
   test("tsMs truncates to the same millisecond grid on every encoding") {
     import spark.implicits._
-    val wantMs = usValues.map(_ / 1000L).sorted
+    // FLOOR to the grid (the convention all paths share — unix_millis
+    // floors; truncation would differ on pre-epoch instants)
+    val wantMs = usValues.map(Math.floorDiv(_, 1000L)).sorted
     for ((label, df) <- encodings) {
       val got = df.select(Td.tsMs(df).as("ms")).as[Long].collect().sorted
       assert(got.toSeq == wantMs, s"encoding $label")
