@@ -9,37 +9,48 @@ import org.apache.spark.sql.SparkSession
   * `noop`-format write — `count()` lets Catalyst prune unreferenced
   * projections, so scalar-heavy queries would benchmark a column-pruned
   * scan instead of the operator. One warm-up pass precedes measurement
-  * (JIT + parquet footer cache), then the median of 5 timed runs is
-  * reported so sporadic JIT/GC outlier runs cannot fake a regression.
-  * Failed queries are reported with ok:false and excluded from the total
-  * so a broken query can never masquerade as a fast one.
+  * (JIT + parquet footer cache), then the median of the timed runs is
+  * reported, with the per-query MIN alongside so the artifact
+  * self-adjudicates contention (a real regression moves the min; ambient
+  * load moves the spread). Failed queries are reported with ok:false and
+  * excluded from the total so a broken query can never masquerade as a
+  * fast one.
+  *
+  * Robustness (round-10 postmortem — the official run was SIGKILLed with
+  * zero numbers recorded): every artifact is rewritten incrementally
+  * after EACH query, so a killed run still lands numbers for everything
+  * it completed; the battery's storage footprint is released eagerly
+  * between queries (cache + persistent RDDs + memory-sink temp views)
+  * instead of waiting for GC-driven cleaning; and shuffle/checkpoint
+  * blocks default to DISK-backed local dirs — tmpfs pages are
+  * unreclaimable without swap and count against the process's memory
+  * envelope, so a RAM-backed spark.local.dir turns leftover shuffle
+  * files into an OOM-kill ratchet under a cgroup limit. Opt back in
+  * with SPARK_GRAFT_SHM=1 for latency experiments.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // All f"" interpolations below format JSON: pin the locale so a
+    // comma-decimal default can never emit invalid artifacts.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // median-of-5: the widest plans show sporadic 2-3x outlier runs
-    // (driver-side codegen/JIT variance, not GC — see git history);
-    // a 5-sample median needs three bad runs to move, vs two of three.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // median-of-3 + reported min: three timed runs (plus warm-up) keep
+    // the battery's wall-clock inside the driver's envelope at 108
+    // queries; the min column is the contention-robust signal the
+    // adjudication actually uses, and it converges faster than the
+    // median does.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Partition count must track DATA, not core count: at 10× sf the
-      // 32-partition aggregation state for the widest groupBys
-      // overflows a task's execution-memory share (measured:
-      // AGGREGATE_OUT_OF_MEMORY at sf1). Start shuffles wide and let
-      // AQE coalesce small stages back down — big stages keep enough
-      // partitions that per-task state fits.
-      // Env-overridable for scale runs: 256 fits ≤30× on the 12g local
-      // harness; ≥90× needs proportionally more initial partitions so
-      // per-task aggregation state stays inside an execution-memory
-      // share (measured: AGGREGATE_OUT_OF_MEMORY for the entity
-      // pipeline at 90× with 256). A real cluster gets this from
-      // executor count; local[32] must get it from partition width.
+      // Partition count must track DATA, not core count (measured:
+      // AGGREGATE_OUT_OF_MEMORY at sf1 with 32). Width is derived from
+      // the input size (see Tuning.initialPartitions) so scale runs no
+      // longer need hand knobs; AQE coalesces small stages back down.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256"))
+        graft.run.Tuning.initialPartitions(sfDir).toString)
       // Execution-heavy battery: checkpointed pipeline inputs should
       // yield to aggregation/sort memory instead of pinning half the
       // unified pool (they spill to disk gracefully; an aggregation
@@ -57,22 +68,21 @@ object Bench {
       // at 30s it fired MID-RUN and a full pause on a 12g heap showed
       // up as sporadic 12-21s outliers on 4s queries.
       .config("spark.cleaner.periodicGC.interval", "5min")
-      // The generated-class cache defaults to 100 entries; a 70-query
+      // The generated-class cache defaults to 100 entries; a 100+-query
       // battery holds far more codegen stages, and eviction forces the
       // widest plan (~40 stages) to recompile on every run — measured
       // 4.9s standalone vs 85s mid-battery for the same query. Static
       // conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
-      // Bench-harness only (a real cluster sizes spark.local.dir per
-      // node): shuffle + localCheckpoint blocks go to RAM-backed tmpfs
-      // when available, removing sporadic disk-stall outliers (observed
-      // 4s-typical runs spiking to 12-21s ~1 in 6) from the timings.
-      // Capacity-guarded: Docker defaults /dev/shm to 64 MB, where one
-      // shuffle would ENOSPC the whole battery — require real headroom.
+      // DISK-backed by default (see scaladoc): tmpfs shuffle files are
+      // unreclaimable memory and ratchet toward an OOM kill under a
+      // cgroup envelope. SPARK_GRAFT_SHM=1 restores the RAM-backed dir
+      // for latency experiments on hosts with known headroom.
       .config("spark.local.dir", {
         val shm = new java.io.File("/dev/shm")
-        if (shm.canWrite && shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark"
+        if (sys.env.contains("SPARK_GRAFT_SHM") && shm.canWrite &&
+          shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir")
       })
       // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos
@@ -112,13 +122,12 @@ object Bench {
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = if (reverse) ordered0.reverse else ordered0
 
-    // Environment canary (round-9 advice): the last two rounds each
-    // burned an adjudication cycle on "is this 3× swing the code or the
-    // machine?". A FIXED single-stage query — parquet scan + one
-    // map-side sum, no shuffle, no codegen growth across the battery —
-    // re-timed at intervals, plus /proc/loadavg, separates the two in
-    // one read: canary flat ⇒ swings are code; canary drifting ⇒
-    // ambient contention, discount the round's comparisons.
+    // Environment canary (round-9 advice): a FIXED single-stage query —
+    // parquet scan + one map-side sum, no shuffle, no codegen growth
+    // across the battery — re-timed at intervals, plus /proc/loadavg,
+    // separates code regressions from machine contention in one read:
+    // canary flat ⇒ swings are code; canary drifting ⇒ ambient
+    // contention, discount the round's comparisons.
     def loadavg: (Double, Double, Double) =
       try {
         val p = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
@@ -141,13 +150,52 @@ object Bench {
 
     case class R(name: String, sec: Double, ok: Boolean,
         raw: Seq[Double] = Nil)
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    val statsFile = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_QUERIES_OUT", "bench_queries_last.json")
+    // Rewritten after EVERY query (complete=false until the battery
+    // finishes): a run killed mid-battery still lands numbers for all
+    // completed queries instead of the round-10 empty artifact.
+    def writeArtifacts(results: Seq[R], complete: Boolean): Unit = {
+      val qs = results
+        .map(r => s""""${r.name}":${if (r.ok) f"${r.sec}%.3f" else s"""{"sec":${f"${r.sec}%.3f"},"ok":false}"""}""")
+        .mkString("{", ",", "}")
+      val total = results.filter(_.ok).map(_.sec).sum
+      val nFail = results.count(!_.ok)
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outFile),
+          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","order":"${if (reverse) "reverse" else "forward"}","queries":$qs}""".getBytes("UTF-8"))
+      } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+      // Per-query dispersion artifact: {median,min,max,spread,raw} per
+      // query + the canary timeline. The verdict reads THIS (not the
+      // single-number map) to adjudicate regressions: a real regression
+      // moves the min; contention moves the spread.
+      try {
+        val perQ = results.map { r =>
+          if (!r.ok) s""""${r.name}":{"ok":false}"""
+          else {
+            val med = r.sec
+            val (mn, mx) = (r.raw.min, r.raw.max)
+            val rawS = r.raw.map(t => f"$t%.3f").mkString("[", ",", "]")
+            f""""${r.name}":{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f,"spread":${mx - mn}%.3f,"raw":$rawS}"""
+          }
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(statsFile),
+          s"""{"sf":"$sfDir","iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""".getBytes("UTF-8"))
+      } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
+    }
+
     var sinceCanary = 0
-    val results = ordered
+    val acc = scala.collection.mutable.ListBuffer.empty[R]
+    ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .foreach { case (name, fn) =>
       sinceCanary += 1
       if (sinceCanary >= 20) { sinceCanary = 0; recordCanary("mid") }
-      try {
+      val r = try {
         // GC between iterations: a pipeline invocation leaves its
         // (unreferenced) checkpoint blocks behind, and the ContextCleaner
         // frees them only on GC — without this, iteration N of a
@@ -155,20 +203,26 @@ object Bench {
         // eviction (observed 4.7s → 16.7s within one query's runs).
         // The cleaner drains its reference queue asynchronously after
         // GC — give it a beat, or the next run still races the frees.
-        def settle(): Unit = { System.gc(); Thread.sleep(300) }
+        def settle(): Unit = { System.gc(); Thread.sleep(200) }
         val warm = once(fn) // warm-up, untimed
         val raw = Seq.fill(iters) { settle(); once(fn) }
         if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
           System.err.println(f"[bench-debug] $name warm=$warm%.2f runs=" +
             raw.map(t => f"$t%.2f").mkString(",") + s" $jvmStats")
         val times = raw.sorted
-        // Drop THIS query's cached pipeline inputs before the next one
-        // is timed: within a query the warm-up materializes the cache
-        // and the timed runs measure the operator (input prep is fixed
-        // cost, like the parquet scan); across queries the entries
-        // would only add eviction churn to unrelated timings. The GC
-        // additionally lets the cleaner drop checkpoint-mode blocks.
+        // Release THIS query's storage before the next one is timed so
+        // the battery's footprint cannot ratchet:
+        //  - cached pipeline inputs (ensurePersisted's default mode);
+        //  - persistent RDDs — localCheckpoint blocks that would
+        //    otherwise wait for a GC-driven ContextCleaner pass;
+        //  - memory-sink temp views from streaming replays, which pin
+        //    their full result rows in driver heap via the catalog.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.listTables().collect()
+          .filter(_.isTemporary)
+          .foreach(t => spark.catalog.dropTempView(t.name))
         System.gc()
         R(name, times(times.size / 2), ok = true, raw = raw)
       } catch {
@@ -176,43 +230,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           R(name, 0.0, ok = false)
       }
+      acc += r
+      writeArtifacts(acc.toSeq, complete = false)
+      System.err.println(
+        if (r.ok) f"[bench] ${acc.size}%3d $name median=${r.sec}%.3f min=${r.raw.min}%.3f"
+        else s"[bench] ${acc.size} $name FAILED")
     }
     recordCanary("end")
+    val results = acc.toSeq
+    writeArtifacts(results, complete = true)
     val qs = results
       .map(r => s""""${r.name}":${if (r.ok) f"${r.sec}%.3f" else s"""{"sec":${f"${r.sec}%.3f"},"ok":false}"""}""")
       .mkString("{", ",", "}")
+    // Per-query MIN in the official line (round-10 advice): the driver
+    // artifact self-adjudicates q_since_filter-style false regressions
+    // without needing the side-channel stats file.
+    val qsMin = results
+      .map(r => s""""${r.name}":${if (r.ok) f"${r.raw.min}%.3f" else "null"}""")
+      .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
-    // The per-query map must not depend on log capture at all: persist
-    // it to disk so round-over-round comparisons always see 100/100
-    // numbers even when the driver's log window truncates the wide line.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outFile),
-        s"""{"total":${f"$total%.3f"},"failed":$nFail,"sf":"$sfDir","order":"${if (reverse) "reverse" else "forward"}","queries":$qs}""".getBytes("UTF-8"))
-    } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // Per-query dispersion artifact: {median,min,max,spread,raw} per
-    // query + the canary timeline. The verdict reads THIS (not the
-    // single-number map) to adjudicate regressions: a real regression
-    // moves the min; contention moves the spread.
-    val statsFile = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_QUERIES_OUT", "bench_queries_last.json")
-    try {
-      val perQ = results.map { r =>
-        if (!r.ok) s""""${r.name}":{"ok":false}"""
-        else {
-          val med = r.sec
-          val (mn, mx) = (r.raw.min, r.raw.max)
-          val rawS = r.raw.map(t => f"$t%.3f").mkString("[", ",", "]")
-          f""""${r.name}":{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f,"spread":${mx - mn}%.3f,"raw":$rawS}"""
-        }
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(statsFile),
-        s"""{"sf":"$sfDir","iters":$iters,"order":"${if (reverse) "reverse" else "forward"}","canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""".getBytes("UTF-8"))
-    } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir"}""")
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
     // survives a tail capture. Distinct metric name so a parser keying

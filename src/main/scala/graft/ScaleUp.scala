@@ -91,8 +91,12 @@ object ScaleUp {
     // already-scaled dir (30× → ×3 = 90×, for near-100× curve points)
     // sees keys far above the floor and strides past them instead of
     // aliasing copy (k1=1,k2=0) with copy (k1=0,k2=1).
-    def keyCeil(t: String, c: String, floor: Long): Long =
-      math.max(floor, rd(t).agg(max(col(c)).cast("long")).head().getLong(0) + 1)
+    // An empty source table yields max() = NULL — fall back to the
+    // floor with the stride semantics intact instead of an opaque NPE.
+    def keyCeil(t: String, c: String, floor: Long): Long = {
+      val row = rd(t).agg(max(col(c)).cast("long")).head()
+      if (row.isNullAt(0)) floor else math.max(floor, row.getLong(0) + 1)
+    }
     val C = keyCeil("customer", "c_custkey", 10000000L)
     val O = keyCeil("orders", "o_orderkey", 100000000L)
     val D = keyCeil("documents", "doc_id", 100000000L)

@@ -13,8 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // data-sized shuffles: start wide, AQE coalesces (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // data-sized shuffles: start wide, AQE coalesces (see Tuning)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.run.Tuning.initialPartitions(sfDir).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos
       // (a no-op on the current TIMESTAMP_MICROS testdata — Td.tsUs adapts).

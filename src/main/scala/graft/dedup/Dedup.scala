@@ -15,8 +15,11 @@ import graft.text.TextFunctions
   *    runs only inside buckets.
   *  - Band count r×b trades recall vs bucket width independently of
   *    corpus size; skewed buckets (boilerplate shingles) are the one
-  *    hazard — AQE skew-join handles moderate skew, and a bucket-size
-  *    cap (count+filter before the self-join) bounds the worst case.
+  *    hazard — AQE skew-join handles moderate skew, and the exact
+  *    SSJoin's `maxPosting` cap (implemented: posting count + broadcast
+  *    anti-join before the candidate self-join, with a logged drop
+  *    count) bounds the worst case at an explicit, documented recall
+  *    cost instead of an executor OOM.
   *  - Signatures are computed with codegen'd higher-order functions in
   *    one scan; the only wide stages are the bucket join and the
   *    pair-verify join on doc id.
@@ -153,10 +156,22 @@ object Dedup {
     * this operator only when 100%-recall-at-threshold is a hard
     * requirement and the Σ|posting|² budget fits; default to
     * MinHash-LSH for corpus-scale dedup, and treat its banding
-    * (b, r) as the recall/cost dial. */
+    * (b, r) as the recall/cost dial.
+    *
+    * `maxPosting` caps the inverted-index posting length (the measured
+    * 90× host-OOM, BENCH_NOTES.md r10, was Σ|posting|² blow-up from hot
+    * boilerplate shingles landing in many prefixes): index entries for
+    * tokens whose posting exceeds the cap are dropped via a broadcast
+    * anti-join BEFORE the candidate self-join, so the worst bucket
+    * contributes at most cap² candidate rows. The drop is logged
+    * (token count + posting mass) and costs recall explicitly: a pair
+    * whose prefixes share ONLY capped tokens is missed — so the
+    * default is uncapped (exact), and the cap is the operator-choice
+    * rule's pressure valve for skewed corpora where LSH is rejected. */
   def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, minJaccard: Double = 0.8,
-                          rareFirst: Boolean = true): DataFrame = {
+                          rareFirst: Boolean = true,
+                          maxPosting: Int = Int.MaxValue): DataFrame = {
     // The shingle frame feeds four consumers (dfreq, the prefix
     // rebuild, and both verify sides) — materialize it once instead of
     // re-running the normalize→shingle scan per consumer (same policy
@@ -194,9 +209,34 @@ object Dedup {
               s => s.getField("tok")).as("pref"))
       }
     // Positions ride along for the positional filter below.
-    val pt = prefixes.select(col("id"), col("n"),
+    val pt0 = prefixes.select(col("id"), col("n"),
       posexplode(col("pref")))
       .withColumnsRenamed(Map("pos" -> "p", "col" -> "tok"))
+    // Posting cap (engaged only when maxPosting is set): measure the
+    // ACTUAL index posting length per token — valid under either token
+    // order, and it measures exactly the quantity that blows up the
+    // candidate join — and anti-join the hot tokens out of the index.
+    // The hot set is by construction tiny (≤ |index| / cap tokens), so
+    // the anti-join broadcasts; the one extra count() action runs only
+    // in capped mode and is the price of an attributable, logged
+    // degradation instead of a silent executor kill.
+    val pt =
+      if (maxPosting == Int.MaxValue) pt0
+      else {
+        val cached = graft.view.Patterns.ensurePersisted(pt0)
+        val hot = cached.groupBy(col("tok"))
+          .agg(count(lit(1)).as("plen"))
+          .filter(col("plen") > maxPosting)
+        val stats = hot.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_tok"),
+          coalesce(sum(col("plen")), lit(0L)).as("mass")).head()
+        System.err.println(
+          s"[graft.dedup] ngram SSJoin posting cap $maxPosting engaged: " +
+            s"dropping ${stats.getLong(0)} hot tokens " +
+            s"(${stats.getLong(1)} index entries) — pairs sharing ONLY " +
+            "capped prefix tokens are missed (recall < 100%)")
+        cached.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
+      }
     // Candidate pruning, in increasing strength (all standard prunes of
     // the set-similarity-join literature):
     //  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb);

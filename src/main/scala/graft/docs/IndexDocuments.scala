@@ -32,14 +32,15 @@ object IndexDocuments {
     * (id, index, document, n_children, any_flag, duration_sec).
     *
     * The reference composes ~20 correlated laterals per document
-    * (update_partition.sql:76-357). Spark-first those collapse into FOUR
-    * shuffle stages — every single-level child aggregate rides one
-    * groupBy pass, the two ordered picks share one window shuffle, the
-    * two-level roles object is its own two-phase aggregate, and the
-    * grandchild (two-hop) laterals ride one join+groupBy — then one
-    * multi-way left join assembles the document. Aggregates run BEFORE
-    * the joins, so each join moves one row per entity, never the child
-    * fan-out.
+    * (update_partition.sql:76-357). Spark-first those collapse into
+    * THREE shuffle stages — every single-level child aggregate AND both
+    * ordered picks ride ONE window shuffle (the window's hash
+    * partitioning satisfies the groupBy's distribution, so the child
+    * aggregates need no second exchange), the two-level roles object is
+    * its own two-phase aggregate, and the grandchild (two-hop) laterals
+    * ride one join+groupBy — then one multi-way left join assembles the
+    * document. Aggregates run BEFORE the joins, so each join moves one
+    * row per entity, never the child fan-out.
     *
     * Lateral shapes covered (reference lines in update_partition.sql):
     *  - sorted identifier jsonb_agg (:313-323 family)    → collect_list
@@ -67,9 +68,28 @@ object IndexDocuments {
     */
   def build(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
             nation: DataFrame): DataFrame = {
-    // Stage 1: every single-level child lateral in ONE groupBy pass.
+    // Stages 1+3 FUSED on one shuffle (round-10 profile: the 30→90×
+    // exponent 1.25 traced to back-to-back full-row stages over the
+    // same key): the ordered picks' window shuffle already moves every
+    // child row hash-partitioned by the entity key, and
+    // HashPartitioning(o_custkey) satisfies the subsequent groupBy's
+    // ClusteredDistribution — so every single-level child lateral runs
+    // directly on the window output with NO second exchange and the
+    // perKey↔picks join disappears. Both ordered picks (cover = latest
+    // child, format = priority CASE LIMIT 1) ride the same shuffle as
+    // two orderings, folded by conditional aggs.
     // Duration stays DECIMAL so the arithmetic is engine-exact.
-    val perKey = orders.groupBy(col("o_custkey")).agg(
+    val wCover = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val wFormat = Window.partitionBy(col("o_custkey"))
+      .orderBy(
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2).otherwise(3),
+        col("o_orderkey"))
+    val perKey = orders
+      .withColumn("rn_cover", row_number().over(wCover))
+      .withColumn("rn_format", row_number().over(wFormat))
+      .groupBy(col("o_custkey")).agg(
       sort_array(collect_list(col("o_orderkey").cast("string"))).as("identifiers"),
       count(lit(1)).as("n_children"),
       bool_or(col("o_orderstatus") === "F").as("any_flag"),
@@ -83,7 +103,10 @@ object IndexDocuments {
           col("o_orderkey").cast("string").as("v")))),
         s => map(s.getField("k"), s.getField("v"))).as("premis"),
       date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("date_min"),
-      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max"))
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max"),
+      max(when(col("rn_cover") === 1, col("o_orderkey").cast("string")))
+        .as("cover_id"),
+      max(when(col("rn_format") === 1, col("o_orderstatus"))).as("top_format"))
 
     // Stage 2: the two-level roles/jsonb_object_agg shape — inner
     // (entity, type) → sorted distinct names, outer entity → {type: names}.
@@ -93,25 +116,6 @@ object IndexDocuments {
       .groupBy(col("o_custkey"))
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("o_orderstatus").as("k"), col("names").as("v"))))).as("roles"))
-
-    // Stage 3: BOTH ordered picks over one window shuffle — same
-    // partition key, two orderings; the exchange is reused, then a
-    // conditional agg folds the two rn=1 rows into one row per entity.
-    val wCover = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val wFormat = Window.partitionBy(col("o_custkey"))
-      .orderBy(
-        when(col("o_orderpriority") === "1-URGENT", 1)
-          .when(col("o_orderpriority") === "2-HIGH", 2).otherwise(3),
-        col("o_orderkey"))
-    val picks = orders
-      .withColumn("rn_cover", row_number().over(wCover))
-      .withColumn("rn_format", row_number().over(wFormat))
-      .filter(col("rn_cover") === 1 || col("rn_format") === 1)
-      .groupBy(col("o_custkey"))
-      .agg(
-        max(when(col("rn_cover") === 1, col("o_orderkey").cast("string"))).as("cover_id"),
-        max(when(col("rn_format") === 1, col("o_orderstatus"))).as("top_format"))
 
     // Stage 4: grandchild (two-hop) laterals — transcript string_agg
     // ordered by child position, distinct thumbnail set, fragment count.
@@ -159,8 +163,6 @@ object IndexDocuments {
       .drop(perKey("o_custkey"))
       .join(roles, col("c_custkey") === roles("o_custkey"), "left")
       .drop(roles("o_custkey"))
-      .join(picks, col("c_custkey") === picks("o_custkey"), "left")
-      .drop(picks("o_custkey"))
       .join(li, col("c_custkey") === li("o_custkey"), "left")
       .drop(li("o_custkey"))
       .join(reuse, col("c_custkey") === reuse("k"), "left")

