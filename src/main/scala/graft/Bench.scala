@@ -19,14 +19,11 @@ import org.apache.spark.sql.SparkSession
   * Robustness (round-10 postmortem — the official run was SIGKILLed with
   * zero numbers recorded): every artifact is rewritten incrementally
   * after EACH query, so a killed run still lands numbers for everything
-  * it completed; the battery's storage footprint is released eagerly
-  * between queries (cache + persistent RDDs + memory-sink temp views)
-  * instead of waiting for GC-driven cleaning; and shuffle/checkpoint
-  * blocks default to DISK-backed local dirs — tmpfs pages are
-  * unreclaimable without swap and count against the process's memory
-  * envelope, so a RAM-backed spark.local.dir turns leftover shuffle
-  * files into an OOM-kill ratchet under a cgroup limit. Opt back in
-  * with SPARK_GRAFT_SHM=1 for latency experiments.
+  * it completed; and the battery's storage footprint is released
+  * eagerly between queries (cache + persistent RDDs + memory-sink temp
+  * views) instead of waiting for GC-driven cleaning — which also
+  * bounds the RAM-backed shuffle dir (see spark.local.dir below) to
+  * one query's footprint instead of an unreclaimable tmpfs ratchet.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -75,14 +72,19 @@ object Bench {
       // conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
-      // DISK-backed by default (see scaladoc): tmpfs shuffle files are
-      // unreclaimable memory and ratchet toward an OOM kill under a
-      // cgroup envelope. SPARK_GRAFT_SHM=1 restores the RAM-backed dir
-      // for latency experiments on hosts with known headroom.
+      // RAM-backed shuffle dir when /dev/shm has REAL headroom (≥64 GB
+      // usable — raised from 16 after the round-10 postmortem): a
+      // disk-backed local dir was measured to cost 1.5-2× on every
+      // shuffle-heavy query (r11 A/B, BENCH_NOTES), and the tmpfs
+      // OOM-ratchet hazard (tmpfs pages are unreclaimable without
+      // swap) is now bounded by the per-query storage release below —
+      // one query's shuffle, not the battery's accumulation, is the
+      // peak footprint. SPARK_GRAFT_NO_SHM=1 opts out for constrained
+      // hosts; a real cluster sizes spark.local.dir per node.
       .config("spark.local.dir", {
         val shm = new java.io.File("/dev/shm")
-        if (sys.env.contains("SPARK_GRAFT_SHM") && shm.canWrite &&
-          shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark"
+        if (!sys.env.contains("SPARK_GRAFT_NO_SHM") && shm.canWrite &&
+          shm.getUsableSpace > (64L << 30)) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir")
       })
       // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos

@@ -167,11 +167,23 @@ object Dedup {
     * (token count + posting mass) and costs recall explicitly: a pair
     * whose prefixes share ONLY capped tokens is missed — so the
     * default is uncapped (exact), and the cap is the operator-choice
-    * rule's pressure valve for skewed corpora where LSH is rejected. */
+    * rule's pressure valve for skewed corpora where LSH is rejected.
+    *
+    * `maxCandidates` is the budget form of the same valve: instead of
+    * guessing a posting length, bound the TOTAL surviving candidate
+    * volume Σ n·C(plen,2) and let the operator derive the cap from the
+    * posting-length histogram (driver-side binary search over a
+    * one-row-per-distinct-length aggregate). Size it from executor
+    * memory at ~500 bytes per candidate — the pair-verify hash-
+    * aggregation state dominates, not the 48-byte row (measured at
+    * 90×/24 g: budget 2·10⁸ → derived cap 154 → host OOM; budget
+    * 4·10⁷ → derived cap 121 → completes in 31.2 s). So budget
+    * ≈ executor-memory / 500: a 24 g node holds ~4·10⁷. */
   def ngramJaccardNearDup(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, minJaccard: Double = 0.8,
                           rareFirst: Boolean = true,
-                          maxPosting: Int = Int.MaxValue): DataFrame = {
+                          maxPosting: Int = Int.MaxValue,
+                          maxCandidates: Long = 0L): DataFrame = {
     // The shingle frame feeds four consumers (dfreq, the prefix
     // rebuild, and both verify sides) — materialize it once instead of
     // re-running the normalize→shingle scan per consumer (same policy
@@ -221,18 +233,46 @@ object Dedup {
     // in capped mode and is the price of an attributable, logged
     // degradation instead of a silent executor kill.
     val pt =
-      if (maxPosting == Int.MaxValue) pt0
+      if (maxPosting == Int.MaxValue && maxCandidates <= 0L) pt0
       else {
         val cached = graft.view.Patterns.ensurePersisted(pt0)
-        val hot = cached.groupBy(col("tok"))
+        val postings = cached.groupBy(col("tok"))
           .agg(count(lit(1)).as("plen"))
-          .filter(col("plen") > maxPosting)
+        // `maxCandidates` derives the cap from a TOTAL candidate-volume
+        // budget instead of a hand-guessed posting length (measured at
+        // 90×: cap 200 still admitted a host-OOM-scale Σ C(plen,2) —
+        // the right knob is the volume itself). The posting-length
+        // histogram is tiny (one row per distinct length), so it
+        // collects to the driver and a binary search finds the largest
+        // cap whose SURVIVING volume Σ_{plen≤cap} n·C(plen,2) fits the
+        // budget — exact for this drop-whole-token implementation.
+        val effectiveCap: Int =
+          if (maxCandidates <= 0L) maxPosting
+          else {
+            val hist = postings.groupBy(col("plen"))
+              .agg(count(lit(1)).as("n_tok"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            def volume(c: Long): Double = hist.iterator
+              .filter(_._1 <= c)
+              .map { case (p, n) => n.toDouble * p * (p - 1) / 2 }.sum
+            var lo = 1L
+            var hi = if (hist.isEmpty) 1L else hist.map(_._1).max
+            if (volume(hi) <= maxCandidates) lo = hi
+            else while (lo < hi) {
+              val mid = lo + (hi - lo + 1) / 2
+              if (volume(mid) <= maxCandidates) lo = mid else hi = mid - 1
+            }
+            math.min(lo, maxPosting.toLong).toInt
+          }
+        val hot = postings.filter(col("plen") > effectiveCap)
         val stats = hot.agg(
           coalesce(count(lit(1)), lit(0L)).as("n_tok"),
           coalesce(sum(col("plen")), lit(0L)).as("mass")).head()
         System.err.println(
-          s"[graft.dedup] ngram SSJoin posting cap $maxPosting engaged: " +
-            s"dropping ${stats.getLong(0)} hot tokens " +
+          s"[graft.dedup] ngram SSJoin posting cap $effectiveCap engaged" +
+            (if (maxCandidates > 0L) s" (derived from candidate budget $maxCandidates)"
+             else "") +
+            s": dropping ${stats.getLong(0)} hot tokens " +
             s"(${stats.getLong(1)} index entries) — pairs sharing ONLY " +
             "capped prefix tokens are missed (recall < 100%)")
         cached.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")

@@ -219,14 +219,16 @@ object TextBattery {
         "FROM ov JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b " +
         "WHERE CAST(o AS DOUBLE) / (na.n + nb.n - o) >= 0.7 ORDER BY 1, 2"),
     (s, dir) =>
-      // GRAFT_SSJOIN_MAX_POSTING: scale-run pressure valve (the 90×
-      // ScaleUp corpus host-OOMs the exact path, BENCH_NOTES r10).
-      // Unset under the driver's gate — the oracle states the exact
-      // uncapped pair set.
+      // GRAFT_SSJOIN_MAX_POSTING / _MAX_CANDIDATES: scale-run pressure
+      // valves (the 90× ScaleUp corpus host-OOMs the exact path,
+      // BENCH_NOTES r10/r11). Unset under the driver's gate — the
+      // oracle states the exact uncapped pair set.
       Dedup.ngramJaccardNearDup(withPlantedDups(s, dir), "doc_id", "text",
         shingleK = 3, minJaccard = 0.7,
         maxPosting = sys.env.get("GRAFT_SSJOIN_MAX_POSTING")
-          .map(_.toInt).getOrElse(Int.MaxValue))
+          .map(_.toInt).getOrElse(Int.MaxValue),
+        maxCandidates = sys.env.get("GRAFT_SSJOIN_MAX_CANDIDATES")
+          .map(_.toLong).getOrElse(0L))
         .orderBy(col("id_a"), col("id_b"))
   )
 

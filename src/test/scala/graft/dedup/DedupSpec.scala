@@ -144,6 +144,17 @@ class DedupSpec extends SparkSuite {
     assert(pairsOf(5) == Dedup.ngramJaccardNearDup(f, "doc_id", "text",
       shingleK = 3, minJaccard = 0.5, rareFirst = false, maxPosting = 5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet)
+    // candidate-BUDGET form: the boiler tokens' surviving volume
+    // (5+ tokens × C(12,2)=66) blows a 100-candidate budget, so the
+    // derived cap lands below 12 and only the rare pair survives; a
+    // generous budget derives no effective cap and matches uncapped
+    def budgetPairs(b: Long) =
+      Dedup.ngramJaccardNearDup(f, "doc_id", "text",
+        shingleK = 3, minJaccard = 0.5, maxCandidates = b)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(budgetPairs(100L) == Set((1L, 2L)))
+    assert(budgetPairs(1000000L) == uncapped)
   }
 
   test("embedding near-dup multi-probe recovers a near-boundary pair") {
