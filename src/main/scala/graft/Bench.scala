@@ -26,10 +26,73 @@ import org.apache.spark.sql.SparkSession
   * one query's footprint instead of an unreclaimable tmpfs ratchet.
   */
 object Bench {
+  /** System MemAvailable in bytes (kernel's estimate of allocatable RAM
+    * WITHOUT swapping — counts reclaimable page cache but NOT tmpfs
+    * pages, which are unreclaimable RAM). This, not tmpfs mount free
+    * space, is the right shm gate: the round-11 official bench saw
+    * 30 GB "free" on the /dev/shm mount while the box had 26 GB of
+    * real memory left, because 98 GB of orphaned shuffle blocks were
+    * pinned in tmpfs. -1 when /proc/meminfo is unreadable (non-Linux).
+    */
+  private def memAvailableBytes: Long =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong * 1024L }
+        .getOrElse(-1L)
+    } catch { case _: Exception => -1L }
+
+  /** Bytes currently used under a directory tree (0 if absent). */
+  private def dirBytes(root: java.io.File): Long =
+    if (!root.exists()) 0L
+    else if (root.isFile) root.length()
+    else Option(root.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  private def deleteTree(root: java.io.File): Unit = {
+    if (root.isDirectory)
+      Option(root.listFiles()).foreach(_.foreach(deleteTree))
+    root.delete(): Unit
+  }
+
+  /** Sweep local dirs orphaned by a SIGKILLed predecessor JVM.
+    *
+    * SIGKILL skips shutdown hooks, so Spark never removes its
+    * blockmgr-* / spark-* dirs; on a tmpfs local dir those blocks stay
+    * pinned in RAM forever and poison every later run on the box
+    * (round-11 postmortem: one killed scale experiment left 98 GB in
+    * /dev/shm/graft-spark, which first demoted and then OOM-killed the
+    * official bench 40 minutes later). A process cannot clean up after
+    * its own SIGKILL — the NEXT process must. We use a dedicated
+    * subdir (graft-spark) under each candidate root, which makes
+    * "anything present at startup is orphaned" a safe invariant.
+    */
+  private def sweepStaleLocalDirs(): Unit = {
+    val candidates = Seq(
+      new java.io.File("/dev/shm/graft-spark"),
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-spark"))
+    candidates.foreach { d =>
+      val stale = dirBytes(d)
+      if (stale > 0)
+        System.err.println(
+          f"[bench] sweeping ${stale / 1e9}%.1f GB of orphaned local-dir blocks from $d")
+      if (d.exists()) deleteTree(d)
+    }
+  }
+
+  /** Bumped whenever the measured workload of any query changes (e.g.
+    * the round-11 gate-corpus subsampling: orders 1/3–1/9, events and
+    * documents 1/3, entity melt 1/4). Adjudication must not compare
+    * min/median across different workload versions — the r10→r11
+    * "improvements" on the trimmed queries were partly the trim.
+    * v1 = rounds ≤10 (full corpora), v2 = round-11 subsampled corpora.
+    */
+  private val WorkloadVersion = 2
+
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a
     // comma-decimal default can never emit invalid artifacts.
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    sweepStaleLocalDirs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // median-of-3 + reported min: three timed runs (plus warm-up) keep
@@ -38,6 +101,26 @@ object Bench {
     // adjudication actually uses, and it converges faster than the
     // median does.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (!sys.env.contains("SPARK_GRAFT_NO_SHM") && shm.canWrite &&
+        memAvailableBytes > (64L << 30)) "/dev/shm/graft-spark"
+      else new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-spark").getPath
+    }
+    // Pre-battery environment probe, embedded in both artifacts and
+    // echoed to stderr (round-11 advice: the OOM-kill would have been
+    // diagnosable from the artifact alone had it recorded that the box
+    // started with 26 GB available and 104 GB of tmpfs pinned).
+    val envProbe: String = {
+      val memGb = memAvailableBytes / 1e9
+      val shmUsedGb = dirBytes(new java.io.File("/dev/shm")) / 1e9
+      val load = try {
+        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      } catch { case _: Exception => -1.0 }
+      f"""{"mem_available_gb":$memGb%.1f,"shm_used_gb":$shmUsedGb%.1f,"load1":$load%.2f,"local_dir":"$localDir"}"""
+    }
+    System.err.println(s"[bench] env $envProbe")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,21 +155,21 @@ object Bench {
       // conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
-      // RAM-backed shuffle dir when /dev/shm has REAL headroom (≥64 GB
-      // usable — raised from 16 after the round-10 postmortem): a
+      // RAM-backed shuffle dir when the SYSTEM has real headroom: a
       // disk-backed local dir was measured to cost 1.5-2× on every
-      // shuffle-heavy query (r11 A/B, BENCH_NOTES), and the tmpfs
-      // OOM-ratchet hazard (tmpfs pages are unreclaimable without
-      // swap) is now bounded by the per-query storage release below —
-      // one query's shuffle, not the battery's accumulation, is the
-      // peak footprint. SPARK_GRAFT_NO_SHM=1 opts out for constrained
-      // hosts; a real cluster sizes spark.local.dir per node.
-      .config("spark.local.dir", {
-        val shm = new java.io.File("/dev/shm")
-        if (!sys.env.contains("SPARK_GRAFT_NO_SHM") && shm.canWrite &&
-          shm.getUsableSpace > (64L << 30)) "/dev/shm/graft-spark"
-        else System.getProperty("java.io.tmpdir")
-      })
+      // shuffle-heavy query (r11 A/B, BENCH_NOTES). Gate on
+      // /proc/meminfo MemAvailable ≥64 GB, NOT tmpfs mount free space —
+      // tmpfs pages are RAM, so a mount can report plenty of "free"
+      // space on a memory-starved box (round-11: mount showed 30 GB
+      // free while MemAvailable was 26 GB; the old guard picked disk
+      // AND the battery still OOM-killed). The tmpfs OOM-ratchet
+      // hazard is bounded two ways: per-query storage release below
+      // caps the live session's footprint, and sweepStaleLocalDirs()
+      // at startup removes any SIGKILLed predecessor's orphans. The
+      // disk fallback also lands in a graft-spark subdir so the sweep
+      // invariant covers both roots. SPARK_GRAFT_NO_SHM=1 opts out;
+      // a real cluster sizes spark.local.dir per node.
+      .config("spark.local.dir", localDir)
       // legacy testdata compat: ns-encoded events.ts surfaces as LONG nanos
       // (a no-op on the current TIMESTAMP_MICROS testdata — Td.tsUs adapts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -159,6 +242,19 @@ object Bench {
     // Rewritten after EVERY query (complete=false until the battery
     // finishes): a run killed mid-battery still lands numbers for all
     // completed queries instead of the round-10 empty artifact.
+    // Atomic replace (round-11 advice): the artifacts are rewritten
+    // after every query, so a SIGKILL landing inside a plain
+    // truncate-then-write window would leave an unparseable file —
+    // write a sibling temp file and ATOMIC_MOVE it into place so the
+    // artifact on disk is always a complete JSON document.
+    def atomicWrite(path: String, content: String): Unit = {
+      val target = java.nio.file.Paths.get(path)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     def writeArtifacts(results: Seq[R], complete: Boolean): Unit = {
       val qs = results
         .map(r => s""""${r.name}":${if (r.ok) f"${r.sec}%.3f" else s"""{"sec":${f"${r.sec}%.3f"},"ok":false}"""}""")
@@ -166,9 +262,8 @@ object Bench {
       val total = results.filter(_.ok).map(_.sec).sum
       val nFail = results.count(!_.ok)
       try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(outFile),
-          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","order":"${if (reverse) "reverse" else "forward"}","queries":$qs}""".getBytes("UTF-8"))
+        atomicWrite(outFile,
+          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","workload_version":$WorkloadVersion,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"queries":$qs}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
       // Per-query dispersion artifact: {median,min,max,spread,raw} per
       // query + the canary timeline. The verdict reads THIS (not the
@@ -184,9 +279,8 @@ object Bench {
             f""""${r.name}":{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f,"spread":${mx - mn}%.3f,"raw":$rawS}"""
           }
         }.mkString("{", ",", "}")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(statsFile),
-          s"""{"sf":"$sfDir","iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""".getBytes("UTF-8"))
+        atomicWrite(statsFile,
+          s"""{"sf":"$sfDir","workload_version":$WorkloadVersion,"iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
     }
 
@@ -212,6 +306,12 @@ object Bench {
           System.err.println(f"[bench-debug] $name warm=$warm%.2f runs=" +
             raw.map(t => f"$t%.2f").mkString(",") + s" $jvmStats")
         val times = raw.sorted
+        R(name, times(times.size / 2), ok = true, raw = raw)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          R(name, 0.0, ok = false)
+      } finally {
         // Release THIS query's storage before the next one is timed so
         // the battery's footprint cannot ratchet:
         //  - cached pipeline inputs (ensurePersisted's default mode);
@@ -219,18 +319,20 @@ object Bench {
         //    otherwise wait for a GC-driven ContextCleaner pass;
         //  - memory-sink temp views from streaming replays, which pin
         //    their full result rows in driver heap via the catalog.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.listTables().collect()
-          .filter(_.isTemporary)
-          .foreach(t => spark.catalog.dropTempView(t.name))
-        System.gc()
-        R(name, times(times.size / 2), ok = true, raw = raw)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          R(name, 0.0, ok = false)
+        // In a finally so a FAILED query cannot leak its cached blocks
+        // and memory-sink rows into every subsequent query's timings —
+        // the failure path is exactly where clean numbers matter most.
+        try {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+          System.gc()
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] post-$name release failed: ${e.getMessage}")
+        }
       }
       acc += r
       writeArtifacts(acc.toSeq, complete = false)
@@ -252,7 +354,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir","workload_version":$WorkloadVersion,"env":$envProbe}""")
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
     // survives a tail capture. Distinct metric name so a parser keying

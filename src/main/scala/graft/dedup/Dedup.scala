@@ -268,13 +268,19 @@ object Dedup {
         val stats = hot.agg(
           coalesce(count(lit(1)), lit(0L)).as("n_tok"),
           coalesce(sum(col("plen")), lit(0L)).as("mass")).head()
+        val capTag = s"[graft.dedup] ngram SSJoin posting cap $effectiveCap engaged" +
+          (if (maxCandidates > 0L) s" (derived from candidate budget $maxCandidates)"
+           else "")
+        // The degradation warning only when tokens were actually
+        // dropped — a generous budget can derive a cap above every
+        // posting length, and telling operators "recall < 100%" about
+        // an output identical to the uncapped one is a false alarm.
         System.err.println(
-          s"[graft.dedup] ngram SSJoin posting cap $effectiveCap engaged" +
-            (if (maxCandidates > 0L) s" (derived from candidate budget $maxCandidates)"
-             else "") +
-            s": dropping ${stats.getLong(0)} hot tokens " +
-            s"(${stats.getLong(1)} index entries) — pairs sharing ONLY " +
-            "capped prefix tokens are missed (recall < 100%)")
+          if (stats.getLong(0) > 0L)
+            capTag + s": dropping ${stats.getLong(0)} hot tokens " +
+              s"(${stats.getLong(1)} index entries) — pairs sharing ONLY " +
+              "capped prefix tokens are missed (recall < 100%)"
+          else capTag + ": no posting exceeds the cap — nothing dropped, recall 100%")
         cached.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
       }
     // Candidate pruning, in increasing strength (all standard prunes of
@@ -344,7 +350,9 @@ object Dedup {
   def crossJaccardJoin(left: DataFrame, right: DataFrame,
                        leftId: String, leftText: String,
                        rightId: String, rightText: String,
-                       shingleK: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+                       shingleK: Int = 3, minJaccard: Double = 0.8,
+                       maxPosting: Int = Int.MaxValue,
+                       maxCandidates: Long = 0L): DataFrame = {
     val t = minJaccard
     def side(df: DataFrame, id: String, text: String, as: String) =
       graft.view.Patterns.ensurePersisted(
@@ -372,7 +380,60 @@ object Dedup {
         .select(col(as), col(s"n_$as"), col("pos").as(s"p_$as"),
           col("col").getField("tok").as("tok"))
     }
-    val candidates = prefixed(l, "id_l").join(prefixed(r, "id_r"), Seq("tok"))
+    val pl0 = prefixed(l, "id_l")
+    val pr0 = prefixed(r, "id_r")
+    // Same Σ posting-product pressure valve as the self-join (a skewed
+    // corpus hits the identical blow-up: candidate rows per token =
+    // plen_l · plen_r). Combined posting length (plen_l + plen_r) is
+    // the capped quantity — tokens present on only one side produce
+    // zero candidates, so the volume accounting inner-joins the two
+    // posting tables; `maxCandidates` binary-searches the largest cap
+    // whose surviving Σ plen_l·plen_r fits the budget, exactly as the
+    // self-join derives its cap from Σ n·C(plen,2).
+    val (pl, pr) =
+      if (maxPosting == Int.MaxValue && maxCandidates <= 0L) (pl0, pr0)
+      else {
+        val cl = graft.view.Patterns.ensurePersisted(pl0)
+        val cr = graft.view.Patterns.ensurePersisted(pr0)
+        val post = cl.groupBy(col("tok")).agg(count(lit(1)).as("plen_l"))
+          .join(cr.groupBy(col("tok")).agg(count(lit(1)).as("plen_r")), Seq("tok"))
+          .withColumn("clen", col("plen_l") + col("plen_r"))
+          .withColumn("vol", col("plen_l") * col("plen_r"))
+        val effectiveCap: Int =
+          if (maxCandidates <= 0L) maxPosting
+          else {
+            val hist = post.groupBy(col("clen"))
+              .agg(sum(col("vol")).as("v"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            def volume(c: Long): Double =
+              hist.iterator.filter(_._1 <= c).map(_._2.toDouble).sum
+            var lo = 1L
+            var hi = if (hist.isEmpty) 1L else hist.map(_._1).max
+            if (volume(hi) <= maxCandidates) lo = hi
+            else while (lo < hi) {
+              val mid = lo + (hi - lo + 1) / 2
+              if (volume(mid) <= maxCandidates) lo = mid else hi = mid - 1
+            }
+            math.min(lo, maxPosting.toLong).toInt
+          }
+        val hot = post.filter(col("clen") > effectiveCap)
+        val stats = hot.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_tok"),
+          coalesce(sum(col("vol")), lit(0L)).as("vol")).head()
+        val capTag = s"[graft.dedup] cross SSJoin posting cap $effectiveCap engaged" +
+          (if (maxCandidates > 0L) s" (derived from candidate budget $maxCandidates)"
+           else "")
+        System.err.println(
+          if (stats.getLong(0) > 0L)
+            capTag + s": dropping ${stats.getLong(0)} hot tokens " +
+              s"(${stats.getLong(1)} candidate rows) — pairs sharing ONLY " +
+              "capped prefix tokens are missed (recall < 100%)"
+          else capTag + ": no posting exceeds the cap — nothing dropped, recall 100%")
+        val hotToks = hot.select(col("tok"))
+        (cl.join(broadcast(hotToks), Seq("tok"), "left_anti"),
+          cr.join(broadcast(hotToks), Seq("tok"), "left_anti"))
+      }
+    val candidates = pl.join(pr, Seq("tok"))
       .filter(greatest(col("n_id_l"), col("n_id_r")) * t <=
         least(col("n_id_l"), col("n_id_r")))
       .groupBy(col("id_l"), col("id_r"), col("n_id_l"), col("n_id_r"))

@@ -171,7 +171,8 @@ object MergeBattery {
       // testdata orderdates span 1995..2001 — the last slice's upper
       // bound must cover the tail or those orders silently stay 'old'.
       // Immutable given dir, so built once per JVM (FeedCache).
-      val feed = FeedCache(s"stream_sync:$dir") { feedDir =>
+      val feed = FeedCache(
+        s"stream_sync:$dir:slices=9701-9709,9709-9901,9901-0201") { feedDir =>
         Seq("1997-01-01" -> "1997-09-01", "1997-09-01" -> "1999-01-01",
           "1999-01-01" -> "2002-01-01").foreach { case (lo, hi) =>
           staged(lo, hi).coalesce(1).write.mode("append").parquet(feedDir)

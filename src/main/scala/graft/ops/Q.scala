@@ -20,6 +20,24 @@ final case class Q(
     run: (SparkSession, String) => DataFrame
 )
 
+/** Env-knob parsing with attributable failures: a bare
+  * `NumberFormatException` from `sys.env(...).toInt` names neither the
+  * variable nor the bad value, so a typo'd scale-run knob dies
+  * unattributably mid-battery. (Round-11 advice.)
+  */
+object Env {
+  private def parse[A](name: String, kind: String, conv: String => A): Option[A] =
+    sys.env.get(name).map { v =>
+      try conv(v.trim)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"env knob $name must be $kind, got '$v'")
+      }
+    }
+  def intOr(name: String, default: Int): Int = parse(name, "an integer", _.toInt).getOrElse(default)
+  def longOr(name: String, default: Long): Long = parse(name, "an integer", _.toLong).getOrElse(default)
+}
+
 /** Per-JVM cache of deterministic streaming feed directories.
   *
   * The streaming replay queries build their file-source feeds from the
@@ -31,6 +49,15 @@ final case class Q(
   * itself and stops per-run temp directories from accumulating.
   * (Per-run state — checkpoint dirs, output tables, memory sinks —
   * stays per-run; only the immutable input feed is shared.)
+  *
+  * Key discipline: the key must encode EVERY feed-defining parameter
+  * (subsample modulus, slice boundaries, sentinel offsets, …), not
+  * just query-name + sfDir — otherwise a slicing change landing
+  * without a key bump makes a long-lived JVM silently serve the stale
+  * pre-change feed, and the resulting oracle mismatch gets
+  * misattributed to the operator under test. Callers spell the
+  * parameters out in the key string so a change to either is visible
+  * in the same diff hunk.
   */
 object FeedCache {
   private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -95,7 +95,8 @@ object StreamBattery {
         val ev0 = Td(s, dir, "events").filter(col("user_id") % 3 === 0)
         ev0.select(col("user_id"), timestamp_millis(Td.tsMs(ev0)).as("ts"))
       }
-      val feed = FeedCache(s"stream_sess:$dir") { feedDir =>
+      val feed = FeedCache(
+        s"stream_sess:$dir:mod=3:cuts=thirds:sentinels=100d") { feedDir =>
         val ev = evFrame
         val Row2 = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
           .head()
@@ -155,7 +156,8 @@ object StreamBattery {
       def docsFrame = Td(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      val feed = FeedCache(s"stream_dedup:$dir") { feedDir =>
+      val feed = FeedCache(
+        s"stream_dedup:$dir:mod=3:dupbase=1000000:parity-split") { feedDir =>
         val docs = docsFrame
         writeSlice(docs, feedDir, 0)
         val dups = docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -243,7 +245,8 @@ object StreamBattery {
         }
         rows.select(explode(array(parent ++ lic: _*)).as("t")).select("t.*")
       }
-      val feed = FeedCache(s"stream_multi:$dir") { feedDir =>
+      val feed = FeedCache(
+        s"stream_multi:$dir:cuts=9701,9901:fams=L0L1|L2|L3L4") { feedDir =>
         val d = col("o_orderdate")
         val t97 = lit("1997-01-01").cast("timestamp")
         val t99 = lit("1999-01-01").cast("timestamp")

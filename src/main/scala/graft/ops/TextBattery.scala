@@ -225,10 +225,8 @@ object TextBattery {
       // oracle states the exact uncapped pair set.
       Dedup.ngramJaccardNearDup(withPlantedDups(s, dir), "doc_id", "text",
         shingleK = 3, minJaccard = 0.7,
-        maxPosting = sys.env.get("GRAFT_SSJOIN_MAX_POSTING")
-          .map(_.toInt).getOrElse(Int.MaxValue),
-        maxCandidates = sys.env.get("GRAFT_SSJOIN_MAX_CANDIDATES")
-          .map(_.toLong).getOrElse(0L))
+        maxPosting = Env.intOr("GRAFT_SSJOIN_MAX_POSTING", Int.MaxValue),
+        maxCandidates = Env.longOr("GRAFT_SSJOIN_MAX_CANDIDATES", 0L))
         .orderBy(col("id_a"), col("id_b"))
   )
 
@@ -472,9 +470,13 @@ object TextBattery {
       val right = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("rid"),
           substring(col("text"), 12, 1000000).as("rtext"))
+      // Same scale-run pressure valves as the self-join (unset under
+      // the driver's gate — the oracle states the exact uncapped set).
       Dedup.crossJaccardJoin(docs, right,
         leftId = "doc_id", leftText = "text",
-        rightId = "rid", rightText = "rtext", minJaccard = 0.5)
+        rightId = "rid", rightText = "rtext", minJaccard = 0.5,
+        maxPosting = Env.intOr("GRAFT_SSJOIN_MAX_POSTING", Int.MaxValue),
+        maxCandidates = Env.longOr("GRAFT_SSJOIN_MAX_CANDIDATES", 0L))
         .orderBy(col("id_l"), col("id_r"))
     }
   )

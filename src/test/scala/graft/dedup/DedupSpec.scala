@@ -234,4 +234,39 @@ class DedupSpec extends SparkSuite {
     assert(got.keySet === brute.keySet)
     got.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12, k) }
   }
+
+  test("crossJaccardJoin posting cap degrades predictably: rare pairs " +
+    "survive, hot-token-only pairs drop, generous budget matches uncapped") {
+    // Mirror of the self-join cap fixture across two corpora: boiler
+    // text on both sides (combined posting length 6+6=12 per boiler
+    // prefix token) plus one rare left/right pair whose tokens appear
+    // once per side (combined length 2).
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val rare = "unique one two three four five six seven"
+    val left = docs((Seq(1L -> rare) ++ (3L to 8L).map(_ -> boiler)): _*)
+      .withColumnsRenamed(Map("doc_id" -> "lid", "text" -> "ltext"))
+    val right = docs((Seq(101L -> rare) ++ (103L to 108L).map(_ -> boiler)): _*)
+      .withColumnsRenamed(Map("doc_id" -> "rid", "text" -> "rtext"))
+    def pairsOf(cap: Int, budget: Long = 0L) =
+      Dedup.crossJaccardJoin(left, right, "lid", "ltext", "rid", "rtext",
+        shingleK = 3, minJaccard = 0.5, maxPosting = cap, maxCandidates = budget)
+        .collect()
+        .map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r")))
+        .toSet
+    val uncapped = pairsOf(Int.MaxValue)
+    // exact recall: the rare cross pair + all 6×6 boiler cross pairs
+    assert(uncapped.contains((1L, 101L)))
+    assert(uncapped.size == 1 + 36)
+    // combined-length cap 5 (< 12): boiler tokens drop from both
+    // sides' indexes, boiler-only pairs disappear, the rare pair
+    // (combined posting length 2) is untouched
+    val capped = pairsOf(5)
+    assert(capped == Set((1L, 101L)))
+    assert(capped.subsetOf(uncapped))
+    // budget form: boiler volume (≥5 tokens × 6·6=36) blows a
+    // 50-candidate budget → derived cap < 12, only the rare pair
+    // survives; a generous budget derives no effective cap
+    assert(pairsOf(Int.MaxValue, budget = 50L) == Set((1L, 101L)))
+    assert(pairsOf(Int.MaxValue, budget = 1000000L) == uncapped)
+  }
 }
