@@ -310,6 +310,13 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+            e.printStackTrace()
+            // SQLExceptions chain the real cause via getNextException,
+            // not getCause — walk both.
+            var sq = e match { case s: java.sql.SQLException => s.getNextException; case _ => null }
+            while (sq != null) { sq.printStackTrace(); sq = sq.getNextException }
+          }
           R(name, 0.0, ok = false)
       } finally {
         // Release THIS query's storage before the next one is timed so

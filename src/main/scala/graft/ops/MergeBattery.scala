@@ -400,7 +400,79 @@ object MergeBattery {
     }
   )
 
+  /** §2.1 #5 + §2.9 #77 under the oracle gate (round-11 advice): the
+    * REAL JDBC write path — `JdbcSink.append` (Spark's jdbc format,
+    * multi-row batches, database.ts:257-297) into embedded Derby for
+    * both the seed and the staged batch, then the generated
+    * `upsertSql(MergeInto)` (database.ts:214-223) executed BY the
+    * database, then read back through `spark.read.jdbc`. The final
+    * table content is closed-form (staged wins on PK ∪ untouched
+    * seed), so DuckDB can state it over the same parquet — promoting
+    * what was an sbt-only live-DB check to the driver's hash gate.
+    *
+    * The read-back is eagerly materialized (localCheckpoint) so the
+    * per-invocation in-memory database can be dropped before the
+    * frame is consumed — a long-lived JVM (bench warm-up + 3 timed
+    * runs) must not accumulate Derby heaps. On a real cluster the URL
+    * points at a networked database and the same plan distributes:
+    * one connection per partition, `batchsize` rows per round trip.
+    */
+  val jdbcSink = Q(
+    "q_jdbc_sink",
+    Some(
+      "WITH seed AS (SELECT c_custkey AS id, 'seed-' || c_name AS name, " +
+        "0.0 AS acctbal FROM customer WHERE c_custkey % 3 = 0), " +
+        "staged AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal " +
+        "FROM customer WHERE c_custkey % 2 = 0) " +
+        "SELECT id, name, acctbal FROM staged " +
+        "UNION ALL SELECT id, name, acctbal FROM seed " +
+        "WHERE id NOT IN (SELECT id FROM staged) ORDER BY id"),
+    (s, dir) => {
+      import java.sql.DriverManager
+      val cust = Td(s, dir, "customer")
+      val seed = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"),
+          concat(lit("seed-"), col("c_name")).as("name"),
+          lit(0.0).as("acctbal"))
+      val staged = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val spec = TableSpec("customer_sink",
+        Seq("id" -> ColType.IntT, "name" -> ColType.Str,
+          "acctbal" -> ColType.DoubleT))
+      val db = s"gate_jdbc_${System.nanoTime()}"
+      // territory pinned explicitly: Derby derives the db locale from
+      // the JVM default, and Bench pins that to Locale.ROOT (empty
+      // language) for JSON formatting — which Derby rejects (XBM0X).
+      val url = s"jdbc:derby:memory:$db;create=true;territory=en_US"
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE customer_sink (id BIGINT PRIMARY KEY, " +
+          "name VARCHAR(64), acctbal DOUBLE)")
+        st.execute("CREATE TABLE tmp_customer (id BIGINT, " +
+          "name VARCHAR(64), acctbal DOUBLE)")
+        graft.sink.JdbcSink.append(seed, url, "customer_sink")
+        graft.sink.JdbcSink.append(staged, url, "tmp_customer")
+        st.execute(graft.sink.JdbcSink.upsertSql(
+          spec, "tmp_customer", graft.sink.JdbcSink.MergeInto))
+        // Derby folds unquoted identifiers to upper case — re-alias to
+        // the oracle's lower-case names (driver compares sorted names).
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "customer_sink").load()
+          .select(col("ID").as("id"), col("NAME").as("name"),
+            col("ACCTBAL").as("acctbal"))
+          .orderBy(col("id"))
+          .localCheckpoint(true)
+      } finally {
+        conn.close()
+        try { DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+        catch { case _: java.sql.SQLException => () } // 08006 = dropped
+      }
+    }
+  )
+
   val all: Seq[Q] = Seq(upsertKeyClear, upsertPk, upsertFullSync, docUpsert,
     streamSync, syncTopo, orphanCleanup, orgRename, staticSources,
-    fullSyncOrIds)
+    fullSyncOrIds, jdbcSink)
 }
