@@ -666,61 +666,34 @@ object EntityPipeline {
       .join(files.select(col("id").as("file_id")), Seq("file_id"), "left_semi")
       .select(col("s").as("representation_id"), col("file_id"))
 
+    // Plan-shape note (round-12 A/B, BENCH_NOTES): fusing these specs
+    // into one shared multi-predicate slice + semi-join behind persist
+    // barriers (the optionalSingles pattern applied to branch TABLES)
+    // narrowed the q_entity_pipeline plan 226→88 nodes but REGRESSED
+    // the 90× default-harness run 30.4→47.9 s: the fused frames'
+    // materialization jobs serialize the DAG and defeat ReuseExchange
+    // on the shared base side, while the per-branch arms below run
+    // concurrently inside ONE plan (local[32] saturates; on a cluster
+    // the inter-branch parallelism is the desired shape). Keep the
+    // per-branch form; fuse only single-valued scalar families
+    // (optionalSingles), where one groupBy genuinely replaces N.
     // Generic UNION branches, grouped per target table: plain predicate
     // slices, `/`-paths (via), and lang-filtered literals. Branches
     // sharing a table union — exactly the SPARQL's `{} UNION` arms.
-    //
-    // Fused (round-11 advice — the optionalSingles pattern applied to
-    // branch TABLES): instead of one predicate slice + one base
-    // semi-join PER spec (~9 scan+join arms in the melted plan), all
-    // plain specs share ONE multi-predicate slice + ONE semi-join,
-    // materialized once; each output table is then a filter of the
-    // fused frame. Via-specs fuse per mid-node, so the
-    // copyright-holder prefLabel|name alternative costs one hop join,
-    // not two. These rows are multi-valued (every quad survives), so
-    // the fusion is subtree sharing, not an aggregate rewrite — row
-    // multiplicity and per-spec lang semantics are untouched (each
-    // spec re-filters its predicate/lang out of the fused frame).
-    val plainSpecs = branches.filter(_.via.isEmpty)
-    val plainFused: Option[DataFrame] =
-      if (plainSpecs.isEmpty) None
-      else {
-        val keep = plainSpecs.map { b =>
-          val p = col("predicate") === b.pred
-          b.langFilter.fold(p)(l => p && col("lang").startsWith(l))
-        }.reduce(_ || _)
-        Some(Patterns.ensurePersisted(
-          quads.filter(keep)
-            .select(col("subject").as("s"), col("predicate"),
-              col("obj"), col("lang"))
-            .join(base, Seq("s"), "left_semi")))
-      }
-    val viaGroups: Map[String, DataFrame] =
-      branches.filter(_.via.isDefined).groupBy(_.via.get).map {
-        case (mid, specs) =>
-          val preds = specs.map(_.pred).distinct
-          val hop1 = quads.filter(col("predicate") === mid)
-            .select(col("subject").as("s"), col("obj").as("mid"))
-          val hop2 = quads.filter(col("predicate").isin(preds: _*))
-            .select(col("subject").as("mid"), col("predicate"),
-              col("obj"), col("lang"))
-          mid -> Patterns.ensurePersisted(
-            hop1.join(hop2, Seq("mid"))
-              .select(col("s"), col("predicate"), col("obj"), col("lang"))
-              .join(base, Seq("s"), "left_semi"))
-      }
-    def specRows(b: BranchSpec): DataFrame = {
-      val src = b.via.fold(plainFused.get)(viaGroups(_))
-      val rows = src.filter(col("predicate") === b.pred)
-      val filtered = b.langFilter match {
-        case Some(lang) => rows.filter(col("lang").startsWith(lang))
-        case None       => rows
-      }
-      filtered.select(col("s").as("intellectual_entity_id"),
-        col("obj").as(b.valueCol))
-    }
     val branchTables: Map[String, DataFrame] = branches.groupBy(_.table).map {
-      case (table, specs) => table -> specs.map(specRows).reduce(_ unionByName _)
+      case (table, specs) =>
+        table -> specs.map { b =>
+          val rows = b.via match {
+            case Some(mid) => seqPath(quads, mid, b.pred, b.valueCol)
+            case None      => po(quads, b.pred, b.valueCol)
+          }
+          val filtered = b.langFilter match {
+            case Some(lang) => rows.filter(col(s"${b.valueCol}_lang").startsWith(lang))
+            case None       => rows
+          }
+          filtered.join(base, Seq("s"), "left_semi")
+            .select(col("s").as("intellectual_entity_id"), col(b.valueCol))
+        }.reduce(_ unionByName _)
     }
 
     Map(
