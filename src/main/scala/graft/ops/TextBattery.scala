@@ -257,6 +257,38 @@ object TextBattery {
     }
   )
 
+  /** Bloom-prefiltered decontamination ([[graft.text.CorpusPrep
+    * .contaminationBloom]]): the exact-join shuffle is pruned by a
+    * native `might_contain` Bloom built with `bloom_filter_agg` over
+    * the test-set shingles — the 100 TB shape for a test set too big
+    * to broadcast. The Bloom only admits false positives and the
+    * confirming exact join removes them, so the oracle is the SAME
+    * closed form as q_decontaminate (here on an every-10th split, so
+    * the two gates are distinct workloads). */
+  val decontaminateBloomQ = Q(
+    "q_decontaminate_bloom",
+    Some(
+      s"WITH te AS (SELECT DISTINCT unnest(${shinglesSqlOf("text")}) AS t " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        s"co AS (SELECT doc_id, unnest(${shinglesSqlOf("text")}) AS t " +
+        "FROM documents WHERE doc_id % 10 <> 0), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM co " +
+        "WHERE t IN (SELECT t FROM te) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, " +
+        "coalesce(h.n_hits, 0) = 0 AS clean FROM documents d " +
+        "LEFT JOIN hits h ON h.doc_id = d.doc_id WHERE d.doc_id % 10 <> 0 " +
+        "ORDER BY 1"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      graft.text.CorpusPrep.contaminationBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Deterministic md5-based stratified sampling — the same rows must
     * be kept by both engines, which is the whole point of hash-based
     * (rather than rand()-based) sampling. */
@@ -697,7 +729,8 @@ object TextBattery {
 
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
-    neardupSimhash, neardupNgram, decontaminateQ, sampleStratified,
+    neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
+    sampleStratified,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
     repetitionQ, piiRedactQ)

@@ -66,6 +66,63 @@ object CorpusPrep {
       .withColumn("clean", col("n_hits") === 0)
   }
 
+  /** [[contamination]] with a Bloom prefilter — the 100 TB shape for
+    * when even the DISTINCT test-shingle hash set is too large to
+    * broadcast as an exact set (10⁹ longs ≈ 8 GB; a 1%-fpp Bloom over
+    * them ≈ 1.2 GB, and the fpp dial trades it lower). The corpus-side
+    * explode is pruned by `might_contain` BEFORE the exact semi-join,
+    * so the shuffle carries only true hits + false positives instead
+    * of every corpus shingle; the exact join then removes the false
+    * positives, making the result PROVABLY identical to
+    * [[contamination]] (a Bloom has no false negatives). Both sides
+    * are native Catalyst (`bloom_filter_agg` / `might_contain`), so
+    * the prefilter stays inside whole-stage codegen — no UDF.
+    *
+    * `expectedItems`/`fpp` size the filter; the default derives the
+    * item estimate from a cheap non-distinct count (an upper bound —
+    * oversizing only wastes bits, never correctness). */
+  def contaminationBloom(corpus: DataFrame, tests: DataFrame, idCol: String,
+                         textCol: String, shingleK: Int = 3,
+                         fpp: Double = 0.01,
+                         expectedItems: Long = 0L): DataFrame = {
+    def sh(d: DataFrame) = d.select(col(idCol).as("id"),
+      graft.functions.ShingleHashesExpr(
+        TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
+    val testToks = sh(tests).select(explode(col("hs")).as("tok"))
+    val est = math.max(1L,
+      if (expectedItems > 0L) expectedItems else testToks.count())
+    // Spark's optimal-bits formula, matching BloomFilter.create(n, fpp).
+    val bits = math.max(64L,
+      math.ceil(-est.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate/BloomFilterMightContain are the expressions
+    // behind Spark's own runtime-filter injection — internal (not in
+    // the public FunctionRegistry), so they are constructed directly.
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bloomBytes = testToks
+      .agg(bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          bridge.expression(col("tok")), Literal(est), Literal(bits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // Exact-set side of the confirming join: NOT broadcast — the whole
+    // point is the set may exceed broadcast limits; the Bloom already
+    // cut the shuffled corpus side down to hits+fp.
+    val testSet = testToks.distinct()
+    val hits = sh(corpus).select(col("id"), explode(col("hs")).as("tok"))
+      .filter(bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          bridge.expression(col("tok")))))
+      .join(testSet, Seq("tok"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("clean", col("n_hits") === 0)
+  }
+
   /** Drop corpus documents sharing more than `maxShared` distinct
     * shingles with the test set. */
   def decontaminate(corpus: DataFrame, tests: DataFrame, idCol: String,

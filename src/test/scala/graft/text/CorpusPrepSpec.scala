@@ -98,6 +98,34 @@ class CorpusPrepSpec extends SparkSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("bloom-prefiltered contamination is identical to exact — " +
+    "even with a deliberately tiny, collision-heavy filter") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Array("engine", "spark", "corpus", "token", "shard",
+      "bloom", "join", "hash", "scan", "merge", "paris", "rome")
+    def doc() = Seq.fill(15 + rnd.nextInt(10))(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val corpus = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+    val tests = (100L to 105L).map(i => (i, doc())).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("clean"))).toSeq
+    val exact = canon(CorpusPrep.contamination(corpus, tests, "doc_id", "text"))
+    assert(exact.exists(_._2 > 0), "fixture must produce real hits")
+    assert(canon(CorpusPrep.contaminationBloom(
+      corpus, tests, "doc_id", "text")) === exact)
+    // A starved filter (expectedItems=1, fpp near 1) floods the
+    // prefilter with false positives; the confirming exact join must
+    // still yield the identical report — no-false-negatives is the
+    // correctness contract, fp-rate only costs shuffle volume.
+    assert(canon(CorpusPrep.contaminationBloom(
+      corpus, tests, "doc_id", "text",
+      fpp = 0.9, expectedItems = 1L)) === exact)
+  }
+
   test("shard packing respects the token budget up to one-doc overshoot") {
     val s = spark
     import s.implicits._
