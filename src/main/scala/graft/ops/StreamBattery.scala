@@ -178,6 +178,83 @@ object StreamBattery {
     }
   )
 
+  /** Stream-stream event-time interval join (beyond parity — rounds
+    * out the Structured Streaming family): views (even event ids) and
+    * clicks (odd) replay from the same deterministic feed as two
+    * independent file-source streams; a click joins a view of the same
+    * user when it lands within [view_ts, view_ts + 10 min] — the
+    * classic attribution join. Both sides carry 10-minute watermarks,
+    * which bound the join STATE (a row can be dropped once the other
+    * side's watermark passes its constraint range) — the property that
+    * makes the operator viable on an unbounded 100 TB stream. INNER
+    * stream-stream joins emit on match rather than on watermark
+    * advance, so the final memory-sink contents equal the batch
+    * interval join in closed form, independent of how the two sources'
+    * micro-batches interleave — no sentinel flush needed (contrast the
+    * watermark-final sessionize above).
+    *
+    * The oracle states that batch join on the millisecond grid
+    * (`Td.tsMs` convention shared with the sessionize gates). */
+  val streamJoin = Q(
+    "q_stream_join",
+    Some(
+      // user_id % 5 subsample: the join-state contract is per-user;
+      // the gate measures the streaming join machinery, not volume.
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms " +
+        "FROM events WHERE user_id % 5 = 0), " +
+        "v AS (SELECT user_id, event_id AS view_id, ms AS view_ms FROM e " +
+        "WHERE event_id % 2 = 0), " +
+        "c AS (SELECT user_id, event_id AS click_id, ms AS click_ms FROM e " +
+        "WHERE event_id % 2 = 1) " +
+        "SELECT v.user_id, view_id, click_id, view_ms, click_ms " +
+        "FROM v JOIN c ON v.user_id = c.user_id " +
+        "AND c.click_ms >= v.view_ms AND c.click_ms <= v.view_ms + 600000 " +
+        "ORDER BY 1, 2, 3"),
+    (s, dir) => withStateStore(s) {
+      def evFrame = {
+        val ev0 = Td(s, dir, "events").filter(col("user_id") % 5 === 0)
+        ev0.select(col("user_id"), col("event_id"),
+          timestamp_millis(Td.tsMs(ev0)).as("ts"))
+      }
+      val feed = FeedCache(
+        s"stream_join:$dir:mod=5:cuts=thirds-by-time") { feedDir =>
+        val ev = evFrame
+        val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+          .head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val ms = unix_millis(col("ts"))
+        writeSlice(ev.filter(ms < cut1), feedDir, 0)
+        writeSlice(ev.filter(ms >= cut1 && ms < cut2), feedDir, 1)
+        writeSlice(ev.filter(ms >= cut2), feedDir, 2)
+      }
+      val schema = evFrame.schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val views = src().filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+      val clicks = src().filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val joined = views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      val name = s"stream_join_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"), col("view_id"), col("click_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }
+  )
+
   /** Multi-table streaming sync ([[graft.streaming.StreamingSync.start]]):
     * each micro-batch of RAW QUADS is pivoted per registry table and
     * merged in FK topo order — parent `graph.intellectual_entity` (PK
@@ -270,5 +347,6 @@ object StreamBattery {
     }
   )
 
-  val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync)
+  val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
+    streamJoin)
 }
