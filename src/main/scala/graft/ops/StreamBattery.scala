@@ -210,23 +210,31 @@ object StreamBattery {
         "FROM v JOIN c ON v.user_id = c.user_id " +
         "AND c.click_ms >= v.view_ms AND c.click_ms <= v.view_ms + 600000 " +
         "ORDER BY 1, 2, 3"),
-    (s, dir) => withStateStore(s) {
+    // Default (HDFS-backed) state store: the join gates prove the
+    // watermark/state-eviction CONTRACT, which is store-independent;
+    // RocksDB coverage stays on the sessionize/dedup gates, and the
+    // two-sided join would otherwise open 2 stores x partitions of
+    // RocksDB per micro-batch - measured 1.6x the whole gate's cost.
+    (s, dir) => {
       def evFrame = {
         val ev0 = Td(s, dir, "events").filter(col("user_id") % 5 === 0)
         ev0.select(col("user_id"), col("event_id"),
           timestamp_millis(Td.tsMs(ev0)).as("ts"))
       }
+      // Two ascending halves: state must survive a batch boundary
+      // (views from slice 0 match clicks arriving in slice 1), which
+      // one more slice would not prove any harder — and each extra
+      // slice costs a full two-source micro-batch of machinery.
       val feed = FeedCache(
-        s"stream_join:$dir:mod=5:cuts=thirds-by-time") { feedDir =>
+        s"stream_join:$dir:mod=5:cuts=halves-by-time") { feedDir =>
         val ev = evFrame
         val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
           .head()
         val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val cut1 = lo + (hi - lo) / 2
         val ms = unix_millis(col("ts"))
         writeSlice(ev.filter(ms < cut1), feedDir, 0)
-        writeSlice(ev.filter(ms >= cut1 && ms < cut2), feedDir, 1)
-        writeSlice(ev.filter(ms >= cut2), feedDir, 2)
+        writeSlice(ev.filter(ms >= cut1), feedDir, 1)
       }
       val schema = evFrame.schema
       def src() = s.readStream.schema(schema)
@@ -251,6 +259,91 @@ object StreamBattery {
       s.table(name).select(col("user_id"), col("view_id"), col("click_id"),
         unix_millis(col("view_ts")).as("view_ms"),
         unix_millis(col("click_ts")).as("click_ms"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }
+  )
+
+  /** LEFT OUTER stream-stream join — the watermark-held half of the
+    * join contract (contrast [[streamJoin]]'s emit-on-match): an
+    * unmatched view emits its null-click row only once the watermark
+    * proves no future click can land inside [view_ts, view_ts+10min],
+    * so this gate exercises exactly the state-eviction path that keeps
+    * outer joins bounded on an unbounded stream. Two sentinel slices
+    * flush it (the sessionize discipline): each carries a far-future
+    * row for BOTH parities — each side's watermark is computed on its
+    * own filtered stream, and the global watermark is their MIN, so a
+    * single-sided sentinel would hold the flush — under sentinel users
+    * (-1 even / -2 odd) outside the real key space; the sentinel view
+    * itself stays held (the watermark never passes ITS bound) and the
+    * sentinel click can never emit (right-side misses don't emit in a
+    * left join). The oracle is the batch LEFT JOIN closed form. */
+  val streamJoinOuter = Q(
+    "q_stream_join_outer",
+    Some(
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms " +
+        "FROM events WHERE user_id % 10 = 0), " +
+        "v AS (SELECT user_id, event_id AS view_id, ms AS view_ms FROM e " +
+        "WHERE event_id % 2 = 0), " +
+        "c AS (SELECT user_id, event_id AS click_id, ms AS click_ms FROM e " +
+        "WHERE event_id % 2 = 1) " +
+        "SELECT v.user_id, view_id, c.click_id, view_ms, c.click_ms " +
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id " +
+        "AND c.click_ms >= v.view_ms AND c.click_ms <= v.view_ms + 600000 " +
+        "ORDER BY 1, 2, 3"),
+    // Default state store - see streamJoin's note.
+    (s, dir) => {
+      import s.implicits._
+      def evFrame = {
+        val ev0 = Td(s, dir, "events").filter(col("user_id") % 10 === 0)
+        ev0.select(col("user_id"), col("event_id"),
+          timestamp_millis(Td.tsMs(ev0)).as("ts"))
+      }
+      // Two ascending halves + two sentinel slices (see streamJoin's
+      // slice-count rationale).
+      val feed = FeedCache(
+        s"stream_join_outer:$dir:mod=10:cuts=halves:sentinels=100d-bothparities") { feedDir =>
+        val ev = evFrame
+        val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+          .head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val cut1 = lo + (hi - lo) / 2
+        val ms = unix_millis(col("ts"))
+        writeSlice(ev.filter(ms < cut1), feedDir, 0)
+        writeSlice(ev.filter(ms >= cut1), feedDir, 1)
+        val day = 86400000L
+        def sentinel(atMs: Long) = Seq(
+          (-1L, -2L, new java.sql.Timestamp(atMs)),  // even id → views
+          (-2L, -1L, new java.sql.Timestamp(atMs))   // odd id → clicks
+        ).toDF("user_id", "event_id", "ts")
+        writeSlice(sentinel(hi + 100 * day), feedDir, 2)
+        writeSlice(sentinel(hi + 100 * day + 60000L), feedDir, 3)
+      }
+      val schema = evFrame.schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val views = src().filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+      val clicks = src().filter(abs(col("event_id")) % 2 === 1)
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val joined = views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      val name = s"stream_join_outer_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name)
+        .filter(col("user_id") >= 0) // drop the held-back sentinel space
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_millis(col("view_ts")).as("view_ms"),
+          unix_millis(col("click_ts")).as("click_ms"))
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }
   )
@@ -348,5 +441,5 @@ object StreamBattery {
   )
 
   val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
-    streamJoin)
+    streamJoin, streamJoinOuter)
 }
