@@ -307,6 +307,33 @@ object TextBattery {
         .orderBy(col("doc_id"))
   )
 
+  /** Mixture resampling ([[graft.text.CorpusPrep.mixResample]]): target
+    * per-source weight ∝ source index + 1, hit by deterministic
+    * hash-based downsampling. The whole rate derivation (per-stratum
+    * counts → normalized weight → min(1, ·) rate → md5 keep rule) is
+    * restated in SQL with the SAME double-op order, so the kept set is
+    * cross-engine exact — the mixing analogue of q_sample_stratified's
+    * fixed-rate contract. */
+  val mixSampleQ = Q(
+    "q_mix_sample",
+    Some(
+      "WITH s AS (SELECT source, count(*) AS n, " +
+        "max(CAST(substr(source, 4) AS INT) + 1) AS w " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total, sum(w) AS sumw FROM s), " +
+        "r AS (SELECT source, least(1.0, w / sumw * total / n) AS rate " +
+        "FROM s, t) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) " +
+        "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < " +
+        "CAST(floor(rate * 4294967296) AS UBIGINT) ORDER BY 1"),
+    (s, dir) =>
+      graft.text.CorpusPrep.mixResample(
+        Td(s, dir, "documents"), "doc_id", "source",
+        substring(col("source"), 4, 10).cast("int") + 1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+  )
+
   /** Token-budget shard packing: greedy first-fit by cumulative token
     * offset inside deterministic md5 buckets — the sharding step before
     * sequence packing. The whole (bucket, window-cumsum, shard) chain
@@ -730,7 +757,7 @@ object TextBattery {
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
-    sampleStratified,
+    sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
     repetitionQ, piiRedactQ)

@@ -185,6 +185,43 @@ object CorpusPrep {
     df.filter(md5U32(col(idCol)) < floor(rate * lit(4294967296L)).cast("long"))
   }
 
+  /** Mixture resampling — hit a TARGET per-stratum mix by deterministic
+    * hash-based downsampling: stratum r with unnormalized target weight
+    * w_r keeps each row with rate min(1, (w_r/ΣW)·(N/n_r)), so after
+    * sampling the strata sit in the target proportions (up to strata
+    * already under target, which keep everything — pure downsampling
+    * never fabricates rows). This is the data-mixing step of a
+    * pretraining pipeline (upweight rare high-quality sources, cap the
+    * dominant crawl), with [[stratifiedSample]]'s md5 keep-rule, so the
+    * sample is seed-free, reproducible, append-stable, and
+    * engine-exact.
+    *
+    * `weightCol` is any expression constant within a stratum (a
+    * when-chain over names, a parsed index, a joined config table).
+    *
+    * Scale shape: one groupBy over strata (tiny output), a 1-row total
+    * — both broadcast back — and one scan-time filter on the corpus;
+    * no driver collect, no shuffle of the corpus itself. */
+  def mixResample(df: DataFrame, idCol: String, strataCol: String,
+                  weightCol: Column): DataFrame = {
+    val strata = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"), max(weightCol).as("__w"))
+    val totals = strata.agg(sum(col("__n")).as("__total"),
+      sum(col("__w")).as("__sumw"))
+    // Double-op ORDER mirrors the oracle restatement exactly
+    // (w / Σw * N / n): same IEEE sequence ⇒ identical rates ⇒
+    // identical floor(rate·2³²) thresholds.
+    val rates = strata.crossJoin(broadcast(totals))
+      .withColumn("__rate",
+        least(lit(1.0),
+          col("__w") / col("__sumw") * col("__total") / col("__n")))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(md5U32(col(idCol)) <
+        floor(col("__rate") * lit(4294967296L)).cast("long"))
+      .drop("__rate")
+  }
+
   /** Token-budget shard packing: assign each document to an output
     * shard holding ≈ `tokensPerShard` tokens — the sharding step before
     * sequence packing in a pretraining pipeline. A document starts the

@@ -126,6 +126,29 @@ class CorpusPrepSpec extends SparkSuite {
       fpp = 0.9, expectedItems = 1L)) === exact)
   }
 
+  test("mixture resampling hits target proportions, keeps under-target " +
+    "strata whole, and is deterministic") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 'web' rows vs 100 'book' rows, equal target weights: web
+    // must downsample to ~100 (rate 0.55: (1/2)*1100/1000), books keep
+    // everything (rate (1/2)*1100/100 = 5.5 -> clamped to 1).
+    val df = ((1L to 1000L).map(i => (i, "web")) ++
+      (2001L to 2100L).map(i => (i, "book"))).toDF("doc_id", "src")
+    val kept = CorpusPrep.mixResample(df, "doc_id", "src", lit(1.0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src")))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("book") == 100, "under-target stratum must keep every row")
+    val webRate = bySrc("web").toDouble / 1000
+    assert(math.abs(webRate - 0.55) < 0.06,
+      s"web keep-rate $webRate should track min(1, 0.5*1100/1000)=0.55")
+    // determinism: the md5 keep rule is seed-free
+    val again = CorpusPrep.mixResample(df, "doc_id", "src", lit(1.0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src")))
+    assert(again.toSet == kept.toSet)
+  }
+
   test("shard packing respects the token budget up to one-doc overshoot") {
     val s = spark
     import s.implicits._
