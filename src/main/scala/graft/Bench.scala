@@ -108,18 +108,31 @@ object Bench {
       else new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-spark").getPath
     }
-    // Pre-battery environment probe, embedded in both artifacts and
-    // echoed to stderr (round-11 advice: the OOM-kill would have been
-    // diagnosable from the artifact alone had it recorded that the box
-    // started with 26 GB available and 104 GB of tmpfs pinned).
-    val envProbe: String = {
+    // Environment probe, embedded in both artifacts and echoed to
+    // stderr (round-11 advice: the OOM-kill would have been diagnosable
+    // from the artifact alone had it recorded that the box started with
+    // 26 GB available and 104 GB of tmpfs pinned). pgscan_kswapd rides
+    // along because the CPU-only canary is blind to page-cache RECLAIM
+    // stalls (round-12: load1 spiked to 12 mid-battery with flat canary
+    // seconds after a day of 90× runs churned the cache) — a large
+    // start→end delta in this counter says "discount this battery's
+    // spreads: the box was reclaiming, not just busy".
+    def kswapdScans: Long =
+      try {
+        scala.io.Source.fromFile("/proc/vmstat").getLines()
+          .collectFirst { case l if l.startsWith("pgscan_kswapd") =>
+            l.split("\\s+")(1).toLong }
+          .getOrElse(-1L)
+      } catch { case _: Exception => -1L }
+    def envNow(): String = {
       val memGb = memAvailableBytes / 1e9
       val shmUsedGb = dirBytes(new java.io.File("/dev/shm")) / 1e9
       val load = try {
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       } catch { case _: Exception => -1.0 }
-      f"""{"mem_available_gb":$memGb%.1f,"shm_used_gb":$shmUsedGb%.1f,"load1":$load%.2f,"local_dir":"$localDir"}"""
+      f"""{"mem_available_gb":$memGb%.1f,"shm_used_gb":$shmUsedGb%.1f,"load1":$load%.2f,"pgscan_kswapd":$kswapdScans,"local_dir":"$localDir"}"""
     }
+    val envProbe: String = envNow()
     System.err.println(s"[bench] env $envProbe")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -263,7 +276,7 @@ object Bench {
       val nFail = results.count(!_.ok)
       try {
         atomicWrite(outFile,
-          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","workload_version":$WorkloadVersion,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"queries":$qs}""")
+          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","workload_version":$WorkloadVersion,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe${if (complete) s""","env_end":${envNow()}""" else ""},"queries":$qs}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
       // Per-query dispersion artifact: {median,min,max,spread,raw} per
       // query + the canary timeline. The verdict reads THIS (not the
@@ -280,7 +293,7 @@ object Bench {
           }
         }.mkString("{", ",", "}")
         atomicWrite(statsFile,
-          s"""{"sf":"$sfDir","workload_version":$WorkloadVersion,"iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""")
+          s"""{"sf":"$sfDir","workload_version":$WorkloadVersion,"iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe${if (complete) s""","env_end":${envNow()}""" else ""},"canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
     }
 
