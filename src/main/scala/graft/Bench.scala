@@ -63,21 +63,65 @@ object Bench {
     * /dev/shm/graft-spark, which first demoted and then OOM-killed the
     * official bench 40 minutes later). A process cannot clean up after
     * its own SIGKILL — the NEXT process must. We use a dedicated
-    * subdir (graft-spark) under each candidate root, which makes
-    * "anything present at startup is orphaned" a safe invariant.
+    * subdir (graft-spark) under each candidate root.
+    *
+    * "Anything present is orphaned" is NOT safe when two Bench JVMs
+    * coexist (this repo's workflow runs detached scale experiments):
+    * a second bench starting mid-run would delete the live run's
+    * shuffle blocks and fail it with missing-block errors. Each Bench
+    * therefore records its pid in `<root>/OWNER.pid`; the sweep skips
+    * any root whose recorded owner is still alive. Last-writer-wins on
+    * the pid file is acceptable: concurrent benches share the root but
+    * Spark isolates them in per-JVM spark-<uuid> subdirs, and a root is
+    * only swept when its most recent owner is dead — at which point an
+    * unlucky sweep of an older still-live run would require THREE
+    * interleaved benches, which the workflow never does.
     */
-  private def sweepStaleLocalDirs(): Unit = {
-    val candidates = Seq(
-      new java.io.File("/dev/shm/graft-spark"),
-      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-spark"))
-    candidates.foreach { d =>
-      val stale = dirBytes(d)
-      if (stale > 0)
-        System.err.println(
-          f"[bench] sweeping ${stale / 1e9}%.1f GB of orphaned local-dir blocks from $d")
-      if (d.exists()) deleteTree(d)
-    }
+  private val localDirRoots = Seq(
+    new java.io.File("/dev/shm/graft-spark"),
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft-spark"))
+
+  private def ownerAlive(root: java.io.File): Boolean = {
+    val f = new java.io.File(root, "OWNER.pid")
+    if (!f.isFile) false
+    else
+      try {
+        val pid = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+        ProcessHandle.of(pid)
+          .map[java.lang.Boolean](_.isAlive)
+          .orElse(java.lang.Boolean.FALSE)
+          .booleanValue()
+      } catch { case _: Exception => false }
   }
+
+  private def sweepStaleLocalDirs(): Unit =
+    localDirRoots.foreach { d =>
+      if (d.exists()) {
+        if (ownerAlive(d))
+          System.err.println(
+            s"[bench] $d owned by a live bench JVM — not sweeping")
+        else {
+          val stale = dirBytes(d)
+          if (stale > 0)
+            System.err.println(
+              f"[bench] sweeping ${stale / 1e9}%.1f GB of orphaned local-dir blocks from $d")
+          deleteTree(d)
+        }
+      }
+    }
+
+  /** Claim a local-dir root for this JVM (see sweepStaleLocalDirs). */
+  private def writeOwnerPid(root: String): Unit =
+    try {
+      val d = new java.io.File(root)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "OWNER.pid").toPath,
+        ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write OWNER.pid under $root: ${e.getMessage}")
+    }
 
   /** Bumped whenever the measured workload of any query changes (e.g.
     * the round-11 gate-corpus subsampling: orders 1/3–1/9, events and
@@ -108,6 +152,7 @@ object Bench {
       else new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-spark").getPath
     }
+    writeOwnerPid(localDir)
     // Environment probe, embedded in both artifacts and echoed to
     // stderr (round-11 advice: the OOM-kill would have been diagnosable
     // from the artifact alone had it recorded that the box started with
@@ -124,16 +169,54 @@ object Bench {
             l.split("\\s+")(1).toLong }
           .getOrElse(-1L)
       } catch { case _: Exception => -1L }
+    def load1Now: Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Exception => -1.0 }
     def envNow(): String = {
       val memGb = memAvailableBytes / 1e9
-      val shmUsedGb = dirBytes(new java.io.File("/dev/shm")) / 1e9
-      val load = try {
-        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      } catch { case _: Exception => -1.0 }
-      f"""{"mem_available_gb":$memGb%.1f,"shm_used_gb":$shmUsedGb%.1f,"load1":$load%.2f,"pgscan_kswapd":$kswapdScans,"local_dir":"$localDir"}"""
+      // Whole-mount tmpfs usage from the filesystem stats (O(1), no
+      // tree walk): a recursive walk of /dev/shm stalls on another
+      // tenant's millions of files and races concurrent deletion
+      // (round-12 advice). totalSpace-usableSpace is exactly the
+      // pinned-page figure the probe is after.
+      val shm = new java.io.File("/dev/shm")
+      val shmUsedGb = (shm.getTotalSpace - shm.getUsableSpace) / 1e9
+      f"""{"mem_available_gb":$memGb%.1f,"shm_used_gb":$shmUsedGb%.1f,"load1":$load1Now%.2f,"pgscan_kswapd":$kswapdScans,"local_dir":"$localDir"}"""
+    }
+    // Ambient-load gate (round-12 verdict task 2): the official r12
+    // single-run artifact shipped q_entity_families at 13.98 s (clean
+    // min 6.59) because the battery started at load1 7.89 — the canary
+    // is CPU-only and blind to reclaim/IO stalls, so the artifact
+    // carried ambient noise as if it were code. Wait for the box to be
+    // quiet (load1 below threshold, sustained) before the first timed
+    // work; if it never quiets within the bounded wait, proceed but
+    // stamp the artifact degraded so adjudication discounts it.
+    val gateThreshold =
+      sys.env.getOrElse("GRAFT_LOAD_GATE", "2.0").toDouble
+    val gateMaxWaitSec =
+      sys.env.getOrElse("GRAFT_LOAD_GATE_MAX_WAIT", "600").toInt
+    val gate: String = {
+      // load1 is itself a ~1-minute EWMA, so a single below-threshold
+      // reading already encodes a quiet minute — no sustain window
+      // needed, and a quiet box pays zero startup latency.
+      val t0 = System.nanoTime()
+      var degraded = false
+      if (gateThreshold > 0) {
+        while (load1Now >= gateThreshold && !degraded) {
+          if ((System.nanoTime() - t0) / 1e9 > gateMaxWaitSec) degraded = true
+          else Thread.sleep(5000)
+        }
+      }
+      val waited = (System.nanoTime() - t0) / 1e9
+      if (degraded)
+        System.err.println(
+          f"[bench] load gate TIMED OUT after $waited%.0f s (load1=$load1Now%.2f >= $gateThreshold%.1f) — artifact flagged degraded")
+      else if (waited >= 5)
+        System.err.println(f"[bench] load gate waited $waited%.0f s for a quiet box")
+      f"""{"threshold":$gateThreshold%.1f,"waited_sec":$waited%.0f,"degraded":$degraded}"""
     }
     val envProbe: String = envNow()
-    System.err.println(s"[bench] env $envProbe")
+    System.err.println(s"[bench] env $envProbe gate $gate")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -276,7 +359,7 @@ object Bench {
       val nFail = results.count(!_.ok)
       try {
         atomicWrite(outFile,
-          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","workload_version":$WorkloadVersion,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe${if (complete) s""","env_end":${envNow()}""" else ""},"queries":$qs}""")
+          s"""{"total":${f"$total%.3f"},"failed":$nFail,"complete":$complete,"sf":"$sfDir","workload_version":$WorkloadVersion,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"load_gate":$gate${if (complete) s""","env_end":${envNow()}""" else ""},"queries":$qs}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
       // Per-query dispersion artifact: {median,min,max,spread,raw} per
       // query + the canary timeline. The verdict reads THIS (not the
@@ -293,7 +376,7 @@ object Bench {
           }
         }.mkString("{", ",", "}")
         atomicWrite(statsFile,
-          s"""{"sf":"$sfDir","workload_version":$WorkloadVersion,"iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe${if (complete) s""","env_end":${envNow()}""" else ""},"canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""")
+          s"""{"sf":"$sfDir","workload_version":$WorkloadVersion,"iters":$iters,"complete":$complete,"order":"${if (reverse) "reverse" else "forward"}","env":$envProbe,"load_gate":$gate${if (complete) s""","env_end":${envNow()}""" else ""},"canary":${canaries.mkString("[", ",", "]")},"queries":$perQ}""")
       } catch { case e: Exception => System.err.println(s"[bench] could not write $statsFile: ${e.getMessage}") }
     }
 
@@ -374,7 +457,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir","workload_version":$WorkloadVersion,"env":$envProbe}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir","workload_version":$WorkloadVersion,"env":$envProbe,"load_gate":$gate}""")
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
     // survives a tail capture. Distinct metric name so a parser keying

@@ -384,12 +384,17 @@ object Dedup {
     val pr0 = prefixed(r, "id_r")
     // Same Σ posting-product pressure valve as the self-join (a skewed
     // corpus hits the identical blow-up: candidate rows per token =
-    // plen_l · plen_r). Combined posting length (plen_l + plen_r) is
-    // the capped quantity — tokens present on only one side produce
-    // zero candidates, so the volume accounting inner-joins the two
-    // posting tables; `maxCandidates` binary-searches the largest cap
-    // whose surviving Σ plen_l·plen_r fits the budget, exactly as the
-    // self-join derives its cap from Σ n·C(plen,2).
+    // plen_l · plen_r). The capped quantity is the PER-SIDE posting
+    // length, max(plen_l, plen_r), so `maxPosting` means the same thing
+    // here as in the self-join — "no single posting list longer than
+    // this feeds the candidate join" — instead of the earlier combined
+    // plen_l+plen_r reading, which made one operator-chosen value prune
+    // roughly twice as aggressively in the cross gate (r12 advice).
+    // Tokens present on only one side produce zero candidates, so the
+    // volume accounting inner-joins the two posting tables;
+    // `maxCandidates` binary-searches the largest cap whose surviving
+    // Σ plen_l·plen_r fits the budget, exactly as the self-join derives
+    // its cap from Σ n·C(plen,2).
     val (pl, pr) =
       if (maxPosting == Int.MaxValue && maxCandidates <= 0L) (pl0, pr0)
       else {
@@ -397,12 +402,12 @@ object Dedup {
         val cr = graft.view.Patterns.ensurePersisted(pr0)
         val post = cl.groupBy(col("tok")).agg(count(lit(1)).as("plen_l"))
           .join(cr.groupBy(col("tok")).agg(count(lit(1)).as("plen_r")), Seq("tok"))
-          .withColumn("clen", col("plen_l") + col("plen_r"))
+          .withColumn("mlen", greatest(col("plen_l"), col("plen_r")))
           .withColumn("vol", col("plen_l") * col("plen_r"))
         val effectiveCap: Int =
           if (maxCandidates <= 0L) maxPosting
           else {
-            val hist = post.groupBy(col("clen"))
+            val hist = post.groupBy(col("mlen"))
               .agg(sum(col("vol")).as("v"))
               .collect().map(r => (r.getLong(0), r.getLong(1)))
             def volume(c: Long): Double =
@@ -416,7 +421,7 @@ object Dedup {
             }
             math.min(lo, maxPosting.toLong).toInt
           }
-        val hot = post.filter(col("clen") > effectiveCap)
+        val hot = post.filter(col("mlen") > effectiveCap)
         val stats = hot.agg(
           coalesce(count(lit(1)), lit(0L)).as("n_tok"),
           coalesce(sum(col("vol")), lit(0L)).as("vol")).head()

@@ -38,6 +38,11 @@ object ExplainQ {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.ExplainQ <queryName>|all [sfDir]")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -61,7 +66,13 @@ object ExplainQ {
             val df = graft.ops.Registry.byName(q).run(spark, sfDir)
             val (no, sh, bc, sc, jn) = counts(df.queryExecution.explainString(formatted))
             s"| $q | $no | $sh | $bc | $sc | $jn |"
-          } catch { case e: Exception => s"| $q | plan failed: ${e.getMessage.take(60)} |" }
+          } catch { case e: Exception =>
+            // Pad to the header's 6 columns so one failure doesn't
+            // break the whole markdown table's rendering.
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+              .replace("|", "/").take(60)
+            s"| $q | failed: $msg | — | — | — | — |"
+          }
           println(r)
           spark.catalog.clearCache()
         }

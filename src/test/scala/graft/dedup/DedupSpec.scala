@@ -238,9 +238,10 @@ class DedupSpec extends SparkSuite {
   test("crossJaccardJoin posting cap degrades predictably: rare pairs " +
     "survive, hot-token-only pairs drop, generous budget matches uncapped") {
     // Mirror of the self-join cap fixture across two corpora: boiler
-    // text on both sides (combined posting length 6+6=12 per boiler
-    // prefix token) plus one rare left/right pair whose tokens appear
-    // once per side (combined length 2).
+    // text on both sides (per-side posting length 6 per boiler prefix
+    // token) plus one rare left/right pair whose tokens appear once
+    // per side (per-side length 1). The cap quantity is per-side
+    // max(plen_l, plen_r) — same meaning as the self-join knob.
     val boiler = "alpha beta gamma delta epsilon zeta eta theta"
     val rare = "unique one two three four five six seven"
     val left = docs((Seq(1L -> rare) ++ (3L to 8L).map(_ -> boiler)): _*)
@@ -257,12 +258,16 @@ class DedupSpec extends SparkSuite {
     // exact recall: the rare cross pair + all 6×6 boiler cross pairs
     assert(uncapped.contains((1L, 101L)))
     assert(uncapped.size == 1 + 36)
-    // combined-length cap 5 (< 12): boiler tokens drop from both
-    // sides' indexes, boiler-only pairs disappear, the rare pair
-    // (combined posting length 2) is untouched
+    // per-side cap 5 (< 6): boiler tokens drop from both sides'
+    // indexes, boiler-only pairs disappear, the rare pair (per-side
+    // posting length 1) is untouched
     val capped = pairsOf(5)
     assert(capped == Set((1L, 101L)))
     assert(capped.subsetOf(uncapped))
+    // cap 6 = exactly the per-side boiler posting length: nothing is
+    // dropped. Pins the per-side reading — under the old combined
+    // plen_l+plen_r (=12) semantics this cap would prune the boiler.
+    assert(pairsOf(6) == uncapped)
     // budget form: boiler volume (≥5 tokens × 6·6=36) blows a
     // 50-candidate budget → derived cap < 12, only the rare pair
     // survives; a generous budget derives no effective cap
