@@ -126,6 +126,43 @@ class CorpusPrepSpec extends SparkSuite {
       fpp = 0.9, expectedItems = 1L)) === exact)
   }
 
+  test("auto dispatch: exact path inside the broadcast budget, Bloom " +
+    "beyond it, identical reports either way") {
+    val s = spark
+    import s.implicits._
+    // Crossover rule is pure and pinned exactly at the budget: the
+    // exact set is 8 bytes/hash, so est*8 <= budget stays exact.
+    assert(!CorpusPrep.chooseBloom(8L, broadcastBytes = 64L))       // == budget
+    assert(CorpusPrep.chooseBloom(9L, broadcastBytes = 64L))        // one past
+    assert(!CorpusPrep.chooseBloom(8_000_000L))  // 64 MB default: 8M hashes fit
+    assert(CorpusPrep.chooseBloom(9_000_000L))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, good)).toDF("doc_id", "text")
+    val tests = Seq(
+      (100L, "quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("clean"))).toSeq
+    val exact = canon(CorpusPrep.contamination(corpus, tests, "doc_id", "text"))
+    assert(exact.exists(_._2 > 0), "fixture must produce real hits")
+    // default budget → exact; 1-byte budget → forced onto the Bloom
+    // path; both must equal the exact report (and decontaminate, which
+    // routes through the dispatch, must agree under both budgets).
+    assert(canon(CorpusPrep.contaminationAuto(
+      corpus, tests, "doc_id", "text")) === exact)
+    assert(canon(CorpusPrep.contaminationAuto(
+      corpus, tests, "doc_id", "text", broadcastBytes = 1L)) === exact)
+    val keptExact = CorpusPrep.decontaminate(corpus, tests, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val keptBloom = CorpusPrep.decontaminate(corpus, tests, "doc_id", "text",
+      broadcastBytes = 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptExact == Set(2L))
+    assert(keptBloom == keptExact)
+  }
+
   test("mixture resampling hits target proportions, keeps under-target " +
     "strata whole, and is deterministic") {
     val s = spark
