@@ -140,18 +140,30 @@ object CorpusPrep {
                   broadcastBytes: Long = DefaultBroadcastBudget): Boolean =
     estTestShingles * 8L > broadcastBytes
 
-  /** 64 MB of 8-byte hashes ≈ 8M distinct test shingles — comfortably
-    * inside executor broadcast headroom, far past the point where the
-    * Bloom build's extra pass pays for itself. */
+  /** 64 MB of 8-byte hashes ≈ 8M distinct test shingles. This is a
+    * CLUSTER-posture budget: the exact set is replicated to every
+    * executor and first collected on the driver, so its true cost is
+    * set-bytes × executor count in network+memory. On a single local
+    * JVM the broadcast is a pointer hand-off, and the measured 90×
+    * crossover curve (BENCH_NOTES r13) shows the exact path still
+    * winning by ~1.6× at the largest locally-constructible set
+    * (~114 MB) — hence [[defaultBudgetFor]] widens the budget 8× when
+    * the session is local. */
   val DefaultBroadcastBudget: Long = 64L << 20
+
+  /** Topology-aware default for [[contaminationAuto]]'s budget. */
+  def defaultBudgetFor(spark: org.apache.spark.sql.SparkSession): Long =
+    if (spark.sparkContext.isLocal) DefaultBroadcastBudget * 8
+    else DefaultBroadcastBudget
 
   /** [[contamination]] with the exact/Bloom choice made from a size
     * estimate of the test-shingle set (see [[chooseBloom]]). The
     * estimate is computed once and fed to the Bloom path's sizing so
-    * the small side is never scanned twice. */
+    * the small side is never scanned twice. `broadcastBytes` ≤ 0 means
+    * "derive from topology" ([[defaultBudgetFor]]). */
   def contaminationAuto(corpus: DataFrame, tests: DataFrame, idCol: String,
                         textCol: String, shingleK: Int = 3,
-                        broadcastBytes: Long = DefaultBroadcastBudget): DataFrame = {
+                        broadcastBytes: Long = -1L): DataFrame = {
     val est = tests.select(
       sum(size(graft.functions.ShingleHashesExpr(
         TextFunctions.normalize(col(textCol)), shingleK))).as("n"))
@@ -160,7 +172,10 @@ object CorpusPrep {
         case n: Long => n
         case n: Int => n.toLong
       }
-    if (chooseBloom(est, broadcastBytes))
+    val budget =
+      if (broadcastBytes > 0L) broadcastBytes
+      else defaultBudgetFor(corpus.sparkSession)
+    if (chooseBloom(est, budget))
       contaminationBloom(corpus, tests, idCol, textCol, shingleK,
         expectedItems = math.max(1L, est))
     else contamination(corpus, tests, idCol, textCol, shingleK)
@@ -173,7 +188,7 @@ object CorpusPrep {
   def decontaminate(corpus: DataFrame, tests: DataFrame, idCol: String,
                     textCol: String, shingleK: Int = 3,
                     maxShared: Long = 0L,
-                    broadcastBytes: Long = DefaultBroadcastBudget): DataFrame =
+                    broadcastBytes: Long = -1L): DataFrame =
     corpus.join(
       contaminationAuto(corpus, tests, idCol, textCol, shingleK, broadcastBytes)
         .filter(col("n_hits") > maxShared)

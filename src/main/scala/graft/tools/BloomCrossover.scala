@@ -47,8 +47,8 @@ object BloomCrossover {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    println("| test mod | test docs | est shingles | auto picks | exact s | bloom s |")
-    println("| --- | --- | --- | --- | --- | --- |")
+    println("| test mod | test docs | est shingles | auto local | auto cluster | exact s | bloom s |")
+    println("| --- | --- | --- | --- | --- | --- | --- |")
     mods.foreach { mod =>
       val docs = Td(spark, sfDir, "documents")
       val corpus = docs.filter(col("doc_id") % mod =!= 0)
@@ -57,7 +57,11 @@ object BloomCrossover {
       val est = tests.select(sum(size(graft.functions.ShingleHashesExpr(
         graft.text.TextFunctions.normalize(col("text")), 3))))
         .head().getLong(0)
-      val pick = if (CorpusPrep.chooseBloom(est)) "bloom" else "exact"
+      val pickLocal =
+        if (CorpusPrep.chooseBloom(est, CorpusPrep.defaultBudgetFor(spark)))
+          "bloom" else "exact"
+      val pickCluster =
+        if (CorpusPrep.chooseBloom(est)) "bloom" else "exact"
       // The frame is CONSTRUCTED inside the timed closure:
       // contaminationBloom builds its filter eagerly (a driver head()
       // on the bloom agg), and that build is precisely the overhead
@@ -76,7 +80,7 @@ object BloomCrossover {
       val bloomS = run(() =>
         CorpusPrep.contaminationBloom(corpus, tests, "doc_id", "text",
           expectedItems = est))
-      println(f"| $mod | $nTest | $est | $pick | $exactS%.1f | $bloomS%.1f |")
+      println(f"| $mod | $nTest | $est | $pickLocal | $pickCluster | $exactS%.1f | $bloomS%.1f |")
     }
     spark.stop()
   }

@@ -136,6 +136,12 @@ class CorpusPrepSpec extends SparkSuite {
     assert(CorpusPrep.chooseBloom(9L, broadcastBytes = 64L))        // one past
     assert(!CorpusPrep.chooseBloom(8_000_000L))  // 64 MB default: 8M hashes fit
     assert(CorpusPrep.chooseBloom(9_000_000L))
+    // Topology-aware default: a local session widens the budget 8×
+    // (measured r13: a single JVM's broadcast is a pointer hand-off,
+    // exact still wins at ~114 MB sets; the 64 MB figure models
+    // per-executor replication on a cluster).
+    assert(CorpusPrep.defaultBudgetFor(spark) ==
+      CorpusPrep.DefaultBroadcastBudget * 8)
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
       (2L, good)).toDF("doc_id", "text")
