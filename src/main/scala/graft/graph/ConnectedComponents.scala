@@ -120,4 +120,26 @@ object ConnectedComponents {
     * dedup contract (`keep = doc whose id == its component label`). */
   def keepers(components: DataFrame, idCol: String = "id"): DataFrame =
     components.filter(col(idCol) === col("component")).select(col(idCol))
+
+  /** One keeper per component chosen by QUALITY, not id: the member
+    * with the highest score survives (ties broken by min id, so the
+    * choice is deterministic). This is what a real pretraining dedup
+    * wants — "keep the best version of each duplicate cluster" (the
+    * longest, highest-quality-scored, least-boilerplate copy) — where
+    * [[keepers]]'s min-id rule keeps an arbitrary one.
+    *
+    * Scale shape: one equi-join of the component labels with the score
+    * frame + one window pick per component — shuffle ∝ nodes, and the
+    * window partitions by component so no global sort. Returns
+    * (idCol, "component", scoreCol) for the surviving rows. */
+  def keepersBy(components: DataFrame, scores: DataFrame,
+                idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    components.join(scores, Seq(idCol))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("component"), col(scoreCol))
+  }
 }

@@ -273,6 +273,38 @@ object SimBattery {
     }
   )
 
+  /** IVF-PQ ANN under the recall-floor contract of `q_ann_lsh` /
+    * `q_ann_ivf`: coarse cells prune the corpus, PQ codes (m=8 bytes
+    * per vector — a 32× index cut at dim 64) rank candidates by
+    * asymmetric distance, and only the ADC shortlist touches full
+    * vectors for the exact re-rank. Uniform-random embeddings are the
+    * worst case for both stages (no cluster structure for the coarse
+    * quantizer, codebooks reduce to a coarse grid); the floor of ≥1 of
+    * the exact top-3 at nprobe=8 gates the machinery (measured: every
+    * probe recovers its full reachable truth — the ADC shortlist at 32
+    * does not lose cell-reachable true neighbors at sf0.01). */
+  val annPq = Q(
+    "q_ann_pq",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val pq = Similarity.ivfPqTopK(emb, probes, topK = 3, nprobe = 8)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
-    annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode)
+    annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
+    annPq)
 }

@@ -754,11 +754,37 @@ object TextBattery {
     }
   )
 
+  /** CCNet-style unigram LM quality score ([[graft.text.Relevance
+    * .unigramNll]]): per-doc average negative log-likelihood under the
+    * corpus's own unigram distribution — the cheap model-based quality
+    * signal (rare/garbled text scores high). Same float discipline as
+    * `q_tfidf`: both engines evaluate the identical ln expression over
+    * the same integer counts; the score is rounded to 4dp for the hash
+    * to guard the final ulp of ln/summation order across libms. */
+  val lmScoreQ = Q(
+    "q_lm_score",
+    Some(
+      "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE term <> '' GROUP BY 1, 2), " +
+        "cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, " +
+        "round(sum(tf * -ln(cnt / t.t)) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN cnt USING (term) CROSS JOIN t GROUP BY doc_id ORDER BY 1"),
+    (s, dir) =>
+      graft.text.Relevance.unigramNll(
+        Td(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))
+  )
+
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
-    repetitionQ, piiRedactQ)
+    repetitionQ, piiRedactQ, lmScoreQ)
 }

@@ -97,39 +97,39 @@ object Similarity {
     * over centroid literals (higher-order fns — interpreted, like all
     * vector math here), cell search is a bucket equi-join — shuffle ∝
     * corpus, never all-pairs. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
-              k: Int = 16, nprobe: Int = 3, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Training + indexing read the corpus 3× (seed pick, one Lloyd
-    // step, cell index) — materialize the 2-column projection once;
-    // localCheckpoint so repeated invocations are ContextCleaner-safe
-    // (same rationale as graft.view.Patterns.ensurePersisted).
-    val corpus2 = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+  private def unitRows(cs: Array[Array[Double]]): Array[Array[Double]] =
+    cs.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
 
-    // Deterministic seeds: k vectors with smallest xxhash64(id).
+  /** Cosine-nearest coarse cell of a vector — ONE native codegen pass
+    * over all k centroids per row (ArgMaxDotExpr). Centroids are
+    * unit-normalized DRIVER-side: argmax of cosine = argmax of
+    * dot(v, ĉ) — the row's own norm is a positive scalar and drops out
+    * of the argmax, and the centroid norm folds into the constant
+    * matrix. */
+  private def nearestCell(vec: Column, cs: Array[Array[Double]]): Column =
+    graft.functions.ArgMaxDotExpr(vec, unitRows(cs))
+
+  /** Deterministic coarse quantizer shared by IVF and IVF-PQ: seeds =
+    * the `k` hash-smallest corpus vectors (content-derived, no runtime
+    * randomness), then one Lloyd assign+mean refinement over the
+    * corpus. The driver holds only `k × dim` doubles. */
+  private def coarseCentroids(corpus2: DataFrame, k: Int,
+                              idCol: String, vecCol: String): Array[Array[Double]] = {
     val seeds = corpus2
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-
-    // One Lloyd step: assign to nearest seed, average per cell.
-    // Centroids are unit-normalized DRIVER-side: argmax of cosine =
-    // argmax of dot(v, ĉ) — the row's own norm is a positive scalar and
-    // drops out of the argmax, and the centroid norm folds into the
-    // constant matrix. Assignment is ONE native codegen pass over all
-    // k centroids per row (ArgMaxDotExpr) — the hot cost of both
-    // assignment passes, formerly k interpreted HOF dots.
-    def unitRows(cs: Array[Array[Double]]): Array[Array[Double]] =
-      cs.map { c =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        if (n == 0) c else c.map(_ / n)
-      }
-    def nearestCell(vec: Column, cs: Array[Array[Double]]): Column =
-      graft.functions.ArgMaxDotExpr(vec, unitRows(cs))
+      .map(_.getSeq[Any](1).iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray)
     val assigned = corpus2.select(col(vecCol).as("v"),
       nearestCell(col(vecCol), seeds).as("cell"))
-    val refined: Array[Array[Double]] = assigned
+    assigned
       .select(col("cell"), posexplode(col("v")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("col")).as("m"))
@@ -140,6 +140,17 @@ object Similarity {
       }.toMap match {
         case m => (0 until k).map(i => m.getOrElse(i, seeds(i))).toArray
       }
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
+              k: Int = 16, nprobe: Int = 3, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Training + indexing read the corpus 3× (seed pick, one Lloyd
+    // step, cell index) — materialize the 2-column projection once;
+    // localCheckpoint so repeated invocations are ContextCleaner-safe
+    // (same rationale as graft.view.Patterns.ensurePersisted).
+    val corpus2 = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    val refined = coarseCentroids(corpus2, k, idCol, vecCol)
 
     // Index the corpus by refined cell; probes visit nprobe cells.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -201,6 +212,149 @@ object Similarity {
       .withColumn("cos", cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Argmin-L2 of a (sub)vector against `k` constant centroids via the
+    * augmented-coordinate trick: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2),
+    * and appending a constant 1.0 coordinate to v and −‖c‖²/2 to each
+    * centroid row turns that into a plain argmax-dot — so the existing
+    * native [[graft.functions.ArgMaxDotExpr]] kernel does PQ encoding
+    * with no new expression. */
+  private def argminL2(vec: Column, cs: Array[Array[Double]]): Column = {
+    val augmented = cs.map(c => c :+ (-c.map(x => x * x).sum / 2.0))
+    graft.functions.ArgMaxDotExpr(
+      concat(vec, array(lit(1.0))), augmented)
+  }
+
+  /** Per-subspace product-quantization codebooks: `[m][k][dim/m]`,
+    * trained exactly like the coarse quantizer (hash-smallest seeds +
+    * one Lloyd refinement) but per subspace, with the refinement's
+    * assign pass for ALL m subspaces fused into one corpus scan. The
+    * driver holds `m × k × dim/m = k × dim` doubles — same bound as
+    * the coarse centroids. */
+  private def pqCodebooks(corpus2: DataFrame, m: Int, k: Int, dim: Int,
+                          idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must be divisible by m $m")
+    val seedRows = corpus2
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Any](1).iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray)
+    val seedBooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seedRows.map(v => v.slice(j * sub, (j + 1) * sub)))
+    def subvec(vec: Column, j: Int): Column =
+      slice(vec, j * sub + 1, sub)
+    // One corpus pass assigns every subspace; two chained generators
+    // (codes → positions) feed the per-(subspace, code, pos) means.
+    val withCodes = corpus2.select(col(vecCol).as("v"),
+      array((0 until m).map(j =>
+        argminL2(subvec(col("v"), j), seedBooks(j))): _*).as("codes"))
+    val means = withCodes
+      .select(col("v"), posexplode(col("codes")))
+      .select(col("pos").as("j"), col("col").as("code"),
+        posexplode(slice(col("v"), col("pos") * sub + 1, lit(sub))))
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg(avg(col("col")).as("mv"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (jc, rows) =>
+        jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+      }
+    Array.tabulate(m, k)((j, c) => means.getOrElse((j, c), seedBooks(j)(c)))
+  }
+
+  /** IVF-PQ cosine top-k — the compressed scale path: the coarse
+    * quantizer prunes to `nprobe` of `cells` cells (exactly as
+    * [[ivfTopK]]), and INSIDE the visited cells candidates are ranked
+    * by asymmetric-distance (ADC) over `m`-byte PQ codes instead of
+    * full vectors: the probe precomputes one m×k dot-product table
+    * against the codebooks, and each candidate costs m table lookups
+    * instead of `dim` multiplies. The ADC shortlist (`shortlist` per
+    * probe) is then exact-cosine re-ranked by joining the ORIGINAL
+    * vectors back by id — an equi-join that moves only
+    * probes × shortlist rows.
+    *
+    * Scale shape (the point of PQ): the candidate scan carries
+    * `(cell, id, m codes)` ≈ m bytes per vector instead of dim×4 —
+    * a 32× index-size cut at dim=64/m=8 — and full vectors are touched
+    * only for the shortlist. All vectors are L2-normalized before
+    * encoding so ADC's dot approximation ranks by cosine (cosine is
+    * scale-invariant, so the exact re-rank over raw vectors is
+    * unchanged). Everything is deterministic: hash-seeded codebooks,
+    * argmax tie-break by first index, rank ties by neighbor id. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
+                cells: Int = 16, nprobe: Int = 8, m: Int = 8, k: Int = 16,
+                shortlist: Int = 32, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must be divisible by m $m")
+    // Normalized 2-column projection, read by training (2×), indexing,
+    // and the shortlist re-rank — materialize once.
+    val corpus2 = graft.sim.Embeddings
+      .withL2Normalized(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .filter(col("unit").isNotNull)
+      .select(col(idCol), col("unit").as(vecCol))
+      .localCheckpoint()
+    val coarse = coarseCentroids(corpus2, cells, idCol, vecCol)
+    val books = pqCodebooks(corpus2, m, k, dim, idCol, vecCol)
+    def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
+    def codesOf(vec: Column): Column =
+      array((0 until m).map(j => argminL2(subvec(vec, j), books(j))): _*)
+
+    // The index: only (cell, id, codes) — m small ints per vector.
+    val indexed = corpus2.select(col(idCol).as("neighbor_id"),
+      nearestCell(col(vecCol), coarse).as("cell"),
+      codesOf(col(vecCol)).as("codes"))
+
+    // Probes: nprobe coarse cells (same ranking as ivfTopK) + the ADC
+    // table — m arrays of k dots of the probe subvector against each
+    // codebook (native MatVecDots per subspace).
+    val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(coarse))
+    val dtable = array((0 until m).map(j =>
+      graft.functions.MatVecDotsExpr(subvec(col("pv"), j), books(j))): _*)
+    val probeCells = graft.sim.Embeddings
+      .withL2Normalized(probes.select(col(idCol), col(vecCol)), vecCol)
+      .filter(col("unit").isNotNull)
+      .select(col(idCol).as("probe_id"), col("unit").as("pv"))
+      .withColumn("__sims", probeSims)
+      .withColumn("__ranked", reverse(array_sort(col("__sims"))))
+      .select(col("probe_id"), col("pv"), col("__sims"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__target"))
+      .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
+      .select(col("probe_id"), col("pv"), col("cell"))
+      .withColumn("dtable", dtable.as("dtable"))
+
+    // ADC score = Σ_j dtable[j][code_j] ≈ cos(probe, candidate): m
+    // element lookups per candidate, no vector math.
+    val adc = aggregate(
+      zip_with(col("codes"), col("dtable"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = indexed.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("probe_id"), col("pv"), col("neighbor_id"))
+
+    // Exact re-rank touches full vectors ONLY for the shortlist.
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 }

@@ -60,6 +60,30 @@ object Relevance {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"), col("score"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * average negative log-likelihood under the corpus's own unigram
+    * distribution, `-(1/n_d) Σ_tokens ln(cnt(t)/T)`. Common fluent text
+    * scores low, rare/noisy/garbled text scores high — the classic
+    * cheap model-based quality signal for corpus filtering (CCNet
+    * filters on wikipedia-LM perplexity; self-trained unigram NLL is
+    * its closed-form, oracle-statable sibling). No smoothing needed:
+    * every scored token is, by construction, in the corpus counts.
+    *
+    * Scale shape: the tf → corpus-count chain is the same two-shuffle
+    * inverted-index build as TF-IDF; the total is a broadcast 1-row
+    * aggregate. Returns (idCol, n_tok, nll). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("double").as("__t"))
+    tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tok"),
+        (sum(col("tf") * -log(col("cnt") / col("__t"))) / sum(col("tf")))
+          .as("nll"))
+  }
+
   /** Top-k highest-scoring terms per document (score desc, term asc —
     * fully deterministic tie-break). */
   def topTerms(scored: DataFrame, idCol: String, k: Int): DataFrame = {

@@ -67,4 +67,21 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(ConnectedComponents.keepers(comps).as[Long].collect().toSet ===
       Set(1L, 2L))
   }
+
+  test("keepersBy keeps the max-score member per component, min-id on ties") {
+    // {1} isolated; {2,3} joined; {4,5,6} a chain. Scores make the
+    // NON-minimum id the best in both multi-node clusters, and 5/6 tie.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val edges = Seq((2L, 3L), (4L, 5L), (5L, 6L))
+    val scores = Seq(1L -> 10L, 2L -> 1L, 3L -> 7L,
+      4L -> 2L, 5L -> 9L, 6L -> 9L)
+    val comps = ConnectedComponents.run(nodes.toDF("id"), edges.toDF("src", "dst"))
+    val kept = ConnectedComponents.keepersBy(comps, scores.toDF("id", "score"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sc) => comp -> ((id, sc)) }.toMap
+    assert(kept === Map(
+      1L -> ((1L, 10L)),  // isolated keeps itself
+      2L -> ((3L, 7L)),   // 3 outscores the component minimum 2
+      4L -> ((5L, 9L))))  // 5 and 6 tie at 9 → min id 5
+  }
 }

@@ -72,4 +72,30 @@ class SimilaritySpec extends SparkSuite {
     assert(ranked.head.getAs[Long]("neighbor_id") == 100L)
     assert(ranked.last.getAs[Long]("neighbor_id") == 102L)
   }
+
+  test("IVF-PQ finds the planted duplicate; exhaustive probe + full " +
+    "shortlist matches brute top-1 on every probe") {
+    // m=4 subspaces of 2 dims over the 8-dim fixture, exhaustive
+    // nprobe and a shortlist covering the corpus: ADC ranking plus the
+    // exact re-rank must then agree with brute force exactly — this
+    // validates the encode → ADC → re-rank mechanism, not recall luck.
+    val probes = vecs.filter("vec_id IN (1, 2)")
+    val pq = Similarity.ivfPqTopK(vecs, probes, topK = 1,
+      cells = 3, nprobe = 3, m = 4, k = 4, shortlist = 10, dim = 8)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.bruteTopK(vecs, probes, k = 1)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(pq === brute)
+    assert(pq(1L) == 100L) // the planted duplicate
+  }
+
+  test("IVF-PQ plan contains no CartesianProduct") {
+    val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
+      topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
+      .queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "PQ candidate generation must stay a cell equi-join")
+  }
 }

@@ -47,4 +47,19 @@ class RelevanceSpec extends SparkSuite {
     // every score is finite and non-negative under the smoothed idf
     assert(scored.values.forall(s => !s.isNaN && s >= 0))
   }
+
+  test("unigramNll: closed form on the fixture; rare tokens score higher") {
+    // Corpus occurrences: cat 3, dog 2, emu 2 → T = 7.
+    val got = Relevance.unigramNll(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tok", $"nll")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def p(c: Double) = -math.log(c / 7.0)
+    assert(got(1L)._1 === 4L)
+    assert(math.abs(got(1L)._2 - (p(3) + p(2) + 2 * p(2)) / 4.0) < 1e-12)
+    assert(math.abs(got(2L)._2 - (p(3) + p(2)) / 2.0) < 1e-12)
+    assert(math.abs(got(3L)._2 - p(3)) < 1e-12)
+    // the all-common doc (cat only) is the most "likely" = lowest NLL
+    assert(got(3L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
+  }
 }
