@@ -304,7 +304,55 @@ object SimBattery {
     }
   )
 
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup": embedding-space duplicate CLUSTERS, keep one
+    * representative per cluster) composed from the engine's own
+    * operators: sign-bit-LSH embedding near-dup pairs → connected
+    * components → quality-keyed keeper (`keepersBy`; the synthetic
+    * quality `vec_id % 97` makes the planted high-id copy outscore the
+    * original in most clusters, so the max-score rule — not min-id —
+    * is what the hash pins). Full exact oracle, as in
+    * `q_neardup_embedding`: at cosine ≥ 0.99 the ground-truth pair set
+    * is the planted identical copies, so DuckDB restates pairs
+    * all-pairs, components recursively, and the same window pick. */
+  val semanticDedup = Q(
+    "q_semantic_dedup",
+    Some(
+      "WITH RECURSIVE av AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50), " +
+        "e AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM av a JOIN av b " +
+        "ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99), " +
+        "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+        "reach(a, b) AS (SELECT a, b FROM und " +
+        "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+        "comp AS (SELECT v.vec_id, " +
+        "least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component " +
+        "FROM av v LEFT JOIN reach r ON r.a = v.vec_id GROUP BY v.vec_id), " +
+        "rk AS (SELECT vec_id, component, vec_id % 97 AS quality, " +
+        "row_number() OVER (PARTITION BY component " +
+        "ORDER BY vec_id % 97 DESC, vec_id) AS rn FROM comp) " +
+        "SELECT vec_id, component, quality FROM rk WHERE rn = 1 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val pairs = graft.dedup.Dedup.embeddingNearDup(planted, "vec_id", "embedding",
+        dim = 64, minCosine = 0.99)
+      val comps = graft.graph.ConnectedComponents.run(
+        planted.select(col("vec_id").as("id")),
+        pairs, srcCol = "id_a", dstCol = "id_b")
+      graft.graph.ConnectedComponents.keepersBy(comps,
+        planted.select(col("vec_id").as("id"), (col("vec_id") % 97).as("score")),
+        scoreCol = "score")
+        .select(col("id").as("vec_id"), col("component"),
+          col("score").as("quality"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
     annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
-    annPq)
+    annPq, semanticDedup)
 }

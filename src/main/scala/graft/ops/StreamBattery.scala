@@ -440,6 +440,59 @@ object StreamBattery {
     }
   )
 
+  /** Stream-STATIC decontamination — the canonical training-data
+    * ingest shape: a live document feed is anti-joined per micro-batch
+    * against a fixed historical corpus (here: its content-hash set) so
+    * already-held documents never re-enter the corpus. Unlike the
+    * stateful gates above this is STATELESS streaming — the static
+    * side is a plain DataFrame Spark re-broadcasts/joins per batch, no
+    * state store, no watermark — which is exactly why it scales to an
+    * unbounded feed: per-batch cost is one anti-join against the
+    * static build side, independent of stream history. The feed
+    * replays clean docs (batch 0) then two parity slices of leaked
+    * copies of corpus docs (batches 1-2, id-shifted +1e6); the
+    * memory-sink union must equal the closed-form NOT IN, independent
+    * of batch boundaries, because the operator keeps no cross-batch
+    * state. */
+  val streamDecontaminate = Q(
+    "q_stream_decontaminate",
+    Some(
+      "WITH st AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0), " +
+        "sm AS (SELECT doc_id, md5(text) AS content_hash FROM documents " +
+        "WHERE doc_id % 3 = 1 " +
+        "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents " +
+        "WHERE doc_id % 3 = 0) " +
+        "SELECT doc_id, content_hash FROM sm " +
+        "WHERE content_hash NOT IN (SELECT h FROM st) ORDER BY 1"),
+    (s, dir) => {
+      def docs = Td(s, dir, "documents")
+      val static = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("content_hash"))
+      def streamFrame = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val feed = FeedCache(
+        s"stream_decon:$dir:mod=3:leakbase=1000000:parity-split") { feedDir =>
+        writeSlice(streamFrame, feedDir, 0)
+        val leaked = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("content_hash"))
+        writeSlice(leaked.filter(col("doc_id") % 2 === 0), feedDir, 1)
+        writeSlice(leaked.filter(col("doc_id") % 2 === 1), feedDir, 2)
+      }
+      val name = s"stream_decon_${System.nanoTime()}"
+      val q = s.readStream.schema(streamFrame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .join(static, Seq("content_hash"), "left_anti")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name).select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
-    streamJoin, streamJoinOuter)
+    streamJoin, streamJoinOuter, streamDecontaminate)
 }
