@@ -473,18 +473,38 @@ object Dedup {
     * vectors straddle exactly one hyperplane still becomes a candidate.
     * Cost: the probe side fans out ×(planes+1), but rows carry only
     * (bucket, id), so the widened shuffle moves longs, and the exact
-    * vectors join in afterwards by id. */
+    * vectors join in afterwards by id.
+    *
+    * `planes` ≤ 0 (the default) derives the plane count from the
+    * corpus size: `max(12, ceil(log2(n)))`, i.e. ~1 row per bucket in
+    * expectation. A FIXED plane count saturates as the corpus grows —
+    * candidate pairs scale as n²/2^planes, and the 90× corpus measured
+    * 151 s under pinned 12 planes (34 rows/bucket × 13 probe flips)
+    * where the derived 18 planes keep the candidate volume ∝ n.
+    * Identical duplicates co-bucket under ANY plane count (equal sign
+    * bits), so planted-truth recall is invariant; near-boundary recall
+    * trades against the multi-probe flips exactly as the scaladoc
+    * above describes. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, minCosine: Double = 0.95,
-                       planes: Int = 12, seed: Long = 42L,
+                       planes: Int = -1, seed: Long = 42L,
                        multiProbe: Boolean = true): DataFrame = {
     import graft.sim.Similarity
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
+    val proj = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = proj.count()
+        math.min(48,
+          math.max(12, math.ceil(math.log(math.max(n, 2L).toDouble) /
+            math.log(2.0)).toInt))
+      }
+    val bucketed = proj.select(col("id"), col("v"),
+      Similarity.lshBucket(col("v"), nPlanes, dim, seed).as("bucket"))
     // Probe side: base bucket plus (optionally) each 1-bit flip; ids
     // only, so the fan-out shuffles 16 bytes per probe row.
     val flips =
-      if (multiProbe) array(lit(0L) +: (0 until planes).map(i => lit(1L << i)): _*)
+      if (multiProbe) array(lit(0L) +: (0 until nPlanes).map(i => lit(1L << i)): _*)
       else array(lit(0L))
     val a = bucketed
       .select(col("id").as("id_a"),
