@@ -321,11 +321,27 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Shuffle canary: same scan but grouped on the high-cardinality
+    // order key, so real shuffle bytes flow through spark.local.dir.
+    // The CPU canary above is shuffle-free BY DESIGN and therefore
+    // blind to local-dir/disk-stall contention (r11 A/B: a disk-backed
+    // local dir cost 1.5-2× on every shuffle-heavy query while the CPU
+    // canary stayed flat) — this one closes that adjudication blind
+    // spot: CPU flat + shuffle drifting ⇒ the local dir, not the CPUs.
+    def canaryShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaries = scala.collection.mutable.ListBuffer.empty[String]
     def recordCanary(at: String): Unit = {
       val sec = canaryOnce()
+      val shuffleSec = canaryShuffleOnce()
       val (l1, l5, _) = loadavg
-      canaries += f"""{"at":"$at","sec":$sec%.3f,"load1":$l1%.2f,"load5":$l5%.2f}"""
+      canaries += f"""{"at":"$at","sec":$sec%.3f,"shuffle_sec":$shuffleSec%.3f,"load1":$l1%.2f,"load5":$l5%.2f}"""
     }
     recordCanary("start")
 
