@@ -281,8 +281,9 @@ object SimBattery {
     * worst case for both stages (no cluster structure for the coarse
     * quantizer, codebooks reduce to a coarse grid); the floor of ≥1 of
     * the exact top-3 at nprobe=8 gates the machinery (measured: every
-    * probe recovers its full reachable truth — the ADC shortlist at 32
-    * does not lose cell-reachable true neighbors at sf0.01). */
+    * probe recovers its full reachable truth — the corpus-derived ADC
+    * shortlist, floored at 32 which is exactly what sf0.01 derives,
+    * does not lose cell-reachable true neighbors). */
   val annPq = Q(
     "q_ann_pq",
     Some(

@@ -290,7 +290,7 @@ object Similarity {
     * argmax tie-break by first index, rank ties by neighbor id. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
                 cells: Int = 16, nprobe: Int = 8, m: Int = 8, k: Int = 16,
-                shortlist: Int = 32, dim: Int = 64,
+                shortlist: Int = -1, dim: Int = 64,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must be divisible by m $m")
@@ -301,6 +301,17 @@ object Similarity {
       .filter(col("unit").isNotNull)
       .select(col(idCol), col("unit").as(vecCol))
       .localCheckpoint()
+    // shortlist ≤ 0 derives from corpus size: max(32, n/200), i.e.
+    // ~0.5% of the corpus survives ADC into the exact re-rank. A FIXED
+    // shortlist saturates exactly like a fixed LSH plane count — at
+    // 90× data, 32 of ~70k ADC candidates (0.05%) starved the re-rank
+    // to recall 0 on uniform embeddings (ADC over m=8 bytes is a
+    // high-variance rank on unclustered data; PqDial measured it),
+    // where the derived ~700 restores the contract at a re-rank join
+    // of probes × 0.5% of n rows — still tiny next to the scan.
+    val effShortlist =
+      if (shortlist > 0) shortlist
+      else math.max(32L, corpus2.count() / 200L).toInt
     val coarse = coarseCentroids(corpus2, cells, idCol, vecCol)
     val books = pqCodebooks(corpus2, m, k, dim, idCol, vecCol)
     def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
@@ -343,7 +354,7 @@ object Similarity {
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("adc", adc)
       .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= shortlist)
+      .filter(col("adc_rank") <= effShortlist)
       .select(col("probe_id"), col("pv"), col("neighbor_id"))
 
     // Exact re-rank touches full vectors ONLY for the shortlist.
