@@ -111,13 +111,17 @@ object SimBattery {
   )
 
   /** IVF-bucketed ANN under a recall-floor oracle (same contract shape
-    * as `q_ann_lsh`): every probe recovers ≥1 of its exact top-3 when
-    * probing 8 of 16 cells. Uniform-random embeddings are IVF's worst
-    * case — no cluster structure, so recall ≈ the corpus fraction
-    * scanned (measured: 11/15 at nprobe=8, every probe ≥1; exhaustive
-    * nprobe=16 equals brute exactly, validating the mechanism). On real
-    * clustered embeddings the same operator concentrates recall into
-    * few cells; the floor here gates the machinery, not the data. */
+    * as `q_ann_lsh`): every probe recovers ≥1 of its exact top-3 under
+    * the corpus-derived geometry (cells = max(16, ⌈√n/2⌉), nprobe =
+    * max(8, ⌈√cells⌉) — sf0.01's 500 rows derive the calibrated
+    * 16 cells / nprobe 8, so the gate is bit-identical to the fixed
+    * geometry it replaced).
+    * Uniform-random embeddings are IVF's worst case — no cluster
+    * structure, so recall ≈ the corpus fraction scanned (exhaustive
+    * nprobe=cells equals brute exactly, validating the mechanism). On
+    * real clustered embeddings the same operator concentrates recall
+    * into few cells; the floor here gates the machinery, not the
+    * data. */
   val annIvf = Q(
     "q_ann_ivf",
     Some(
@@ -126,7 +130,7 @@ object SimBattery {
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      val ivf = Similarity.ivfTopK(emb, probes, topK = 3, nprobe = 8)
+      val ivf = Similarity.ivfTopK(emb, probes, topK = 3)
       val brute = Similarity.bruteTopK(emb, probes, k = 3)
       val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
         Seq("probe_id", "neighbor_id"), "left_semi")
@@ -280,10 +284,12 @@ object SimBattery {
     * vectors for the exact re-rank. Uniform-random embeddings are the
     * worst case for both stages (no cluster structure for the coarse
     * quantizer, codebooks reduce to a coarse grid); the floor of ≥1 of
-    * the exact top-3 at nprobe=8 gates the machinery (measured: every
-    * probe recovers its full reachable truth — the corpus-derived ADC
-    * shortlist, floored at 32 which is exactly what sf0.01 derives,
-    * does not lose cell-reachable true neighbors). */
+    * the exact top-3 under the corpus-derived geometry (cells/nprobe/
+    * shortlist all derive from n — sf0.01 derives 16/8/32, the
+    * calibrated fixed values) gates the
+    * machinery (measured: every probe recovers its full reachable
+    * truth — the ADC shortlist does not lose cell-reachable true
+    * neighbors). */
   val annPq = Q(
     "q_ann_pq",
     Some(
@@ -292,7 +298,7 @@ object SimBattery {
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      val pq = Similarity.ivfPqTopK(emb, probes, topK = 3, nprobe = 8)
+      val pq = Similarity.ivfPqTopK(emb, probes, topK = 3)
       val brute = Similarity.bruteTopK(emb, probes, k = 3)
       val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
         Seq("probe_id", "neighbor_id"), "left_semi")

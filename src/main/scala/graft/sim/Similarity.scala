@@ -142,15 +142,49 @@ object Similarity {
       }
   }
 
+  /** Data-derived IVF geometry — the same doctrine as the LSH plane
+    * rule in [[graft.dedup.Dedup.embeddingNearDup]] and the ADC
+    * shortlist below: a fixed-width bucketing saturates at scale.
+    *
+    *  - `cells = max(16, ⌈√n / 2⌉)` (capped at 2¹⁶): the classic IVF
+    *    balance — the centroid table (√n/2) and the per-cell
+    *    population (2√n) both stay Θ(√n), so a probe's candidate scan
+    *    shrinks as the corpus grows instead of visiting a constant
+    *    *fraction* of it. A fixed `cells = 16` means `nprobe/16` of
+    *    the corpus per probe at ANY n — a linear scan in disguise at
+    *    100×. The floor keeps small corpora (n ≤ ~1000, including the
+    *    sf0.01 oracle's 500 rows) on the long-measured 16-cell regime
+    *    the recall floor was calibrated against; the cap bounds the
+    *    driver-held centroid matrix (2¹⁶ × dim doubles ≈ 33 MB at
+    *    dim 64) and the O(n·cells·dim) flat assignment pass — beyond
+    *    that a hierarchical coarse quantizer is the right tool.
+    *  - `nprobe = max(8, ⌈√cells⌉)` (≤ cells): per-probe candidates
+    *    = n·nprobe/cells ≈ n^¾ — sublinear, with the floor holding the
+    *    sf-scale recall regime the oracle was calibrated on. Uniform
+    *    embeddings (the oracle's worst case) still see recall track
+    *    the scanned fraction — that is inherent to ANN, measured and
+    *    documented in BENCH_NOTES via PqDial; clustered corpora (the
+    *    realistic regime) concentrate recall into few cells.
+    */
+  private[graft] def derivedCells(n: Long): Int =
+    math.min(1 << 16, math.max(16L, math.ceil(math.sqrt(n.toDouble) / 2.0).toLong)).toInt
+
+  private[graft] def derivedNprobe(cells: Int): Int =
+    math.min(cells, math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt))
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
-              k: Int = 16, nprobe: Int = 3, dim: Int = 64,
+              k: Int = -1, nprobe: Int = -1, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Training + indexing read the corpus 3× (seed pick, one Lloyd
     // step, cell index) — materialize the 2-column projection once;
     // localCheckpoint so repeated invocations are ContextCleaner-safe
     // (same rationale as graft.view.Patterns.ensurePersisted).
     val corpus2 = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
-    val refined = coarseCentroids(corpus2, k, idCol, vecCol)
+    // k/nprobe ≤ 0 derive from corpus size (count is on the
+    // checkpoint, not the upstream tree — one cheap job).
+    val cells = if (k > 0) k else derivedCells(corpus2.count())
+    val effNprobe = if (nprobe > 0) math.min(nprobe, cells) else derivedNprobe(cells)
+    val refined = coarseCentroids(corpus2, cells, idCol, vecCol)
 
     // Index the corpus by refined cell; probes visit nprobe cells.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -162,7 +196,7 @@ object Similarity {
       .withColumn("__sims", probeSims)
       .withColumn("__ranked", reverse(array_sort(col("__sims"))))
       .select(col("probe_id"), col("pv"), col("__sims"),
-        explode(slice(col("__ranked"), 1, nprobe)).as("__target"))
+        explode(slice(col("__ranked"), 1, effNprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
       .select(col("probe_id"), col("pv"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
@@ -289,7 +323,7 @@ object Similarity {
     * unchanged). Everything is deterministic: hash-seeded codebooks,
     * argmax tie-break by first index, rank ties by neighbor id. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
-                cells: Int = 16, nprobe: Int = 8, m: Int = 8, k: Int = 16,
+                cells: Int = -1, nprobe: Int = -1, m: Int = 8, k: Int = 16,
                 shortlist: Int = -1, dim: Int = 64,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sub = dim / m
@@ -301,6 +335,15 @@ object Similarity {
       .filter(col("unit").isNotNull)
       .select(col(idCol), col("unit").as(vecCol))
       .localCheckpoint()
+    // One cheap count on the checkpoint feeds every data-derived
+    // parameter below (cells, nprobe, shortlist).
+    lazy val n = corpus2.count()
+    // cells/nprobe ≤ 0 derive from corpus size — see derivedCells /
+    // derivedNprobe: a fixed cells=16 scanned a constant nprobe/16 of
+    // the corpus per probe at any n (the r13 q_ann_pq 30→90× exponent
+    // of 1.37 was exactly this — a linear scan in disguise).
+    val effCells = if (cells > 0) cells else derivedCells(n)
+    val effNprobe = if (nprobe > 0) math.min(nprobe, effCells) else derivedNprobe(effCells)
     // shortlist ≤ 0 derives from corpus size: max(32, n/200), i.e.
     // ~0.5% of the corpus survives ADC into the exact re-rank. A FIXED
     // shortlist saturates exactly like a fixed LSH plane count — at
@@ -311,8 +354,8 @@ object Similarity {
     // of probes × 0.5% of n rows — still tiny next to the scan.
     val effShortlist =
       if (shortlist > 0) shortlist
-      else math.max(32L, corpus2.count() / 200L).toInt
-    val coarse = coarseCentroids(corpus2, cells, idCol, vecCol)
+      else math.max(32L, n / 200L).toInt
+    val coarse = coarseCentroids(corpus2, effCells, idCol, vecCol)
     val books = pqCodebooks(corpus2, m, k, dim, idCol, vecCol)
     def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
     def codesOf(vec: Column): Column =
@@ -336,7 +379,7 @@ object Similarity {
       .withColumn("__sims", probeSims)
       .withColumn("__ranked", reverse(array_sort(col("__sims"))))
       .select(col("probe_id"), col("pv"), col("__sims"),
-        explode(slice(col("__ranked"), 1, nprobe)).as("__target"))
+        explode(slice(col("__ranked"), 1, effNprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
       .select(col("probe_id"), col("pv"), col("cell"))
       .withColumn("dtable", dtable.as("dtable"))

@@ -24,6 +24,27 @@ class SimilaritySpec extends SparkSuite {
     ).toDF("vec_id", "embedding")
   }
 
+  test("derived IVF geometry: √n/2 cells above the 16-cell floor, √cells probes above 8") {
+    // The floor holds small corpora (incl. the sf0.01 oracle's 500
+    // rows) on the calibrated fixed geometry; beyond it, cells grows
+    // Θ(√n) so the per-probe scanned fraction SHRINKS with n instead
+    // of staying a constant half the corpus.
+    assert(Similarity.derivedCells(500L) === 16) // sf0.01 — bit-unchanged gate
+    assert(Similarity.derivedCells(1024L) === 16)
+    assert(Similarity.derivedCells(2000L) === 23) // sf0.1
+    assert(Similarity.derivedCells(180000L) === 213) // 90×
+    assert(Similarity.derivedCells(20L * 1000 * 1000 * 1000) === (1 << 16)) // cap
+    assert(Similarity.derivedNprobe(16) === 8) // floor: sf0.01 regime
+    assert(Similarity.derivedNprobe(213) === 15) // 90×: 7% scanned, not 50%
+    assert(Similarity.derivedNprobe(4) === 4) // never exceeds cells
+    // The scanned fraction is monotonically non-increasing in n.
+    val fracs = Seq(500L, 2000L, 60000L, 180000L, 10000000L).map { n =>
+      val c = Similarity.derivedCells(n)
+      Similarity.derivedNprobe(c).toDouble / c
+    }
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
   test("brute-force top-1 finds the planted duplicate") {
     val out = Similarity.bruteTopK(vecs, vecs.filter("vec_id IN (1, 2)"), k = 1,
       idCol = "vec_id", vecCol = "embedding")
