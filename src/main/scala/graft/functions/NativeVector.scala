@@ -93,6 +93,36 @@ object NativeVector {
     java.lang.Integer.valueOf(best)
   }
 
+  /** L2-normalize: v / ‖v‖ in one pass → array<double>, or NULL for a
+    * zero/invalid norm. Bit-identical to the composed
+    * `when(norm > 0, transform(v, x -> x / norm))` form: the norm is
+    * the same left-to-right Σx² accumulation (zip_with/aggregate
+    * order), `sqrt` then per-element double division, any null element
+    * nulls the WHOLE vector (through zip_with's null propagation →
+    * null norm → null `when` branch), and a NaN norm fails `> 0.0`
+    * exactly like the composed predicate. The kernel exists because
+    * CollapseProject inlines a multi-referenced norm column INTO the
+    * per-element lambda — re-deriving the full interpreted dot product
+    * once per element, a dim× (64×) blow-up measured at ~400 µs/row on
+    * the IVF-PQ corpus checkpoint. */
+  def l2normalize(v: ArrayData, vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = elem(v, i, vF)
+      acc += x * x
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (!(norm > 0.0)) return null // covers 0 and NaN like `when(n > 0.0)`
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = elem(v, i, vF) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** True iff the child type is a float-element array (vs double). */
   private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _)  => true
@@ -136,6 +166,37 @@ object CosineSimExpr {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(
       new CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Native one-pass L2 normalization of a vector → array<double> (see
+  * [[NativeVector.l2normalize]] for the bit-identity contract). */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+  @transient private lazy val vF: Boolean = NativeVector.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.l2normalize(v.asInstanceOf[ArrayData], vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("unitRes")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.NativeVector.l2normalize($v, $vF);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+}
+
+object L2NormalizeExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(new L2NormalizeExpr(ColumnBridge.expression(c)))
 }
 
 /** Shared shape of the three vector-vs-constant-matrix expressions. */

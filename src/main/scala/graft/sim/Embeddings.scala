@@ -23,9 +23,22 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   /** Add `outCol` = the L2-normalized vector (array<double>). Zero
-    * vectors normalize to null (0/0 would be NaN). */
+    * vectors normalize to null (0/0 would be NaN). Runs on the native
+    * one-pass kernel ([[graft.functions.L2NormalizeExpr]]) — the
+    * composed form below is the definitional twin it is asserted
+    * bit-identical to (EmbeddingsSpec). */
   def withL2Normalized(df: DataFrame, vecCol: String,
                        outCol: String = "unit"): DataFrame =
+    df.withColumn(outCol, graft.functions.L2NormalizeExpr(col(vecCol)))
+
+  /** The composed-HOF definition of [[withL2Normalized]] — kept as the
+    * spec reference. NOT the hot path: CollapseProject inlines the
+    * multi-referenced `__n` column into the per-element lambda,
+    * re-deriving the interpreted norm once per element (a dim×
+    * blow-up; 72 s of task time to normalize the 90× corpus vs ~1 s
+    * native). */
+  private[graft] def withL2NormalizedComposed(df: DataFrame, vecCol: String,
+                                              outCol: String = "unit"): DataFrame =
     df.withColumn("__n", Similarity.norm(col(vecCol)))
       .withColumn(outCol,
         when(col("__n") > 0.0,

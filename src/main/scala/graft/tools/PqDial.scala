@@ -23,9 +23,12 @@ object PqDial {
       sys.exit(2)
     }
     val sfDir = args(0)
+    // A non-positive entry (or "derived") sweeps the corpus-derived
+    // geometry: cells = max(16, ceil(sqrt(n)/2)), nprobe = max(8, ceil(sqrt(cells))).
     val cellsList: Seq[Int] =
-      if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
-      else Seq(16, 64, 256)
+      if (args.length > 1) args(1).split(",").toSeq
+        .map(s => if (s.trim == "derived") -1 else s.trim.toInt)
+      else Seq(16, 64, 256, -1)
     val nprobe = if (args.length > 2) args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,16 +52,22 @@ object PqDial {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"| cells | nprobe | scanned | secs | recall@3 |")
     println(s"| --- | --- | --- | --- | --- |")
-    cellsList.foreach { cells =>
+    val n = emb.count()
+    cellsList.foreach { cellsArg =>
+      val derived = cellsArg <= 0
+      val cells = if (derived) Similarity.derivedCells(n) else cellsArg
+      val np = if (derived) Similarity.derivedNprobe(cells)
+               else math.min(nprobe, cells)
       val t0 = System.nanoTime()
       val got = Similarity.ivfPqTopK(emb, probes, topK = 3,
-        cells = cells, nprobe = math.min(nprobe, cells))
+        cells = cells, nprobe = np)
         .select(col("probe_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
       val recall = (got & truth).size.toDouble / truth.size
-      val frac = math.min(nprobe, cells).toDouble / cells
-      println(f"| $cells | ${math.min(nprobe, cells)} | $frac%.2f | $secs%.1f | $recall%.2f |")
+      val frac = np.toDouble / cells
+      val tag = if (derived) " (derived)" else ""
+      println(f"| $cells$tag | $np | $frac%.2f | $secs%.1f | $recall%.2f |")
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
     }
     spark.stop()

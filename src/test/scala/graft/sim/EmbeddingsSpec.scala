@@ -28,6 +28,29 @@ class EmbeddingsSpec extends SparkSuite {
     assert(out(3L).isNullAt(out(3L).fieldIndex("unit")))
   }
 
+  test("native L2 normalization is bit-identical to the composed HOF form") {
+    // Denormal-ish, negative, and irrational-norm components so the
+    // division results exercise real mantissa bits, not round values.
+    val s = spark
+    import s.implicits._
+    val tricky = Seq(
+      (1L, Array(3f, 4f, 0f)),
+      (2L, Array(-0.5f, 0.25f, 0.125f)),
+      (3L, Array(0f, 0f, 0f)),
+      (4L, Array(1f, 1f, 1f)),
+      (5L, Array(1.0000001f, -2.0000002f, 3.0000003f))
+    ).toDF("vec_id", "embedding")
+    val native = Embeddings.withL2Normalized(tricky, "embedding")
+      .select("vec_id", "unit").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toList)).toMap
+    val composed = Embeddings.withL2NormalizedComposed(tricky, "embedding")
+      .select("vec_id", "unit").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toList)).toMap
+    assert(native === composed) // exact ==, not tolerance
+  }
+
   test("int8 quantization bounds, max-component saturation, dequant error") {
     val out = Embeddings.withInt8Quantized(vecs, "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
