@@ -18,7 +18,19 @@ import org.apache.spark.sql.functions._
   *    rotations are near-orthogonal, so ANN neighborhood sizes scale
   *    linearly too.
   *
-  * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> <factor>`.
+  * Usage: `runMain graft.ScaleUp <srcDir> <dstDir> <factor>
+  * [--clustered-embeddings[=K]]`.
+  *
+  * The optional clustered mode replaces the embeddings table's
+  * rotation path with SYNTHESIZED Gaussian clusters: K seeded centers
+  * (driver-side Random(4242), dim from the source), each output row
+  * assigned to cluster `xxhash64(vec_id) mod K` and placed at
+  * `center + σ·noise` (σ=0.3; noise via hash-derived Box–Muller, so
+  * the corpus is a pure function of the ids — no runtime randomness).
+  * Rationale: uniform/rotated embeddings are ANN's theory floor
+  * (recall ≈ fraction scanned); real embedding corpora cluster, which
+  * is the regime IVF's cells exist for — PqDial on a clustered dir
+  * measures the dial a user would actually see.
   */
 object ScaleUp {
 
@@ -65,8 +77,16 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [--clustered-embeddings[=K]]")
+    val Array(src, dst, factorS) = args.take(3)
+    val clusteredK: Int = args.drop(3).headOption match {
+      case None => 0
+      case Some("--clustered-embeddings") => 100
+      case Some(s) if s.startsWith("--clustered-embeddings=") =>
+        s.stripPrefix("--clustered-embeddings=").toInt
+      case Some(other) => sys.error(s"unknown flag $other")
+    }
     val factor = factorS.toInt
     require(factor >= 1 && factor <= strides.length, s"factor 1..${strides.length}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -133,13 +153,40 @@ object ScaleUp {
       col("lang"), col("source"), col("n_chars")),
       "documents", factor * 2)
 
-    wr(copies(rd("embeddings"), factor).select(
-      off(col("vec_id"), k, E).as("vec_id"),
-      when(k === 0, col("embedding")).otherwise(
-        concat(slice(col("embedding"), k + 1, size(col("embedding")) - k),
-          slice(col("embedding"), lit(1), k))).as("embedding"),
-      col("label")),
-      "embeddings", factor * 2)
+    if (clusteredK > 0) {
+      val dim = rd("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val rnd = new scala.util.Random(4242L)
+      val centers = Array.fill(clusteredK, dim)(rnd.nextGaussian())
+      val sigma = 0.3
+      val sSess = s
+      import sSess.implicits._
+      val centersDf = centers.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "center")
+      // Hash-derived uniform in (0,1): deterministic per (id, dim).
+      def u(h: Column): Column =
+        (pmod(h, lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      val noise = transform(sequence(lit(0), lit(dim - 1)), j =>
+        sqrt(lit(-2.0) * log(u(xxhash64(col("vec_id"), j, lit(1))))) *
+          cos(lit(2.0 * math.Pi) * u(xxhash64(col("vec_id"), j, lit(2)))))
+      val clustered = copies(rd("embeddings"), factor)
+        .select(off(col("vec_id"), k, E).as("vec_id"), col("label"))
+        .withColumn("cid",
+          pmod(xxhash64(col("vec_id")), lit(clusteredK.toLong)).cast("int"))
+        .join(broadcast(centersDf), Seq("cid"))
+        .select(col("vec_id"),
+          zip_with(col("center"), noise,
+            (c, z) => (c + lit(sigma) * z).cast("float")).as("embedding"),
+          col("label"))
+      wr(clustered, "embeddings", factor * 2)
+    } else {
+      wr(copies(rd("embeddings"), factor).select(
+        off(col("vec_id"), k, E).as("vec_id"),
+        when(k === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), k + 1, size(col("embedding")) - k),
+            slice(col("embedding"), lit(1), k))).as("embedding"),
+        col("label")),
+        "embeddings", factor * 2)
+    }
 
     // events: a stream fact — offset ids, keep the time axis
     wr(copies(rd("events"), factor).select(
