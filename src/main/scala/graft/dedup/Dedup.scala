@@ -87,7 +87,8 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.ShingleHashesExpr(
           TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
-      .withColumn("sig", minhashSignature(col("hs"), numHashes)))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes)),
+      graft.view.Patterns.TextInflation)
 
     // Bucket rows carry ONLY the id: a pair colliding in all `bands`
     // buckets (exact duplicates do) would otherwise drag its shingle
@@ -191,7 +192,8 @@ object Dedup {
     val docs = graft.view.Patterns.ensurePersisted(
       df.select(col(idCol).as("id"),
         graft.functions.ShingleHashesExpr(
-          TextFunctions.normalize(col(textCol)), shingleK).as("hs")))
+          TextFunctions.normalize(col(textCol)), shingleK).as("hs")),
+      graft.view.Patterns.TextInflation)
     // ceil(t·n) in doubles can overshoot the exact integer grid
     // (t=0.84, n=50: 42.000000000000004 → ceil 43), shortening the
     // prefix by one token and silently losing an at-threshold pair —
@@ -235,7 +237,7 @@ object Dedup {
     val pt =
       if (maxPosting == Int.MaxValue && maxCandidates <= 0L) pt0
       else {
-        val cached = graft.view.Patterns.ensurePersisted(pt0)
+        val cached = graft.view.Patterns.ensurePersisted(pt0, graft.view.Patterns.TextInflation)
         val postings = cached.groupBy(col("tok"))
           .agg(count(lit(1)).as("plen"))
         // `maxCandidates` derives the cap from a TOTAL candidate-volume
@@ -358,7 +360,8 @@ object Dedup {
       graft.view.Patterns.ensurePersisted(
         df.select(col(id).as(as),
           graft.functions.ShingleHashesExpr(
-            TextFunctions.normalize(col(text)), shingleK).as(s"hs_$as")))
+            TextFunctions.normalize(col(text)), shingleK).as(s"hs_$as")),
+        graft.view.Patterns.TextInflation)
     val l = side(left, leftId, leftText, "id_l")
     val r = side(right, rightId, rightText, "id_r")
     // Document frequency over BOTH corpora — one shared total order.
@@ -398,8 +401,8 @@ object Dedup {
     val (pl, pr) =
       if (maxPosting == Int.MaxValue && maxCandidates <= 0L) (pl0, pr0)
       else {
-        val cl = graft.view.Patterns.ensurePersisted(pl0)
-        val cr = graft.view.Patterns.ensurePersisted(pr0)
+        val cl = graft.view.Patterns.ensurePersisted(pl0, graft.view.Patterns.TextInflation)
+        val cr = graft.view.Patterns.ensurePersisted(pr0, graft.view.Patterns.TextInflation)
         val post = cl.groupBy(col("tok")).agg(count(lit(1)).as("plen_l"))
           .join(cr.groupBy(col("tok")).agg(count(lit(1)).as("plen_r")), Seq("tok"))
           .withColumn("mlen", greatest(col("plen_l"), col("plen_r")))
@@ -490,7 +493,13 @@ object Dedup {
                        planes: Int = -1, seed: Long = 42L,
                        multiProbe: Boolean = true): DataFrame = {
     import graft.sim.Similarity
-    val proj = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val proj0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // The derived-plane path counts the projection AND scans it again
+    // for bucketing (plus both verify-side joins) — localCheckpoint it
+    // so the count doesn't recompute the whole upstream tree once and
+    // the bucketing scan again (r13 advice; mirrors ivfTopK's corpus2
+    // handling). An explicit plane count keeps the plan fully lazy.
+    val proj = if (planes > 0) proj0 else proj0.localCheckpoint()
     val nPlanes =
       if (planes > 0) planes
       else {
@@ -550,7 +559,8 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     // The signature aggregation feeds both sides of the chunk join —
     // materialize it once (same policy as minhashNearDup).
-    val sh = graft.view.Patterns.ensurePersisted(simhash(df, idCol, textCol))
+    val sh = graft.view.Patterns.ensurePersisted(simhash(df, idCol, textCol),
+      graft.view.Patterns.TextInflation)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)

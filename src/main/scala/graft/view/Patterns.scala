@@ -47,7 +47,8 @@ object Patterns {
     * untouched. At 100 TB the pipeline input is the graph-pruned org
     * slice, not the full corpus — that is the frame being
     * materialized. */
-  def ensurePersisted(df: DataFrame): DataFrame =
+  def ensurePersisted(df: DataFrame,
+                      inflation: Long = CacheInflation): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.pipelineInput").getOrElse("persist") match {
       case "off" => df
       case "checkpoint" =>
@@ -60,7 +61,7 @@ object Patterns {
         else df
       case _ =>
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          df.persist(adaptiveLevel(df))
+          df.persist(adaptiveLevel(df, inflation))
         else df
     }
 
@@ -87,16 +88,32 @@ object Patterns {
     * stays in memory, and the r12 workaround's 24 GiB heap keeps the
     * 90× melt in memory — matching what each was measured to
     * survive. */
-  private[graft] def adaptiveLevel(df: DataFrame): org.apache.spark.storage.StorageLevel = {
-    val leafBytes =
-      try df.queryExecution.optimizedPlan.collectLeaves()
-        .map(_.stats.sizeInBytes).sum
-      catch { case _: Exception => BigInt(0) }
-    val level = chooseLevel(leafBytes, Runtime.getRuntime.maxMemory)
-    if (level == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  private[graft] def adaptiveLevel(df: DataFrame,
+      inflation: Long = CacheInflation): org.apache.spark.storage.StorageLevel = {
+    // Leaves with no real statistics (e.g. a LogicalRDD from a
+    // localCheckpoint'd upstream) report spark.sql.defaultSizeInBytes
+    // — by default Long.MaxValue. Treating that as a size would
+    // silently force EVERY such input to DISK_ONLY (r13 advice):
+    // unknown means unknown, so keep the graceful MEMORY_AND_DISK
+    // default rather than pretending the input is infinite.
+    val unknownFloor =
+      try BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    val leafSizes =
+      try df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes)
+      catch { case _: Exception => Seq(BigInt(-1)) }
+    if (leafSizes.exists(s => s < 0 || s >= unknownFloor)) {
       System.err.println(
-        f"[graft.view] pipeline input est ${leafBytes.toDouble * CacheInflation / 1e9}%.1f GB cached vs ${Runtime.getRuntime.maxMemory / 1e9}%.1f GB heap — persisting DISK_ONLY")
-    level
+        "[graft.view] pipeline input has leaves without real size stats — keeping MEMORY_AND_DISK")
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    } else {
+      val leafBytes = leafSizes.sum
+      val level = chooseLevel(leafBytes, Runtime.getRuntime.maxMemory, inflation)
+      if (level == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        System.err.println(
+          f"[graft.view] pipeline input est ${leafBytes.toDouble * inflation / 1e9}%.1f GB cached vs ${Runtime.getRuntime.maxMemory / 1e9}%.1f GB heap — persisting DISK_ONLY")
+      level
+    }
   }
 
   /** Inflation from parquet bytes to columnar-cache bytes for the
@@ -107,10 +124,19 @@ object Patterns {
     * queries over it), underestimating re-opens the 90× OOM. */
   private[graft] val CacheInflation = 50L
 
+  /** Inflation hint for plain text/document frames (shingle sets,
+    * posting frames, signature tables): their parquet→columnar-cache
+    * blow-up is ~2-4×, not the melt's 50× — charging them the melt
+    * rate would push comfortably-fitting caches onto the 1.5-2×
+    * DISK_ONLY path at scale (r13 advice). Callers materializing
+    * text-shaped inputs pass this to [[ensurePersisted]]. */
+  val TextInflation = 4L
+
   /** Pure dispatch rule, spec-pinnable: DISK_ONLY once the estimated
     * cached bytes exceed half the heap. */
-  private[graft] def chooseLevel(leafBytes: BigInt, maxHeap: Long): org.apache.spark.storage.StorageLevel =
-    if (leafBytes * CacheInflation > BigInt(maxHeap / 2))
+  private[graft] def chooseLevel(leafBytes: BigInt, maxHeap: Long,
+      inflation: Long = CacheInflation): org.apache.spark.storage.StorageLevel =
+    if (leafBytes * inflation > BigInt(maxHeap / 2))
       org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 

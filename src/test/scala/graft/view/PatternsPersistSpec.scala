@@ -27,6 +27,23 @@ class PatternsPersistSpec extends SparkSuite {
     assert(Patterns.chooseLevel(atBoundary + 1, heap) == StorageLevel.DISK_ONLY)
   }
 
+  test("inflation hint rescales the dispatch; unknown leaf stats keep MEMORY_AND_DISK") {
+    val heap = 12L << 30
+    // A 230 MB text frame: 50× melt rate says disk, the measured 4×
+    // text rate says it fits comfortably in memory (r13 advice — don't
+    // charge text caches the melt's worst case).
+    assert(Patterns.chooseLevel(BigInt(230L << 20), heap) == StorageLevel.DISK_ONLY)
+    assert(Patterns.chooseLevel(BigInt(230L << 20), heap,
+      Patterns.TextInflation) == StorageLevel.MEMORY_AND_DISK)
+    // A leaf without real statistics (LogicalRDD from localCheckpoint)
+    // reports defaultSizeInBytes = Long.MaxValue; that must read as
+    // "unknown, keep the graceful default", not "infinite, force disk".
+    val s = spark
+    import s.implicits._
+    val checkpointed = Seq((1L, "a"), (2L, "b")).toDF("id", "v").localCheckpoint()
+    assert(Patterns.adaptiveLevel(checkpointed) == StorageLevel.MEMORY_AND_DISK)
+  }
+
   test("ensurePersisted applies the dispatch; conf modes still override") {
     val s = spark
     import s.implicits._
