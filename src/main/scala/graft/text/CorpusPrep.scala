@@ -151,10 +151,42 @@ object CorpusPrep {
     * the session is local. */
   val DefaultBroadcastBudget: Long = 64L << 20
 
-  /** Topology-aware default for [[contaminationAuto]]'s budget. */
-  def defaultBudgetFor(spark: org.apache.spark.sql.SparkSession): Long =
-    if (spark.sparkContext.isLocal) DefaultBroadcastBudget * 8
-    else DefaultBroadcastBudget
+  /** Cap on TOTAL replicated broadcast bytes across the cluster: every
+    * executor (plus the driver) holds a copy of the exact set, so the
+    * aggregate memory+network cost is set-bytes × executor count. The
+    * cap equals the 64 MB per-copy budget at a 16-executor reference
+    * topology; beyond that the per-copy budget shrinks ∝ 1/executors
+    * (r13 verdict #3 — the old budget read only `isLocal` and silently
+    * kept 64 MB per copy at ANY cluster width). */
+  val ReplicatedBroadcastCap: Long = 1L << 30
+
+  /** Floor on the per-copy budget: a few MB broadcasts cheaply at any
+    * width (TorrentBroadcast is peer-to-peer), so the 1/executors rule
+    * must not drive tiny sets onto the Bloom path's extra build pass. */
+  val MinBroadcastBudget: Long = 4L << 20
+
+  /** Pure budget derivation, spec-pinnable (the live wrapper is
+    * [[defaultBudgetFor]]): local = one JVM, broadcast is a pointer
+    * hand-off, budget widens 8×; cluster = per-copy budget bounded by
+    * both the 64 MB default and the replicated-total cap / executors,
+    * floored at [[MinBroadcastBudget]]. */
+  def budgetFor(isLocal: Boolean, executors: Int): Long =
+    if (isLocal) DefaultBroadcastBudget * 8
+    else math.max(MinBroadcastBudget,
+      math.min(DefaultBroadcastBudget,
+        ReplicatedBroadcastCap / math.max(1, executors)))
+
+  /** Topology-aware default for [[contaminationAuto]]'s budget: reads
+    * the live executor count from the status tracker (minus the
+    * driver's own entry; falls back to the single-executor budget when
+    * the probe is unavailable). */
+  def defaultBudgetFor(spark: org.apache.spark.sql.SparkSession): Long = {
+    val sc = spark.sparkContext
+    val executors =
+      try math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+      catch { case _: Exception => 1 }
+    budgetFor(sc.isLocal, executors)
+  }
 
   /** [[contamination]] with the exact/Bloom choice made from a size
     * estimate of the test-shingle set (see [[chooseBloom]]). The

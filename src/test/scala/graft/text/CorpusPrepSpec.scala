@@ -142,6 +142,19 @@ class CorpusPrepSpec extends SparkSuite {
     // per-executor replication on a cluster).
     assert(CorpusPrep.defaultBudgetFor(spark) ==
       CorpusPrep.DefaultBroadcastBudget * 8)
+    // Executor-aware cluster budget (r13 verdict #3): per-copy budget
+    // holds 64 MB up to the 16-executor reference, shrinks with the
+    // replicated-total cap beyond it, floors at 4 MB.
+    assert(CorpusPrep.budgetFor(isLocal = true, executors = 1) ==
+      CorpusPrep.DefaultBroadcastBudget * 8)
+    assert(CorpusPrep.budgetFor(isLocal = false, executors = 1) ==
+      CorpusPrep.DefaultBroadcastBudget)
+    assert(CorpusPrep.budgetFor(isLocal = false, executors = 16) ==
+      CorpusPrep.DefaultBroadcastBudget) // cap / 16 == the default
+    assert(CorpusPrep.budgetFor(isLocal = false, executors = 64) ==
+      CorpusPrep.ReplicatedBroadcastCap / 64) // 16 MB per copy
+    assert(CorpusPrep.budgetFor(isLocal = false, executors = 1024) ==
+      CorpusPrep.MinBroadcastBudget) // floor: tiny sets always broadcast
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
       (2L, good)).toDF("doc_id", "text")
