@@ -305,7 +305,13 @@ object QuadBattery {
       "SELECT 'urn:c/' || CAST(c_custkey AS VARCHAR) AS id, c_name, " +
         "upper(c_mktsegment) AS seg_nl, c_nationkey FROM customer ORDER BY 1"),
     (s, dir) => {
-      val cust = Td(s, dir, "customer")
+      // The sf corpus is ONE parquet split, which would serialize the
+      // whole serialize→parse→pivot chain onto a single task (the r14
+      // profile: 1.0 of the query's 1.3 stage-seconds on one task). A
+      // real NT workload is split-parallel on both sides — thousands
+      // of line-range splits to read, thousands of tasks writing — so
+      // spread the source the way a real scan would arrive.
+      val cust = Td(s, dir, "customer").repartition(s.sparkContext.defaultParallelism)
       def stmt(parts: Column*): Column = concat(parts :+ lit(" ."): _*)
       val subj = concat(lit("<urn:c/"), col("c_custkey"), lit(">"))
       val lines = cust.select(explode(array(

@@ -76,6 +76,38 @@ class QuadSourceSpec extends SparkSuite {
       s"NT round-trip mismatch: ${parsed.toSeq.sorted.zip(nasty.sorted).filter(p => p._1 != p._2)}")
   }
 
+  test("native one-pass parse is behaviorally identical to the composed form") {
+    val s = spark
+    import s.implicits._
+    // Every grammar branch plus the hostile cases: IRI/blank/literal
+    // objects, lang and datatype suffixes, quads, comments, malformed
+    // lines, whitespace slack, every escape the chain handles, unknown
+    // escapes, internal quotes, adjacent backslash runs.
+    val fixture = Seq(
+      """<urn:s> <urn:p> <urn:o> .""",
+      """  <urn:s>   <urn:p>   "padded"   .  """,
+      """<urn:s> <urn:p> "Journaal"@nl .""",
+      """<urn:s> <urn:p> "PT1H"^^<http://www.w3.org/2001/XMLSchema#duration> .""",
+      """<urn:s> <urn:p> "v" <urn:g/or-1> .""",
+      """_:b0 <urn:p> _:b1 .""",
+      """_:b0 <urn:p> "blank-subject literal" .""",
+      """<urn:s> <urn:p> "a \"quoted\" line\nnext" .""",
+      """<urn:s> <urn:p> "tabs\tand\rcr and \\ backslash" .""",
+      """<urn:s> <urn:p> "adjacent \\n run and unknown \q escape" .""",
+      """<urn:s> <urn:p> "trailing backslash \\" .""",
+      """<urn:s> <urn:p> "" .""",
+      """<urn:s> <urn:p> ""@en .""",
+      """# comment line""",
+      """""",
+      """not a triple at all""",
+      """<urn:s> <missing-object> .""")
+    val lines = fixture.toDF("value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 6).map(i => Option(r.getString(i))).toList).toList
+    assert(rows(QuadSource.fromNtLines(lines)) ===
+      rows(QuadSource.fromNtLinesComposed(lines)))
+  }
+
   test("generated escape-heavy literals round-trip through BOTH parsers") {
     val s = spark
     import s.implicits._
