@@ -178,12 +178,18 @@ object MergeBattery {
           staged(lo, hi).coalesce(1).write.mode("append").parquet(feedDir)
         }
       }
-      val q = graft.streaming.StreamingSync.syncTable(
-        s.readStream.schema(staged("1997-01-01", "1997-05-01").schema)
-          .option("maxFilesPerTrigger", 1).parquet(feed),
-        target, s"$base/ckpt", ordersPk, numBuckets = 16)
-      q.awaitTermination()
-      s.read.parquet(target).drop(Upsert.BucketCol).orderBy(col("id"))
+      // Feed-derived shuffle width (see StreamBattery.replayPartitions:
+      // per-partition machinery, not the operator, dominates a tiny
+      // replay at the battery's full width).
+      StreamBattery.withShufflePartitions(s,
+        StreamBattery.replayPartitions(s, feed)) {
+        val q = graft.streaming.StreamingSync.syncTable(
+          s.readStream.schema(staged("1997-01-01", "1997-05-01").schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed),
+          target, s"$base/ckpt", ordersPk, numBuckets = 16)
+        q.awaitTermination()
+        s.read.parquet(target).drop(Upsert.BucketCol).orderBy(col("id"))
+      }
     }
   )
 
