@@ -95,16 +95,20 @@ object NativeVector {
 
   /** L2-normalize: v / ‖v‖ in one pass → array<double>, or NULL for a
     * zero/invalid norm. Bit-identical to the composed
-    * `when(norm > 0, transform(v, x -> x / norm))` form: the norm is
-    * the same left-to-right Σx² accumulation (zip_with/aggregate
-    * order), `sqrt` then per-element double division, any null element
-    * nulls the WHOLE vector (through zip_with's null propagation →
-    * null norm → null `when` branch), and a NaN norm fails `> 0.0`
-    * exactly like the composed predicate. The kernel exists because
-    * CollapseProject inlines a multi-referenced norm column INTO the
-    * per-element lambda — re-deriving the full interpreted dot product
-    * once per element, a dim× (64×) blow-up measured at ~400 µs/row on
-    * the IVF-PQ corpus checkpoint. */
+    * `when(norm > 0, transform(v, x -> x / norm))` form on NaN-free
+    * input: the norm is the same left-to-right Σx² accumulation
+    * (zip_with/aggregate order), `sqrt` then per-element double
+    * division, any null element nulls the WHOLE vector (through
+    * zip_with's null propagation → null norm → null `when` branch).
+    * One deliberate divergence, spec-pinned in EmbeddingsSpec: a NaN
+    * component nulls the vector here, while the composed predicate
+    * PASSES (Spark's ordering ranks NaN above every value, so
+    * `NaN > 0.0` is true in SQL) and emits an all-NaN unit — silent
+    * corruption this kernel refuses to propagate. The kernel exists
+    * because CollapseProject inlines a multi-referenced norm column
+    * INTO the per-element lambda — re-deriving the full interpreted
+    * dot product once per element, a dim× (64×) blow-up measured at
+    * ~400 µs/row on the IVF-PQ corpus checkpoint. */
   def l2normalize(v: ArrayData, vF: Boolean): ArrayData = {
     val n = v.numElements()
     var acc = 0.0
@@ -121,6 +125,62 @@ object NativeVector {
     i = 0
     while (i < n) { out(i) = elem(v, i, vF) / norm; i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Int8-range scalar quantization in one pass → array<int> in
+    * [-127, 127], or NULL when max|x| is 0 or NaN. Identical to the
+    * composed `transform(v, x -> floor(x·(127/max|x|) + 0.5).cast(int))`
+    * on null-free vectors (spec-asserted), with one deliberate
+    * divergence: a null ELEMENT nulls the whole vector here (the
+    * family convention — cosine/dots/l2normalize do the same), where
+    * the composed transform would emit a null element hole
+    * (`array_max` skips nulls). Embedding corpora carry no null
+    * elements; whole-vector null is the safer contract when they do.
+    * Exists for the same CollapseProject reason as [[l2normalize]]:
+    * the composed form's scale column gets inlined into the
+    * per-element lambda and the interpreted max|x| re-derives once
+    * per element. Same arithmetic order: abs in double, max
+    * left-to-right, scale = 127/maxabs, floor(x·scale + 0.5). */
+  def int8quantize(v: ArrayData, vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(elem(v, i, vF))
+      // A NaN element makes the composed array_max NaN, which fails
+      // `> 0.0` and nulls scale and q alike — mirror that, since the
+      // `a > maxAbs` comparison would otherwise silently skip it.
+      if (java.lang.Double.isNaN(a)) return null
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (!(maxAbs > 0.0)) return null // composed: when(maxabs > 0, ...)
+    val scale = 127.0 / maxAbs
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(elem(v, i, vF) * scale + 0.5).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The per-vector quantization scale (127/max|x|), or NULL for a
+    * zero/invalid max — one pass, pairs with [[int8quantize]]. */
+  def int8scale(v: ArrayData, vF: Boolean): java.lang.Double = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(elem(v, i, vF))
+      if (java.lang.Double.isNaN(a)) return null // see int8quantize
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (!(maxAbs > 0.0)) return null
+    java.lang.Double.valueOf(127.0 / maxAbs)
   }
 
   /** True iff the child type is a float-element array (vs double). */
@@ -197,6 +257,67 @@ case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
 object L2NormalizeExpr {
   def apply(c: Column): Column =
     ColumnBridge.column(new L2NormalizeExpr(ColumnBridge.expression(c)))
+}
+
+/** Native one-pass int8 quantization of a vector → array<int> (see
+  * [[NativeVector.int8quantize]]). */
+case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+  @transient private lazy val vF: Boolean = NativeVector.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.int8quantize(v.asInstanceOf[ArrayData], vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("qRes")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.NativeVector.int8quantize($v, $vF);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
+    copy(child = newChild)
+}
+
+object Int8QuantizeExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(new Int8QuantizeExpr(ColumnBridge.expression(c)))
+}
+
+/** Native per-vector int8 quantization scale (127/max|x|) → double
+  * (see [[NativeVector.int8scale]]). */
+case class Int8ScaleExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_scale"
+  @transient private lazy val vF: Boolean = NativeVector.isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    NativeVector.int8scale(v.asInstanceOf[ArrayData], vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("qsRes")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |java.lang.Double $r = graft.functions.NativeVector.int8scale($v, $vF);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8ScaleExpr =
+    copy(child = newChild)
+}
+
+object Int8ScaleExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(new Int8ScaleExpr(ColumnBridge.expression(c)))
 }
 
 /** Shared shape of the three vector-vs-constant-matrix expressions. */

@@ -47,9 +47,20 @@ object Embeddings {
 
   /** Add `qCol` = int8-range quantized vector (array<int> in
     * [-127, 127]) and `scaleCol` = the per-vector scale, so
-    * `q / scale` dequantizes. */
+    * `q / scale` dequantizes. Native one-pass kernels
+    * ([[graft.functions.Int8QuantizeExpr]] /
+    * [[graft.functions.Int8ScaleExpr]]) — the composed form below is
+    * the spec-asserted definitional twin, subject to the same
+    * CollapseProject per-element re-derivation as the normalize. */
   def withInt8Quantized(df: DataFrame, vecCol: String,
                         qCol: String = "q", scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn(scaleCol, graft.functions.Int8ScaleExpr(col(vecCol)))
+      .withColumn(qCol, graft.functions.Int8QuantizeExpr(col(vecCol)))
+
+  /** Composed-HOF definition of [[withInt8Quantized]] (spec
+    * reference; not the hot path — see [[withL2NormalizedComposed]]). */
+  private[graft] def withInt8QuantizedComposed(df: DataFrame, vecCol: String,
+      qCol: String = "q", scaleCol: String = "q_scale"): DataFrame =
     df.withColumn("__maxabs",
       array_max(transform(col(vecCol), x => abs(x.cast("double")))))
       .withColumn(scaleCol,

@@ -325,7 +325,30 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
                 cells: Int = -1, nprobe: Int = -1, m: Int = 8, k: Int = 16,
                 shortlist: Int = -1, dim: Int = 64,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(pqBuild(corpus, cells, nprobe, m, k, shortlist, dim, idCol, vecCol),
+      probes, topK, idCol, vecCol)
+
+  /** A built IVF-PQ index: the driver-held quantizers plus the
+    * materialized compressed index and the normalized corpus (for the
+    * exact re-rank). Build ONCE, [[pqSearch]] many times — training
+    * and encoding are the dominant cost of a single [[ivfPqTopK]]
+    * call, and a real deployment amortizes them across every query
+    * batch the way Faiss persists an index. */
+  final case class PqIndexModel(
+      cells: Int, nprobe: Int, m: Int, k: Int, dim: Int, shortlist: Int,
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      corpus2: DataFrame, indexed: DataFrame, idCol: String, vecCol: String)
+
+  /** Train quantizers and encode the corpus (see [[ivfPqTopK]] for
+    * the parameter semantics; ≤ 0 values derive from corpus size).
+    * Both the normalized corpus and the compressed index are
+    * checkpointed, so repeated [[pqSearch]] calls touch neither the
+    * upstream plan nor the encode expressions again. */
+  def pqBuild(corpus: DataFrame,
+              cells: Int = -1, nprobe: Int = -1, m: Int = 8, k: Int = 16,
+              shortlist: Int = -1, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqIndexModel = {
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must be divisible by m $m")
     // Normalized 2-column projection, read by training (2×), indexing,
@@ -360,12 +383,23 @@ object Similarity {
     def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
     def codesOf(vec: Column): Column =
       array((0 until m).map(j => argminL2(subvec(vec, j), books(j))): _*)
-
     // The index: only (cell, id, codes) — m small ints per vector.
+    // Checkpointed so the n × m × k encode runs once per BUILD, not
+    // once per search.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"),
       nearestCell(col(vecCol), coarse).as("cell"),
       codesOf(col(vecCol)).as("codes"))
+      .localCheckpoint()
+    PqIndexModel(effCells, effNprobe, m, k, dim, effShortlist,
+      coarse, books, corpus2, indexed, idCol, vecCol)
+  }
 
+  /** Query a built IVF-PQ index (see [[ivfPqTopK]] for semantics). */
+  def pqSearch(model: PqIndexModel, probes: DataFrame, topK: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import model.{books, coarse, m}
+    val sub = model.dim / m
+    def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
     // Probes: nprobe coarse cells (same ranking as ivfTopK) + the ADC
     // table — m arrays of k dots of the probe subvector against each
     // codebook (native MatVecDots per subspace).
@@ -379,7 +413,7 @@ object Similarity {
       .withColumn("__sims", probeSims)
       .withColumn("__ranked", reverse(array_sort(col("__sims"))))
       .select(col("probe_id"), col("pv"), col("__sims"),
-        explode(slice(col("__ranked"), 1, effNprobe)).as("__target"))
+        explode(slice(col("__ranked"), 1, model.nprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
       .select(col("probe_id"), col("pv"), col("cell"))
       .withColumn("dtable", dtable.as("dtable"))
@@ -392,19 +426,20 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = indexed.join(broadcast(probeCells), Seq("cell"))
+    val short = model.indexed.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("adc", adc)
       .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= effShortlist)
+      .filter(col("adc_rank") <= model.shortlist)
       .select(col("probe_id"), col("pv"), col("neighbor_id"))
 
     // Exact re-rank touches full vectors ONLY for the shortlist.
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     short
-      .join(corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      .join(model.corpus2.select(
+          col(model.idCol).as("neighbor_id"), col(model.vecCol).as("cv")),
         Seq("neighbor_id"))
       .withColumn("cos", cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w))

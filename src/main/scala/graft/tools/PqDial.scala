@@ -14,7 +14,9 @@ import graft.sim.Similarity
   * against the exact brute-force truth, so the trade the scaladoc
   * claims is a measured curve.
   *
-  * Usage: runMain graft.tools.PqDial <sfDir> [cellsList] [nprobe]
+  * Usage: runMain graft.tools.PqDial <sfDir> [cellsList] [nprobe] [k]
+  * (`k` = PQ codes per subspace — the ADC resolution dial; default 16
+  * = 4-bit codes, 256 = the 8-bit industry standard.)
   */
 object PqDial {
   def main(args: Array[String]): Unit = {
@@ -30,6 +32,7 @@ object PqDial {
         .map(s => if (s.trim == "derived") -1 else s.trim.toInt)
       else Seq(16, 64, 256, -1)
     val nprobe = if (args.length > 2) args(2).toInt else 8
+    val pqK = if (args.length > 3) args(3).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +63,7 @@ object PqDial {
                else math.min(nprobe, cells)
       val t0 = System.nanoTime()
       val got = Similarity.ivfPqTopK(emb, probes, topK = 3,
-        cells = cells, nprobe = np)
+        cells = cells, nprobe = np, k = pqK)
         .select(col("probe_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9

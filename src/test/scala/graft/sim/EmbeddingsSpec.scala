@@ -51,6 +51,49 @@ class EmbeddingsSpec extends SparkSuite {
     assert(native === composed) // exact ==, not tolerance
   }
 
+  test("native int8 quantization is identical to the composed HOF form") {
+    val s = spark
+    import s.implicits._
+    val tricky = Seq(
+      (1L, Array(3f, 4f, 0f)),
+      (2L, Array(-0.5f, 0.25f, 0.125f)),
+      (3L, Array(0f, 0f, 0f)), // zero: both forms null q and scale
+      (4L, Array(1e-30f, -1e-30f, 5e-31f)), // denormal-ish magnitudes
+      (5L, Array(-1f, -2f, -3f)) // all negative: floor(x·s + .5) rounding
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "q", "q_scale").collect()
+        .map(r => r.getLong(0) -> (
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1).toList),
+          (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))))
+        .toMap
+    assert(rows(Embeddings.withInt8Quantized(tricky, "embedding")) ===
+      rows(Embeddings.withInt8QuantizedComposed(tricky, "embedding")))
+  }
+
+  test("NaN vectors: kernels null the row where the composed forms emit garbage") {
+    // Spark's SQL ordering ranks NaN above every value, so the
+    // composed `when(maxabs > 0.0, ...)` predicate PASSES on a NaN
+    // maxabs and the pipeline emits q = [0,0,0] with scale = NaN — a
+    // silent corruption. The kernels deliberately diverge: a NaN
+    // component nulls the whole vector (pinned here, documented in
+    // NativeVector).
+    val s = spark
+    import s.implicits._
+    val nan = Seq((6L, Array(Float.NaN, 1f, 2f))).toDF("vec_id", "embedding")
+    val kq = Embeddings.withInt8Quantized(nan, "embedding").head()
+    assert(kq.isNullAt(kq.fieldIndex("q")) && kq.isNullAt(kq.fieldIndex("q_scale")))
+    val cq = Embeddings.withInt8QuantizedComposed(nan, "embedding").head()
+    assert(!cq.isNullAt(cq.fieldIndex("q")), "composed emits the garbage this pins")
+    assert(cq.getDouble(cq.fieldIndex("q_scale")).isNaN)
+    // Same contrast for normalize: composed emits an all-NaN unit.
+    val ku = Embeddings.withL2Normalized(nan, "embedding").head()
+    assert(ku.isNullAt(ku.fieldIndex("unit")))
+    val cu = Embeddings.withL2NormalizedComposed(nan, "embedding").head()
+    assert(!cu.isNullAt(cu.fieldIndex("unit")) &&
+      cu.getSeq[Double](cu.fieldIndex("unit")).forall(_.isNaN))
+  }
+
   test("int8 quantization bounds, max-component saturation, dequant error") {
     val out = Embeddings.withInt8Quantized(vecs, "embedding")
       .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap

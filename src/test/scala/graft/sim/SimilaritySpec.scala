@@ -112,6 +112,25 @@ class SimilaritySpec extends SparkSuite {
     assert(pq(1L) == 100L) // the planted duplicate
   }
 
+  test("PQ index build-once/search-many equals the one-shot path and is stable across searches") {
+    val model = Similarity.pqBuild(vecs, cells = 3, nprobe = 3, m = 4, k = 4,
+      shortlist = 10, dim = 8)
+    def run(probes: org.apache.spark.sql.DataFrame) =
+      Similarity.pqSearch(model, probes, topK = 1)
+        .collect().map(r => r.getAs[Long]("probe_id") ->
+          r.getAs[Long]("neighbor_id")).toMap
+    val oneShot = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
+      topK = 1, cells = 3, nprobe = 3, m = 4, k = 4, shortlist = 10, dim = 8)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val first = run(vecs.filter("vec_id IN (1, 2)"))
+    assert(first === oneShot) // one-shot is literally build+search
+    assert(run(vecs.filter("vec_id IN (1, 2)")) === first) // idempotent reuse
+    // a different probe batch against the SAME build — no retraining
+    val third = run(vecs.filter("vec_id = 3"))
+    assert(third.contains(3L))
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
