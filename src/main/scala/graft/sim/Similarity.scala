@@ -367,17 +367,22 @@ object Similarity {
     // of 1.37 was exactly this — a linear scan in disguise).
     val effCells = if (cells > 0) cells else derivedCells(n)
     val effNprobe = if (nprobe > 0) math.min(nprobe, effCells) else derivedNprobe(effCells)
-    // shortlist ≤ 0 derives from corpus size: max(32, n/200), i.e.
-    // ~0.5% of the corpus survives ADC into the exact re-rank. A FIXED
+    // shortlist ≤ 0 derives from corpus size: max(32, n/100), i.e.
+    // ~1% of the corpus survives ADC into the exact re-rank. A FIXED
     // shortlist saturates exactly like a fixed LSH plane count — at
     // 90× data, 32 of ~70k ADC candidates (0.05%) starved the re-rank
-    // to recall 0 on uniform embeddings (ADC over m=8 bytes is a
-    // high-variance rank on unclustered data; PqDial measured it),
-    // where the derived ~700 restores the contract at a re-rank join
-    // of probes × 0.5% of n rows — still tiny next to the scan.
+    // to recall 0 (r13, PqDial). The r14 width: n/200 capped recall at
+    // 0.60 on the CLUSTERED 90× corpus — inside a tight cluster the
+    // 4-bit ADC rank is noisy enough that true neighbors fall below
+    // n/200, while n/100 (≈ one home cluster at K=100) measures
+    // recall 1.00 at the same 7% scanned fraction. The re-rank join
+    // still moves only probes × 1% of n rows — trivial next to the
+    // candidate scan. (k=256 codebooks were measured as an
+    // alternative ADC-precision lever and REJECTED: single-refinement
+    // training undertrains 256 codes/subspace — recall 0.47, slower.)
     val effShortlist =
       if (shortlist > 0) shortlist
-      else math.max(32L, n / 200L).toInt
+      else math.max(32L, n / 100L).toInt
     val coarse = coarseCentroids(corpus2, effCells, idCol, vecCol)
     val books = pqCodebooks(corpus2, m, k, dim, idCol, vecCol)
     def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)

@@ -33,6 +33,7 @@ object PqDial {
       else Seq(16, 64, 256, -1)
     val nprobe = if (args.length > 2) args(2).toInt else 8
     val pqK = if (args.length > 3) args(3).toInt else 16
+    val shortlist = if (args.length > 4) args(4).toInt else -1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +64,7 @@ object PqDial {
                else math.min(nprobe, cells)
       val t0 = System.nanoTime()
       val got = Similarity.ivfPqTopK(emb, probes, topK = 3,
-        cells = cells, nprobe = np, k = pqK)
+        cells = cells, nprobe = np, k = pqK, shortlist = shortlist)
         .select(col("probe_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
