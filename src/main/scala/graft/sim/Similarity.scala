@@ -399,6 +399,51 @@ object Similarity {
       coarse, books, corpus2, indexed, idCol, vecCol)
   }
 
+  /** Persist a built index to `path`: the compressed index and the
+    * normalized corpus as parquet, the driver-held geometry and
+    * quantizer matrices as a 1-row parquet (nested arrays — no
+    * side-format parser). With [[pqLoad]] this is the deployment
+    * shape: build on the full corpus once, serve probe batches from
+    * any later session without retraining or re-encoding — the
+    * at-rest index is ~m bytes/vector, the 32× cut that makes a
+    * 100 TB corpus's index fit object storage comfortably. */
+  def pqSave(model: PqIndexModel, path: String): Unit = {
+    model.indexed.write.mode("overwrite").parquet(s"$path/index")
+    model.corpus2.write.mode("overwrite").parquet(s"$path/corpus")
+    val s = model.indexed.sparkSession
+    import s.implicits._
+    Seq((model.cells, model.nprobe, model.m, model.k, model.dim,
+        model.shortlist,
+        model.coarse.map(_.toSeq).toSeq,
+        model.books.map(_.map(_.toSeq).toSeq).toSeq,
+        model.idCol, model.vecCol))
+      .toDF("cells", "nprobe", "m", "k", "dim", "shortlist",
+        "coarse", "books", "id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[pqSave]]d index; [[pqSearch]] over it matches searches
+    * on the original build exactly (spec-pinned). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndexModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    def d2(v: Any): Array[Array[Double]] =
+      v.asInstanceOf[scala.collection.Seq[scala.collection.Seq[Double]]]
+        .map(_.toArray).toArray
+    PqIndexModel(
+      cells = meta.getAs[Int]("cells"),
+      nprobe = meta.getAs[Int]("nprobe"),
+      m = meta.getAs[Int]("m"),
+      k = meta.getAs[Int]("k"),
+      dim = meta.getAs[Int]("dim"),
+      shortlist = meta.getAs[Int]("shortlist"),
+      coarse = d2(meta.getAs[Any]("coarse")),
+      books = meta.getAs[scala.collection.Seq[Any]]("books").map(d2).toArray,
+      corpus2 = spark.read.parquet(s"$path/corpus"),
+      indexed = spark.read.parquet(s"$path/index"),
+      idCol = meta.getAs[String]("id_col"),
+      vecCol = meta.getAs[String]("vec_col"))
+  }
+
   /** Query a built IVF-PQ index (see [[ivfPqTopK]] for semantics). */
   def pqSearch(model: PqIndexModel, probes: DataFrame, topK: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

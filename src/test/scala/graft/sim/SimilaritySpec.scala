@@ -131,6 +131,21 @@ class SimilaritySpec extends SparkSuite {
     assert(third.contains(3L))
   }
 
+  test("PQ index survives save/load: searches on the loaded index equal the original") {
+    val model = Similarity.pqBuild(vecs, cells = 3, nprobe = 3, m = 4, k = 4,
+      shortlist = 10, dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.pqSave(model, dir)
+    val loaded = Similarity.pqLoad(spark, dir)
+    assert(loaded.cells === model.cells && loaded.shortlist === model.shortlist)
+    assert(loaded.coarse.map(_.toSeq).toSeq === model.coarse.map(_.toSeq).toSeq)
+    def run(m: Similarity.PqIndexModel) =
+      Similarity.pqSearch(m, vecs.filter("vec_id IN (1, 2)"), topK = 1)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    assert(run(loaded) === run(model)) // exact, cos included
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
