@@ -444,9 +444,20 @@ object Similarity {
       vecCol = meta.getAs[String]("vec_col"))
   }
 
-  /** Query a built IVF-PQ index (see [[ivfPqTopK]] for semantics). */
+  /** Query a built IVF-PQ index (see [[ivfPqTopK]] for semantics).
+    *
+    * `broadcastProbes` (default true) fits the interactive shape — a
+    * bounded probe batch replicated to every executor, the index
+    * scanned once with no shuffle of the big side. For BULK probe
+    * batches (batch ANN over a whole dataset — millions of probes ×
+    * (pv + ADC table) rows outgrow any broadcast), pass false: the
+    * candidate join becomes a plain (cell) equi-join — both sides
+    * shuffle by cell, volume ∝ index + probes×nprobe, still never
+    * all-pairs. Results are identical either way (spec-pinned); only
+    * the physical join strategy moves. */
   def pqSearch(model: PqIndexModel, probes: DataFrame, topK: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               broadcastProbes: Boolean = true): DataFrame = {
     import model.{books, coarse, m}
     val sub = model.dim / m
     def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
@@ -476,7 +487,8 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = model.indexed.join(broadcast(probeCells), Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
+    val short = model.indexed.join(probeSide, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("adc", adc)

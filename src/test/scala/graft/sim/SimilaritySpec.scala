@@ -146,6 +146,17 @@ class SimilaritySpec extends SparkSuite {
     assert(run(loaded) === run(model)) // exact, cos included
   }
 
+  test("bulk-probe (non-broadcast) PQ search returns identical results") {
+    val model = Similarity.pqBuild(vecs, cells = 3, nprobe = 3, m = 4, k = 4,
+      shortlist = 10, dim = 8)
+    def run(bc: Boolean) =
+      Similarity.pqSearch(model, vecs.filter("vec_id IN (1, 2)"), topK = 1,
+        broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    assert(run(bc = false) === run(bc = true))
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
