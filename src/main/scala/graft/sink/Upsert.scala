@@ -113,21 +113,60 @@ object Upsert {
     * lineage that would otherwise read the path being overwritten), and
     * dynamic-partition-overwrite just those buckets. The touched-bucket
     * collect is bounded by `numBuckets`, never by data size. */
+  /** Marker file pinning the bucket count a target was laid out with.
+    * The underscore prefix keeps parquet readers from treating it as
+    * data (same convention as _SUCCESS). */
+  private val BucketMarker = "_graft_buckets"
+
+  private def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: Path, n: Int): Unit = {
+    val out = fs.create(new Path(dir, BucketMarker), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: Path): Option[Int] =
+    try {
+      val p = new Path(dir, BucketMarker)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toInt)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   def mergeAndWrite(spark: SparkSession, path: String, staged: DataFrame,
                     spec: TableSpec, fullSync: Boolean,
                     numBuckets: Int = 64): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
-    val bucket = bucketOf(spec, numBuckets)
     if (!exists || fullSync) {
       val tmp = new Path(path + "__tmp")
-      staged.withColumn(BucketCol, bucket)
+      staged.withColumn(BucketCol, bucketOf(spec, numBuckets))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+      // Pin the layout's bucket count INSIDE the snapshot before the
+      // atomic rename, so target + marker can never be seen apart.
+      writeBucketMarker(fs, tmp, numBuckets)
       if (exists) fs.delete(new Path(path), true)
       fs.rename(tmp, new Path(path))
     } else {
+      // The bucket function MUST be the one the target was laid out
+      // with — an incremental caller passing a different numBuckets
+      // would compute touched-bucket ids under one modulus and prune
+      // directories laid out under another: a key whose old row sits
+      // in (say) bucket-64 dir 20 but hashes to staged bucket-16 id 4
+      // would not be read, not merged, and end up DUPLICATED across
+      // two dirs. The marker makes the layout self-describing; targets
+      // written before the marker existed fall back to the caller's
+      // value (the historical behavior).
+      val layoutBuckets = readBucketMarker(fs, new Path(path)).getOrElse(numBuckets)
+      val bucket = bucketOf(spec, layoutBuckets)
       val touched = staged.select(bucket.as(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ numBuckets values
+        .collect().map(_.getInt(0)).sorted // ≤ layoutBuckets values
       val targetTouched = spark.read.parquet(path)
         .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
         .drop(BucketCol)

@@ -132,6 +132,32 @@ class UpsertSpec extends SparkSuite {
     assert(out.size == 200 - 4 + 1) // ie1 had 4 seed rows (1,51,101,151)
   }
 
+  test("incremental merge uses the LAYOUT's bucket count, not the caller's") {
+    // A target laid out with 8 buckets, incrementally merged by a
+    // caller passing 64: without the _graft_buckets marker the touched
+    // set would be computed under mod 64 and prune mod-8 directories —
+    // a key whose old row lives in a dir the wrong modulus skips would
+    // not be merged and would end up duplicated. The marker pins the
+    // layout; the caller's mismatched value must be ignored.
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("upsert-marker").toString + "/tbl"
+    val spec = TableSpec("t.pk", Seq("v" -> ColType.Str)) // PK merge on id
+    val seed = (1 to 200).map(i => (s"r$i", s"old$i")).toDF("id", "v")
+    Upsert.mergeAndWrite(spark, tmp, seed, spec, fullSync = true, numBuckets = 8)
+    assert(new java.io.File(tmp, "_graft_buckets").isFile)
+    val update = (1 to 200 by 2).map(i => (s"r$i", s"new$i")).toDF("id", "v")
+    Upsert.mergeAndWrite(spark, tmp, update, spec, fullSync = false,
+      numBuckets = 64) // wrong on purpose
+    val out = spark.read.parquet(tmp).select("id", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(out.length === 200, "no duplicated or lost keys under a mismatched caller width")
+    val m = out.toMap
+    (1 to 200).foreach { i =>
+      assert(m(s"r$i") === (if (i % 2 == 1) s"new$i" else s"old$i"))
+    }
+  }
+
   test("registry topo order puts every dep before its dependents") {
     val order = Tables.topoOrder().map(_.name).zipWithIndex.toMap
     Tables.all.foreach { t =>
