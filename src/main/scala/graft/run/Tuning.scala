@@ -28,7 +28,9 @@ object Tuning {
     * to [floor, cap]. Env `SPARK_GRAFT_INIT_PARTITIONS` still overrides
     * for experiments. */
   def initialPartitions(sfDir: String, floor: Int = 256, cap: Int = 16384): Int =
-    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").map(_.toInt).getOrElse {
+    // flatMap(toIntOption): a malformed override falls back to the
+    // derivation instead of crashing session construction.
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").flatMap(_.toIntOption).getOrElse {
       math.min(cap.toLong, math.max(floor.toLong, inputBytes(sfDir) >> 20)).toInt
     }
 }
