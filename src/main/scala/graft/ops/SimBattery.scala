@@ -359,7 +359,70 @@ object SimBattery {
     }
   )
 
+  /** The bulk-probe (non-broadcast) PQ search path under the same
+    * recall-floor oracle as `q_ann_pq`: identical semantics, different
+    * physical join (a plain (cell) equi-join — both sides shuffle by
+    * cell), which is the shape batch ANN over a whole dataset needs
+    * when millions of probes × (pv + ADC table) rows outgrow any
+    * broadcast. Gating it separately keeps the strategy split honest:
+    * a regression that silently forces the broadcast (or breaks the
+    * shuffle path's dedup/rank determinism) fails here, not in a
+    * user's 100 TB run. */
+  val annPqBulk = Q(
+    "q_ann_pq_bulk",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val model = Similarity.pqBuild(emb)
+      val pq = Similarity.pqSearch(model, probes, topK = 3,
+        broadcastProbes = false)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
+  /** PQ index persistence under the oracle: build → `pqSave` →
+    * `pqLoad` in the same session, search the LOADED index, and hold
+    * the `q_ann_pq` recall floor. The round trip exercises the full
+    * at-rest shape (compressed index + normalized corpus + 1-row
+    * nested-array quantizer parquet), so a serialization change that
+    * loses precision or geometry fails an oracle, not just a spec. */
+  val annPqPersist = Q(
+    "q_pq_persist",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_persist")
+        .toString
+      Similarity.pqSave(Similarity.pqBuild(emb), idxDir)
+      val loaded = Similarity.pqLoad(s, idxDir)
+      val pq = Similarity.pqSearch(loaded, probes, topK = 3)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
     annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
-    annPq, semanticDedup)
+    annPq, semanticDedup, annPqBulk, annPqPersist)
 }
