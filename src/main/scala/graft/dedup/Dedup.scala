@@ -577,4 +577,75 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Cross-document repeated-span detection — substring-level dedup in
+    * the sense of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): find every maximal token span whose
+    * k-gram windows ALL occur in at least `minDocs` distinct documents,
+    * i.e. the boilerplate/quoted/copied runs that document-level dedup
+    * (which only drops whole near-identical docs) cannot see. Returns
+    * one row per merged span: (id, span_start, span_end, n_grams) in
+    * 0-based token coordinates over the normalized tokenization,
+    * `n_grams` = how many duplicated k-gram windows the span merged. A
+    * caller clips [span_start, span_end] from the token stream (or
+    * drops docs whose spans cover too much — the usual policy knobs).
+    *
+    * Scale shape — no suffix array, no all-pairs, three bounded wide
+    * stages over an inverted index, each a standard shuffle:
+    *  1. per-doc window (partitioned by id) turns the token posexplode
+    *     into positioned k-gram hashes — docs are bounded, so the
+    *     window state is;
+    *  2. the duplicated-gram set is a (hash, id)-distinct then
+    *     count-per-hash aggregation — map-side partial aggs, volume ∝
+    *     corpus tokens, 8-byte keys;
+    *  3. hits come back via a (hash) semi-join (AQE broadcasts the dup
+    *     set when small) and merge into spans under the SAME
+    *     (id, pos) window shape as stage 1.
+    * k trades sensitivity against index selectivity exactly as in the
+    * paper (they use 50 BPE tokens; the default 8 whitespace tokens is
+    * proportionally similar at this corpus' doc length). Gram identity
+    * is the xxhash64 of the space-joined window — grouping by hash
+    * equals grouping by the gram string up to 2⁻⁶⁴ collisions.
+    *
+    * Spans merge when overlapping OR exactly adjacent (next window
+    * starts ≤ k past the previous), so covered-token runs stay
+    * contiguous and maximal. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnsRenamed(Map("col" -> "tok"))
+    // Positioned k-grams via window leads: one shuffle by id, no
+    // higher-order-function lambda (the interpreted-HOF re-eval trap
+    // documented on TextFunctions.shinglesFromTokens does not arise).
+    val wLead = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val gramTokens = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(wLead))
+    val grams = toks.select(col("id"), col("pos"),
+      xxhash64(concat_ws(" ", gramTokens: _*)).as("h"),
+      lead(col("tok"), k - 1).over(wLead).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("id"), col("pos"), col("h"))
+    // Duplicated-gram set: grams present in ≥ minDocs DISTINCT docs.
+    val dup = grams.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    // Gaps-and-islands merge: a new span starts when this window's
+    // start is more than k past the previous start (i.e. the covered
+    // token runs neither overlap nor touch).
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val brk = when(lag(col("pos"), 1).over(wOrd).isNull
+      .or(col("pos") > lag(col("pos"), 1).over(wOrd) + k), 1).otherwise(0)
+    hits.select(col("id"), col("pos"), brk.as("brk"))
+      .withColumn("island",
+        sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
 }

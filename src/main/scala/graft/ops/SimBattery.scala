@@ -422,7 +422,38 @@ object SimBattery {
     }
   )
 
+  /** IVF index persistence under the oracle, mirroring
+    * [[annPqPersist]]: build → `ivfSave` → `ivfLoad`, search the
+    * LOADED index via the bulk (non-broadcast) path, and hold the
+    * `q_ann_ivf` recall floor — one gate covers both the at-rest
+    * round trip and the strategy split for the uncompressed index. */
+  val annIvfPersist = Q(
+    "q_ivf_persist",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_persist")
+        .toString
+      Similarity.ivfSave(Similarity.ivfBuild(emb), idxDir)
+      val loaded = Similarity.ivfLoad(s, idxDir)
+      val ivf = Similarity.ivfSearch(loaded, probes, topK = 3,
+        broadcastProbes = false)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
     annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
-    annPq, semanticDedup, annPqBulk, annPqPersist)
+    annPq, semanticDedup, annPqBulk, annPqPersist, annIvfPersist)
 }

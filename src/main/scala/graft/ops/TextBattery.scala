@@ -230,6 +230,47 @@ object TextBattery {
         .orderBy(col("id_a"), col("id_b"))
   )
 
+  /** Cross-document repeated-span detection
+    * ([[graft.dedup.Dedup.repeatedSpans]]) under a FULL closed-form
+    * oracle: on the planted corpus (docs ∪ mutated copies) both
+    * engines independently find every maximal merged run of 8-token
+    * windows shared by ≥2 distinct docs — the substring-level dedup of
+    * Lee et al. 2022 that document-level dedup cannot see. The oracle
+    * mirrors the whole chain in SQL (normalize → positioned 8-grams →
+    * distinct-doc counts → gaps-and-islands merge), comparing exact
+    * (doc, span_start, span_end, n_grams) rows; gram identity is the
+    * gram STRING in DuckDB vs its xxhash64 in Spark — identical
+    * grouping up to 2⁻⁶⁴ collisions. */
+  val repeatedSpansQ = Q(
+    "q_repeated_spans",
+    Some(
+      s"WITH c AS (SELECT doc_id, ${normSqlOf("text")} AS nt FROM documents " +
+        s"UNION ALL SELECT doc_id + 1000000, ${normSqlOf("text[12:]")} FROM documents), " +
+        "t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM c), " +
+        "g AS (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t " +
+        "WHERE len(tk) >= 8), " +
+        "g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM g), " +
+        "dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd " +
+        "FROM g2 GROUP BY 1) WHERE nd >= 2), " +
+        "h AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN " +
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR " +
+        "pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 " +
+        "THEN 1 ELSE 0 END AS brk FROM h), " +
+        "i2 AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS island FROM b) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, " +
+        "count(*) AS n_grams FROM i2 GROUP BY doc_id, island ORDER BY 1, 2"),
+    (s, dir) =>
+      Dedup.repeatedSpans(withPlantedDups(s, dir), "doc_id", "text",
+        k = 8, minDocs = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+  )
+
   /** Benchmark decontamination: every-20th document plays the test set,
     * the rest the corpus; both engines count each corpus doc's distinct
     * shingles that appear anywhere in the test set. */
@@ -786,5 +827,5 @@ object TextBattery {
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
-    repetitionQ, piiRedactQ, lmScoreQ)
+    repetitionQ, piiRedactQ, lmScoreQ, repeatedSpansQ)
 }

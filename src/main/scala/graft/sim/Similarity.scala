@@ -174,7 +174,30 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
               k: Int = -1, nprobe: Int = -1, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(ivfBuild(corpus, k, nprobe, dim, idCol, vecCol),
+      probes, topK, idCol, vecCol)
+
+  /** A built IVF index: the driver-held coarse centroids plus the
+    * cell-indexed corpus (full vectors — IVF is the uncompressed
+    * member of the family; [[PqIndexModel]] is the 32×-compressed
+    * one). Build ONCE, [[ivfSearch]] many times: training and the
+    * O(n·cells·dim) assignment pass are the dominant cost of a single
+    * [[ivfTopK]] call, and a real deployment amortizes them across
+    * every probe batch the way Faiss persists an IndexIVFFlat. */
+  final case class IvfIndexModel(
+      cells: Int, nprobe: Int, dim: Int,
+      centroids: Array[Array[Double]],
+      indexed: DataFrame, idCol: String, vecCol: String)
+
+  /** Train the coarse quantizer and cell-index the corpus (see
+    * [[ivfTopK]] for parameter semantics; ≤ 0 values derive from
+    * corpus size). The index is checkpointed so repeated
+    * [[ivfSearch]] calls touch neither the upstream plan nor the
+    * assignment expressions again. */
+  def ivfBuild(corpus: DataFrame,
+               k: Int = -1, nprobe: Int = -1, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndexModel = {
     // Training + indexing read the corpus 3× (seed pick, one Lloyd
     // step, cell index) — materialize the 2-column projection once;
     // localCheckpoint so repeated invocations are ContextCleaner-safe
@@ -185,29 +208,74 @@ object Similarity {
     val cells = if (k > 0) k else derivedCells(corpus2.count())
     val effNprobe = if (nprobe > 0) math.min(nprobe, cells) else derivedNprobe(cells)
     val refined = coarseCentroids(corpus2, cells, idCol, vecCol)
-
     // Index the corpus by refined cell; probes visit nprobe cells.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), refined).as("cell"))
-    // Same argmax-invariance: cells rank by dot with unit centroids.
-    val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(refined))
+      .localCheckpoint()
+    IvfIndexModel(cells, effNprobe, dim, refined, indexed, idCol, vecCol)
+  }
+
+  /** Query a built IVF index (see [[ivfTopK]] for semantics).
+    * `broadcastProbes` carries the same interactive-vs-bulk strategy
+    * split as [[pqSearch]]: true replicates the bounded probe batch
+    * and scans the index shuffle-free; false makes the candidate join
+    * a plain (cell) equi-join for probe batches too big to broadcast.
+    * Results are identical either way (spec-pinned). */
+  def ivfSearch(model: IvfIndexModel, probes: DataFrame, topK: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                broadcastProbes: Boolean = true): DataFrame = {
+    // Same argmax-invariance as training: cells rank by dot with unit
+    // centroids.
+    val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(model.centroids))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("__sims", probeSims)
       .withColumn("__ranked", reverse(array_sort(col("__sims"))))
       .select(col("probe_id"), col("pv"), col("__sims"),
-        explode(slice(col("__ranked"), 1, effNprobe)).as("__target"))
+        explode(slice(col("__ranked"), 1, model.nprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
       .select(col("probe_id"), col("pv"), col("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    indexed.join(broadcast(probeCells), Seq("cell"))
+    model.indexed.join(probeSide, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cos", cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Persist a built IVF index to `path`: the cell-indexed corpus as
+    * parquet plus the driver-held geometry and centroid matrix as a
+    * 1-row nested-array parquet — the same at-rest shape as
+    * [[pqSave]], minus the codebooks (IVF carries full vectors, so
+    * there is no separate corpus table to save). */
+  def ivfSave(model: IvfIndexModel, path: String): Unit = {
+    model.indexed.write.mode("overwrite").parquet(s"$path/index")
+    val s = model.indexed.sparkSession
+    import s.implicits._
+    Seq((model.cells, model.nprobe, model.dim,
+        model.centroids.map(_.toSeq).toSeq,
+        model.idCol, model.vecCol))
+      .toDF("cells", "nprobe", "dim", "centroids", "id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an [[ivfSave]]d index; [[ivfSearch]] over it matches
+    * searches on the original build exactly (spec-pinned). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndexModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    IvfIndexModel(
+      cells = meta.getAs[Int]("cells"),
+      nprobe = meta.getAs[Int]("nprobe"),
+      dim = meta.getAs[Int]("dim"),
+      centroids = meta.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("centroids")
+        .map(_.toArray).toArray,
+      indexed = spark.read.parquet(s"$path/index"),
+      idCol = meta.getAs[String]("id_col"),
+      vecCol = meta.getAs[String]("vec_col"))
   }
 
   /** LSH-bucketed cosine top-k: `tables` independent hyperplane sets

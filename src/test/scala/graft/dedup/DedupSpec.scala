@@ -274,4 +274,29 @@ class DedupSpec extends SparkSuite {
     assert(pairsOf(Int.MaxValue, budget = 50L) == Set((1L, 101L)))
     assert(pairsOf(Int.MaxValue, budget = 1000000L) == uncapped)
   }
+
+  test("repeatedSpans finds the shared run, merges overlapping windows, " +
+    "and ignores within-doc-only repetition") {
+    val s = spark
+    import s.implicits._
+    // Docs 1 and 2 share the 6-token run "p q r s t u" embedded at
+    // different offsets; doc 3 repeats its own phrase but shares
+    // nothing cross-doc; doc 4 is unique filler.
+    val docs = Seq(
+      (1L, "a b c p q r s t u d e f"),
+      (2L, "x y p q r s t u z w v k"),
+      (3L, "m n o m n o m n o m n o"),
+      (4L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_grams")))
+    // The shared run is 6 tokens = 4 overlapping 3-gram windows,
+    // merged into ONE span per doc at that doc's own offset.
+    assert(spans.toSet === Set((1L, 3, 8, 4L), (2L, 2, 7, 4L)))
+    // Doc 3's self-repetition (single doc) and doc 4 produce nothing:
+    // the dup set requires ≥2 DISTINCT docs.
+    assert(!spans.exists(s => s._1 == 3L || s._1 == 4L))
+  }
 }

@@ -157,6 +157,31 @@ class SimilaritySpec extends SparkSuite {
     assert(run(bc = false) === run(bc = true))
   }
 
+  test("IVF index build-once/search-many equals the one-shot path; " +
+    "bulk (non-broadcast) and loaded searches are identical") {
+    val model = Similarity.ivfBuild(vecs, k = 3, nprobe = 2, dim = 8)
+    def run(m: Similarity.IvfIndexModel, bc: Boolean = true) =
+      Similarity.ivfSearch(m, vecs.filter("vec_id IN (1, 2)"), topK = 1,
+        broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val oneShot = Similarity.ivfTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
+      topK = 1, k = 3, nprobe = 2, dim = 8)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val first = run(model)
+    assert(first === oneShot) // one-shot is literally build+search
+    assert(run(model) === first) // idempotent reuse, no retraining
+    assert(run(model, bc = false) === first) // strategy split, same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfSave(model, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.cells === model.cells && loaded.nprobe === model.nprobe)
+    assert(loaded.centroids.map(_.toSeq).toSeq ===
+      model.centroids.map(_.toSeq).toSeq)
+    assert(run(loaded) === first) // exact, cos included
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
