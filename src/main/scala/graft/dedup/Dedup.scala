@@ -613,19 +613,26 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))))
-      .withColumnsRenamed(Map("col" -> "tok"))
-    // Positioned k-grams via window leads: one shuffle by id, no
-    // higher-order-function lambda (the interpreted-HOF re-eval trap
-    // documented on TextFunctions.shinglesFromTokens does not arise).
-    val wLead = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val gramTokens = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(wLead))
-    val grams = toks.select(col("id"), col("pos"),
-      xxhash64(concat_ws(" ", gramTokens: _*)).as("h"),
-      lead(col("tok"), k - 1).over(wLead).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("id"), col("pos"), col("h"))
+    // Positioned k-grams from the one-pass native kernel (ordered,
+    // non-distinct; empty for docs shorter than k tokens):
+    // posexplode's pos IS the 0-based window start, so gram extraction
+    // is pure scan-side codegen — no per-doc window-lead shuffle (a
+    // lag/lead formulation shuffles every token row by id first;
+    // measured 24 s vs 15 s at the 30× corpus) and no interpreted-HOF
+    // lambda (the re-eval trap documented on
+    // TextFunctions.shinglesFromTokens).
+    // The gram rows feed BOTH the dup-set aggregation (shuffled by
+    // (h, id)) and the hit semi-join (shuffled by h) — different
+    // partitionings, so no exchange reuse; materialize the projection
+    // once so the normalize-regex + gram-hash scan doesn't run twice
+    // (profiled: the two recomputing scans were 21 s of the 29 s
+    // 30×-corpus wall).
+    val grams = graft.view.Patterns.ensurePersisted(
+      df.select(col(idCol).as("id"),
+        posexplode(graft.functions.GramHashesExpr(
+          TextFunctions.normalize(col(textCol)), k)))
+        .withColumnsRenamed(Map("col" -> "h")),
+      graft.view.Patterns.TextInflation)
     // Duplicated-gram set: grams present in ≥ minDocs DISTINCT docs.
     val dup = grams.select(col("h"), col("id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))

@@ -59,6 +59,68 @@ object NativeShingle {
   }
 }
 
+object NativeGrams {
+
+  private val SparkHashSeed = 42L
+
+  /** Positioned (ordered, NON-distinct) k-gram window hashes: element i
+    * is the xxhash64 of tokens [i, i+k) joined by a space — the
+    * inverted-index key of [[graft.dedup.Dedup.repeatedSpans]], where
+    * `posexplode` recovers the 0-based window start. Texts shorter
+    * than k tokens yield an EMPTY array (no complete window — unlike
+    * [[NativeShingle.compute]]'s whole-text fallback, a span detector
+    * must not fabricate a pseudo-window). */
+  def compute(norm: UTF8String, k: Int): GenericArrayData = {
+    val toks = norm.toString.split(" ", -1)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), SparkHashSeed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: normalized text → positioned k-gram
+  * xxhash64 values (see [[NativeGrams.compute]]) — one pass, codegen,
+  * no shuffle; `posexplode` downstream yields (pos, hash) without the
+  * per-doc window-lead shuffle a lag/lead formulation needs. */
+case class GramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "gram size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeGrams.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeGrams.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+object GramHashesExpr {
+  /** Column-API entry point — pass a NORMALIZED text column. */
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(new GramHashesExpr(ColumnBridge.expression(c), k))
+}
+
 /** Native Catalyst expression: normalized text → distinct k-shingle
   * xxhash64 values in ONE pass — the scan-side kernel of MinHash
   * near-dup (pairs with [[MinHashSignatureExpr]]). Input must already

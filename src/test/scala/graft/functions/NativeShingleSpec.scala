@@ -36,6 +36,34 @@ class NativeShingleSpec extends SparkSuite {
     }
   }
 
+  test("positioned gram hashes equal the composed windowed chain; " +
+    "short docs yield EMPTY (no whole-text fallback)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog; the quick brown fox returns!"),
+      (2L, "only two"),          // < k tokens → EMPTY, not a fallback gram
+      (3L, ""),
+      (4L, "a a a a a"),         // repeats NOT deduped: positioned output
+      (5L, "Punct,,, marks... and   MULTI    spaces")).toDF("id", "text")
+    val both = docs
+      .select(col("id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("composed",
+        when(size(col("toks")) >= 3,
+          transform(TextFunctions.shinglesFromTokens(col("toks"), 3),
+            g => xxhash64(g)))
+          .otherwise(array().cast("array<long>")))
+      .select(col("id"), col("composed"),
+        GramHashesExpr(
+          TextFunctions.normalize(concat_ws(" ", col("toks"))), 3).as("native"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"gram hash mismatch for id=${r.getLong(0)}")
+    }
+    val short = both.filter(col("id").isin(2L, 3L)).collect()
+    short.foreach(r => assert(r.getSeq[Long](2).isEmpty))
+  }
+
   test("minhash near-dup pairs are unchanged by the native kernels") {
     val s = spark
     import s.implicits._
