@@ -71,34 +71,46 @@ object Dedup {
     * sets and filtered at `minJaccard`. Returns (id_a, id_b, jaccard)
     * with id_a < id_b.
     */
-  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-                     minJaccard: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // Scan-side kernels: normalize (codegen'd regex) → one-pass native
-    // distinct-shingle hashes → one-pass native signature. Bit-identical
-    // to the staged HOF chain (NativeShingleSpec / NativeMinHashSpec)
-    // without the per-element interpreted lambda dispatch.
-    // Three consumers (banding + both verify sides) — materialize the
-    // signature frame once instead of re-running the shingle+signature
-    // scan per consumer (policy knob: spark.graft.pipelineInput).
-    val withSig = graft.view.Patterns.ensurePersisted(df
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleHashesExpr(
-          TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
-      .withColumn("sig", minhashSignature(col("hs"), numHashes)),
-      graft.view.Patterns.TextInflation)
+  /** (id, hs, sig) projection — the shared scan-side kernel chain of
+    * [[minhashNearDup]] and [[minhashBuild]]: normalize (codegen'd
+    * regex) → one-pass native distinct-shingle hashes → one-pass
+    * native signature. Bit-identical to the staged HOF chain
+    * (NativeShingleSpec / NativeMinHashSpec) without the per-element
+    * interpreted lambda dispatch. */
+  private def sigProjection(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashesExpr(
+        TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
 
-    // Bucket rows carry ONLY the id: a pair colliding in all `bands`
-    // buckets (exact duplicates do) would otherwise drag its shingle
-    // arrays through the shuffle `bands` times before the distinct.
-    val banded = withSig.select(
+  /** (id, band, band_hash) LSH bucket rows from a [[sigProjection]]
+    * frame. Bucket rows carry ONLY the id: a pair colliding in all
+    * `bands` buckets (exact duplicates do) would otherwise drag its
+    * shingle arrays through the shuffle `bands` times before the
+    * distinct. */
+  private def bandBuckets(withSig: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
+    val r = numHashes / bands
+    withSig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)))
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                     minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // Three consumers (banding + both verify sides) — materialize the
+    // signature frame once instead of re-running the shingle+signature
+    // scan per consumer (policy knob: spark.graft.pipelineInput).
+    val withSig = graft.view.Patterns.ensurePersisted(
+      sigProjection(df, idCol, textCol, numHashes, shingleK),
+      graft.view.Patterns.TextInflation)
+    val banded = bandBuckets(withSig, numHashes, bands)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -120,6 +132,125 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** A built MinHash-LSH dedup index: the banded bucket table (one row
+    * per doc per band — the candidate-generation side) plus the
+    * shingle-hash sets (the exact-verify side), with the geometry that
+    * produced them. The incremental-dedup sibling of
+    * [[graft.sim.Similarity.IvfIndexModel]]: build ONCE over the
+    * corpus, then [[minhashDeltaPairs]] dedups each arriving batch
+    * against it WITHOUT rescanning corpus text — at 100 TB the corpus
+    * shingle scan is the dominant cost of [[minhashNearDup]], and a
+    * real ingestion pipeline amortizes it across every delta the way
+    * it amortizes ANN index training across probe batches.
+    *
+    * At-rest size: `buckets` is bands × one (long, int, long) row per
+    * doc — trivial beside the corpus; `sets` is ~8 bytes per distinct
+    * shingle occurrence, the irreducible verify state. */
+  final case class MinHashIndexModel(
+      numHashes: Int, bands: Int, shingleK: Int,
+      buckets: DataFrame, sets: DataFrame, idCol: String)
+
+  /** Build a [[MinHashIndexModel]] over `df`. Both frames are
+    * localCheckpoint'd (same rationale as `ivfBuild`): repeated
+    * [[minhashDeltaPairs]] / [[minhashExtend]] calls must touch
+    * neither the upstream plan nor the shingle/signature expressions
+    * again. */
+  def minhashBuild(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleK: Int = 3): MinHashIndexModel = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSig = sigProjection(df, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint()
+    MinHashIndexModel(numHashes, bands, shingleK,
+      buckets = bandBuckets(withSig, numHashes, bands).localCheckpoint(),
+      sets = withSig.select(col("id"), col("hs")).localCheckpoint(),
+      idCol = idCol)
+  }
+
+  /** Near-dup pairs between a `delta` batch and an indexed corpus:
+    * (delta_id, corpus_id, jaccard), jaccard ≥ `minJaccard`, computed
+    * WITHOUT touching corpus text. The delta is signed with the
+    * model's own geometry, its band buckets equi-join the index's
+    * bucket table (candidates only where a band collides — never
+    * delta × corpus), and survivors verify exactly against the stored
+    * shingle sets. Rows where delta_id = corpus_id are dropped, so
+    * re-feeding an already-indexed doc doesn't report a self-match.
+    *
+    * Within-delta duplicates are deliberately out of scope — run
+    * [[minhashNearDup]] on the (bounded) batch for that — and a found
+    * delta doc is typically either dropped or [[minhashExtend]]ed in. */
+  def minhashDeltaPairs(model: MinHashIndexModel, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        minJaccard: Double = 0.8): DataFrame = {
+    // Banding + verify read the delta projection twice; persist the
+    // (small) batch side, not the index.
+    val dSig = graft.view.Patterns.ensurePersisted(
+      sigProjection(delta, idCol, textCol, model.numHashes, model.shingleK),
+      graft.view.Patterns.TextInflation)
+    val dBand = bandBuckets(dSig, model.numHashes, model.bands)
+      .select(col("band"), col("band_hash"), col("id").as("delta_id"))
+    val candidates = dBand
+      .join(model.buckets
+        .select(col("band"), col("band_hash"), col("id").as("corpus_id")),
+        Seq("band", "band_hash"))
+      .filter(col("delta_id") =!= col("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(dSig.select(col("id").as("delta_id"), col("hs").as("sh_d")),
+        Seq("delta_id"))
+      .join(model.sets.select(col("id").as("corpus_id"), col("hs").as("sh_c")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_d"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_c"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Fold a batch into the index: the delta is signed with the model's
+    * geometry and unioned into both tables — the post-dedup "admit the
+    * novel docs" step of an ingestion loop. The unions are
+    * localCheckpoint'd so chained extends don't deepen the plan. */
+  def minhashExtend(model: MinHashIndexModel, delta: DataFrame,
+                    idCol: String, textCol: String): MinHashIndexModel = {
+    val dSig = sigProjection(delta, idCol, textCol,
+      model.numHashes, model.shingleK).localCheckpoint()
+    model.copy(
+      buckets = model.buckets
+        .unionByName(bandBuckets(dSig, model.numHashes, model.bands))
+        .localCheckpoint(),
+      sets = model.sets.unionByName(dSig.select(col("id"), col("hs")))
+        .localCheckpoint())
+  }
+
+  /** Persist a built index: both tables as parquet plus the geometry
+    * as a 1-row meta parquet — same at-rest shape as
+    * [[graft.sim.Similarity.ivfSave]]. */
+  def minhashSave(model: MinHashIndexModel, path: String): Unit = {
+    model.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    model.sets.write.mode("overwrite").parquet(s"$path/sets")
+    val s = model.buckets.sparkSession
+    import s.implicits._
+    Seq((model.numHashes, model.bands, model.shingleK, model.idCol))
+      .toDF("num_hashes", "bands", "shingle_k", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[minhashSave]]d index; [[minhashDeltaPairs]] over it
+    * matches the original build exactly (spec-pinned). */
+  def minhashLoad(spark: org.apache.spark.sql.SparkSession,
+                  path: String): MinHashIndexModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    MinHashIndexModel(
+      numHashes = meta.getAs[Int]("num_hashes"),
+      bands = meta.getAs[Int]("bands"),
+      shingleK = meta.getAs[Int]("shingle_k"),
+      buckets = spark.read.parquet(s"$path/buckets"),
+      sets = spark.read.parquet(s"$path/sets"),
+      idCol = meta.getAs[String]("id_col"))
   }
 
   /** Exact n-gram Jaccard near-dup via the prefix-filter set-similarity
