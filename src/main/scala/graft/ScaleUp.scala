@@ -78,7 +78,10 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleUp <srcDir> <dstDir> <factor> [--clustered-embeddings[=K]]")
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [--clustered-embeddings[=K]] " +
+        "(clustered mode REPLACES embeddings for all copies incl. k=0 — " +
+        "writes a _CLUSTERED_EMBEDDINGS marker; embedding-recall oracles " +
+        "don't apply to such dirs)")
     val Array(src, dst, factorS) = args.take(3)
     val clusteredK: Int = args.drop(3).headOption match {
       case None => 0
@@ -178,6 +181,20 @@ object ScaleUp {
             (c, z) => (c + lit(sigma) * z).cast("float")).as("embedding"),
           col("label"))
       wr(clustered, "embeddings", factor * 2)
+      // Mark the dir as carrying SYNTHESIZED embeddings: clustered mode
+      // replaces the table for ALL copies (including k=0), so planted
+      // near-dup structure from the source corpus is gone — recall
+      // oracles that assume it (q_neardup_embedding and kin) are not
+      // meaningful against this dir. The marker makes that visible on
+      // disk instead of surfacing as a confusing oracle miss.
+      val note =
+        s"embeddings REPLACED by synthetic Gaussian clusters (K=$clusteredK, " +
+          "sigma=0.3, seed 4242) for ANN recall dials. Source-corpus " +
+          "planted embedding structure (e.g. near-dup pairs) is NOT " +
+          "preserved; do not point embedding-recall oracles here.\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dst, "_CLUSTERED_EMBEDDINGS"),
+        note.getBytes("UTF-8"))
     } else {
       wr(copies(rd("embeddings"), factor).select(
         off(col("vec_id"), k, E).as("vec_id"),

@@ -213,11 +213,20 @@ object Dedup {
   /** Fold a batch into the index: the delta is signed with the model's
     * geometry and unioned into both tables — the post-dedup "admit the
     * novel docs" step of an ingestion loop. The unions are
-    * localCheckpoint'd so chained extends don't deepen the plan. */
+    * localCheckpoint'd so chained extends don't deepen the plan.
+    *
+    * Ids already present in the index are dropped (anti-join against
+    * `sets` before the union): admitting a duplicate id would double
+    * its bucket/set rows, fan out every later [[minhashDeltaPairs]]
+    * verify join on that id, and compound across re-extends — so
+    * re-feeding an already-indexed doc is a no-op, the idempotence an
+    * at-least-once ingestion loop needs. */
   def minhashExtend(model: MinHashIndexModel, delta: DataFrame,
                     idCol: String, textCol: String): MinHashIndexModel = {
     val dSig = sigProjection(delta, idCol, textCol,
-      model.numHashes, model.shingleK).localCheckpoint()
+      model.numHashes, model.shingleK)
+      .join(model.sets.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
     model.copy(
       buckets = model.buckets
         .unionByName(bandBuckets(dSig, model.numHashes, model.bands))

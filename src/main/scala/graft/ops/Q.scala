@@ -69,6 +69,28 @@ object FeedCache {
     })
 }
 
+/** Scoped scratch directories for gates that exercise an at-rest
+  * round trip (index save/load): the body must leave nothing lazy
+  * that still reads `dir` — persist gates eagerly materialize the
+  * loaded-index result (`localCheckpoint`) before returning — because
+  * the directory is deleted on exit. Without this, every bench
+  * iteration leaked a full saved index (normalized corpus included)
+  * into `java.io.tmpdir` — often tmpfs on the bench boxes. */
+object Scratch {
+  def withDir[A](prefix: String)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val s = Files.walk(dir)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+}
+
 /** Testdata table loader (TESTDATA.md: one parquet file per table). */
 object Td {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =

@@ -405,20 +405,23 @@ object SimBattery {
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_persist")
-        .toString
-      Similarity.pqSave(Similarity.pqBuild(emb), idxDir)
-      val loaded = Similarity.pqLoad(s, idxDir)
-      val pq = Similarity.pqSearch(loaded, probes, topK = 3)
-      val brute = Similarity.bruteTopK(emb, probes, k = 3)
-      val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
-        Seq("probe_id", "neighbor_id"), "left_semi")
-        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
-      probes.select(col("vec_id").as("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"),
-          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
-        .orderBy(col("probe_id"))
+      // Scoped scratch: the result is eagerly checkpointed before the
+      // saved index is deleted — nothing lazy may still read idxDir.
+      Scratch.withDir("graft_pq_persist") { idxDir =>
+        Similarity.pqSave(Similarity.pqBuild(emb), idxDir)
+        val loaded = Similarity.pqLoad(s, idxDir)
+        val pq = Similarity.pqSearch(loaded, probes, topK = 3)
+        val brute = Similarity.bruteTopK(emb, probes, k = 3)
+        val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+        probes.select(col("vec_id").as("probe_id"))
+          .join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+          .orderBy(col("probe_id"))
+          .localCheckpoint()
+      }
     }
   )
 
@@ -435,21 +438,22 @@ object SimBattery {
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_persist")
-        .toString
-      Similarity.ivfSave(Similarity.ivfBuild(emb), idxDir)
-      val loaded = Similarity.ivfLoad(s, idxDir)
-      val ivf = Similarity.ivfSearch(loaded, probes, topK = 3,
-        broadcastProbes = false)
-      val brute = Similarity.bruteTopK(emb, probes, k = 3)
-      val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
-        Seq("probe_id", "neighbor_id"), "left_semi")
-        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
-      probes.select(col("vec_id").as("probe_id"))
-        .join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"),
-          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
-        .orderBy(col("probe_id"))
+      Scratch.withDir("graft_ivf_persist") { idxDir =>
+        Similarity.ivfSave(Similarity.ivfBuild(emb), idxDir)
+        val loaded = Similarity.ivfLoad(s, idxDir)
+        val ivf = Similarity.ivfSearch(loaded, probes, topK = 3,
+          broadcastProbes = false)
+        val brute = Similarity.bruteTopK(emb, probes, k = 3)
+        val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+        probes.select(col("vec_id").as("probe_id"))
+          .join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+          .orderBy(col("probe_id"))
+          .localCheckpoint()
+      }
     }
   )
 

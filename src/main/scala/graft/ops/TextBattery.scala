@@ -178,6 +178,70 @@ object TextBattery {
     }
   )
 
+  /** Incremental MinHash dedup ([[graft.dedup.Dedup.minhashBuild]] /
+    * [[graft.dedup.Dedup.minhashDeltaPairs]]): the index is built ONCE
+    * over the base corpus, then the mutated batch dedups against it
+    * via the band-bucket equi-join WITHOUT rescanning corpus text —
+    * the ingestion-loop shape where the corpus scan is amortized
+    * across every arriving delta. Same planted-pair oracle and recall
+    * floor as q_neardup_minhash: both engines count the J≥0.5 planted
+    * truth, and the delta path must recover ≥95% of it — so a drift
+    * between build-side and delta-side signing (geometry, banding,
+    * shingle chain) flips the gate. */
+  val neardupMinhashDelta = Q(
+    "q_neardup_minhash_delta",
+    Some(truthSql(0.5)),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 12, 1000000).as("text"))
+      val model = Dedup.minhashBuild(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3)
+      val found = Dedup.minhashDeltaPairs(model, delta, "doc_id", "text",
+        minJaccard = 0.5)
+        .select(col("corpus_id").as("id_a"), col("delta_id").as("id_b"))
+      recallStats(plantedTruth(docs, 0.5), found, floor = 0.95)
+    }
+  )
+
+  /** MinHash index persistence under the oracle, mirroring
+    * q_pq_persist: build → `minhashSave` → `minhashLoad`, dedup the
+    * delta against the LOADED index, and hold the recall floor —
+    * PLUS `roundtrip_ok`: the loaded index's pair set must equal the
+    * in-memory build's exactly (symmetric difference empty), so a
+    * serialization change that loses geometry or rows fails the
+    * oracle, not just a spec. */
+  val minhashPersist = Q(
+    "q_minhash_persist",
+    Some(s"SELECT n_truth, recall_ok, true AS roundtrip_ok FROM (${truthSql(0.5)})"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 12, 1000000).as("text"))
+      val model = Dedup.minhashBuild(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3)
+      // Pairs from the loaded index are eagerly checkpointed inside
+      // the scratch scope — nothing lazy may still read idxDir.
+      val (pairsLoaded, pairsBuilt) =
+        Scratch.withDir("graft_minhash_persist") { idxDir =>
+          Dedup.minhashSave(model, idxDir)
+          val loaded = Dedup.minhashLoad(s, idxDir)
+          (Dedup.minhashDeltaPairs(loaded, delta, "doc_id", "text",
+            minJaccard = 0.5).localCheckpoint(),
+            Dedup.minhashDeltaPairs(model, delta, "doc_id", "text",
+              minJaccard = 0.5))
+        }
+      val rt = pairsBuilt.exceptAll(pairsLoaded)
+        .unionByName(pairsLoaded.exceptAll(pairsBuilt))
+        .agg((count(lit(1)) === 0).as("roundtrip_ok"))
+      recallStats(plantedTruth(docs, 0.5),
+        pairsLoaded.select(col("corpus_id").as("id_a"),
+          col("delta_id").as("id_b")),
+        floor = 0.95)
+        .crossJoin(rt)
+    }
+  )
+
   /** SimHash near-dup: 64-bit signatures, pigeonhole chunk candidates
     * (guaranteed recall at the *signature* level), hamming verify —
     * under a recall-floor oracle against the J≥0.9 planted band.
@@ -823,6 +887,7 @@ object TextBattery {
 
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
+    neardupMinhashDelta, minhashPersist,
     neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,

@@ -124,6 +124,11 @@ object Upsert {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Reads the whole marker (single `read` calls may return short on
+    * FSDataInputStream — a short read would parse a truncated count,
+    * e.g. '6' from '64', and silently merge under the wrong modulus:
+    * the exact dup-key corruption the marker exists to prevent) and
+    * rejects values outside a sane layout range. */
   private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
                                dir: Path): Option[Int] =
     try {
@@ -132,9 +137,12 @@ object Upsert {
       else {
         val in = fs.open(p)
         try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toInt)
+          val buf = new java.io.ByteArrayOutputStream(32)
+          val chunk = new Array[Byte](32)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          val v = new String(buf.toByteArray, "UTF-8").trim.toInt
+          if (v >= 1 && v <= (1 << 20)) Some(v) else None
         } finally in.close()
       }
     } catch { case _: Exception => None }
@@ -163,7 +171,12 @@ object Upsert {
       // two dirs. The marker makes the layout self-describing; targets
       // written before the marker existed fall back to the caller's
       // value (the historical behavior).
-      val layoutBuckets = readBucketMarker(fs, new Path(path)).getOrElse(numBuckets)
+      val marker = readBucketMarker(fs, new Path(path))
+      val layoutBuckets = marker.getOrElse(numBuckets)
+      // Upgrade legacy (pre-marker) targets in place: once the caller's
+      // value has been used to merge, it IS the layout — pin it so the
+      // target stops being vulnerable to a future mismatched caller.
+      if (marker.isEmpty) writeBucketMarker(fs, new Path(path), layoutBuckets)
       val bucket = bucketOf(spec, layoutBuckets)
       val touched = staged.select(bucket.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted // ≤ layoutBuckets values

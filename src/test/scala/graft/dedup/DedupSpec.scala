@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
 
@@ -298,5 +299,84 @@ class DedupSpec extends SparkSuite {
     // Doc 3's self-repetition (single doc) and doc 4 produce nothing:
     // the dup set requires ≥2 DISTINCT docs.
     assert(!spans.exists(s => s._1 == 3L || s._1 == 4L))
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+      .toSet
+
+  test("minhash index: delta pairs find planted near-dups without " +
+    "corpus rescans, and match the full-corpus operator") {
+    val model = Dedup.minhashBuild(fixture, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3)
+    // Delta: a near-dup of doc 1 (word swap) + an unrelated doc.
+    val delta = docs(
+      10L -> base.replace("morning", "afternoon"),
+      11L -> "nothing in common with anything indexed so far at all")
+    val found = pairsOf(
+      Dedup.minhashDeltaPairs(model, delta, "doc_id", "text",
+        minJaccard = 0.5))
+    assert(found.contains((10L, 1L)) && found.contains((10L, 2L)))
+    assert(!found.exists(_._1 == 11L))
+    // Cross-check against the batch operator over the combined corpus:
+    // every delta×corpus pair it finds, the index path finds too.
+    val batch = Dedup.minhashNearDup(fixture.unionByName(delta),
+      "doc_id", "text", numHashes = 64, bands = 16, shingleK = 3,
+      minJaccard = 0.5)
+      .filter(col("id_b") >= 10L && col("id_a") < 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"))).toSet
+    assert(batch.subsetOf(found))
+  }
+
+  test("minhash index: re-fed ids don't self-match, extend is " +
+    "idempotent and extended docs become findable") {
+    val model = Dedup.minhashBuild(fixture, "doc_id", "text")
+    // Re-feeding an indexed doc reports its duplicates, not itself.
+    val refed = pairsOf(
+      Dedup.minhashDeltaPairs(model, fixture.filter(col("doc_id") === 1L),
+        "doc_id", "text", minJaccard = 0.5))
+    assert(refed.contains((1L, 2L)) && !refed.contains((1L, 1L)))
+    val delta = docs(10L -> base.replace("morning", "afternoon"))
+    val extended = Dedup.minhashExtend(model, delta, "doc_id", "text")
+    assert(extended.sets.count() === fixture.count() + 1)
+    // Extending again with the same id is a no-op (anti-join guard):
+    // no duplicate bucket/set rows, so no verify-join fan-out later.
+    val again = Dedup.minhashExtend(extended, delta, "doc_id", "text")
+    assert(again.sets.count() === extended.sets.count())
+    assert(again.buckets.count() === extended.buckets.count())
+    // A later delta near-dup of doc 10 finds it in the extended index.
+    val d2 = docs(20L -> base.replace("morning", "afternoon")
+      .replace("cat", "kitten"))
+    val found = pairsOf(
+      Dedup.minhashDeltaPairs(extended, d2, "doc_id", "text",
+        minJaccard = 0.5))
+    assert(found.contains((20L, 10L)))
+  }
+
+  test("minhash index save/load round trip: geometry and delta pairs " +
+    "identical") {
+    val model = Dedup.minhashBuild(fixture, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleK = 3)
+    val dir = java.nio.file.Files.createTempDirectory("minhash_idx")
+    try {
+      Dedup.minhashSave(model, dir.toString)
+      val loaded = Dedup.minhashLoad(spark, dir.toString)
+      assert(loaded.numHashes === 32 && loaded.bands === 8 &&
+        loaded.shingleK === 3 && loaded.idCol === "doc_id")
+      val delta = docs(10L -> base.replace("morning", "afternoon"))
+      val orig = pairsOf(Dedup.minhashDeltaPairs(model, delta,
+        "doc_id", "text", minJaccard = 0.5))
+      val rt = pairsOf(Dedup.minhashDeltaPairs(loaded, delta,
+        "doc_id", "text", minJaccard = 0.5))
+      assert(rt === orig && rt.contains((10L, 1L)))
+    } finally {
+      import java.nio.file.{Files, Path}
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 }
