@@ -795,4 +795,46 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("id"), col("span_start"), col("span_end"), col("n_grams"))
   }
+
+  /** The policy step [[repeatedSpans]] feeds: apply span coordinates to
+    * the corpus — clip the covered tokens out of each doc's normalized
+    * token stream and flag docs whose span coverage exceeds
+    * `maxCoverage` for dropping (the two knobs of Lee et al. 2022-style
+    * substring dedup: remove the boilerplate, drop the docs that are
+    * mostly boilerplate).
+    *
+    * Returns (id, n_tok, n_cov, coverage, kept, text_clipped) — one row
+    * per input doc, `kept = coverage ≤ maxCoverage`, `text_clipped` the
+    * normalized text with every covered token removed (the merged spans
+    * are disjoint by construction, so coverage is a plain sum).
+    *
+    * Scale shape: the spans table is tiny next to the corpus (one row
+    * per merged span), so the join is the cheap side; the clip itself is
+    * a scan-side projection — token positions are filtered against the
+    * per-doc span array with HOFs, never exploded through a
+    * token-per-row shuffle. */
+  def clipSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                textCol: String, maxCoverage: Double = 0.5): DataFrame = {
+    val spansAgg = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"),
+        sum(col("span_end") - col("span_start") + 1).as("n_cov"))
+    df.select(col(idCol).as("id"),
+      split(TextFunctions.normalize(col(textCol)), " ").as("tk"))
+      .join(spansAgg, Seq("id"), "left")
+      .select(
+        col("id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        (coalesce(col("n_cov"), lit(0L)).cast("double") /
+          size(col("tk"))).as("coverage"),
+        when(col("sp").isNull, array_join(col("tk"), " "))
+          .otherwise(array_join(
+            filter(col("tk"), (_, i) =>
+              !exists(col("sp"), s =>
+                i >= s("span_start") && i <= s("span_end"))), " "))
+          .as("text_clipped"))
+      .withColumn("kept", col("coverage") <= lit(maxCoverage))
+      .select(col("id"), col("n_tok"), col("n_cov"), col("coverage"),
+        col("kept"), col("text_clipped"))
+  }
 }

@@ -335,6 +335,69 @@ object TextBattery {
         .orderBy(col("doc_id"), col("span_start"))
   )
 
+  /** Span-clip policy ([[graft.dedup.Dedup.clipSpans]]) — the apply
+    * step over [[graft.dedup.Dedup.repeatedSpans]]'s coordinates:
+    * covered tokens are clipped from each doc's normalized token
+    * stream and docs whose coverage exceeds the threshold are flagged
+    * dropped. FULL closed-form oracle: the corpus plants HALF-copies
+    * (each doc ∪ its first-half text), so originals sit near coverage
+    * 0.5 (kept at the 0.6 threshold) and the copies near 1.0
+    * (dropped); DuckDB re-derives the whole chain — spans, disjoint-
+    * span coverage sum, position-level anti-join, ordered re-join of
+    * surviving tokens — and compares exact
+    * (doc_id, n_tok, n_cov, coverage, kept, text_clipped) rows, so the
+    * clip arithmetic (inclusive span ends, 0-based positions, empty-
+    * clip docs) is pinned token-for-token. */
+  val spanClipQ = Q(
+    "q_span_clip",
+    Some {
+      val half = normSqlOf("text[1:len(text)//2]")
+      s"WITH c AS (SELECT doc_id, ${normSqlOf("text")} AS nt FROM documents " +
+        s"UNION ALL SELECT doc_id + 1000000, $half FROM documents), " +
+        "t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM c), " +
+        "g AS (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t " +
+        "WHERE len(tk) >= 8), " +
+        "g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM g), " +
+        "dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd " +
+        "FROM g2 GROUP BY 1) WHERE nd >= 2), " +
+        "h AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN " +
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR " +
+        "pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 " +
+        "THEN 1 ELSE 0 END AS brk FROM h), " +
+        "i2 AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS island FROM b), " +
+        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
+        "FROM i2 GROUP BY doc_id, island), " +
+        "cov AS (SELECT doc_id, sum(e - s + 1) AS n_cov FROM sp GROUP BY 1), " +
+        "p AS (SELECT doc_id, unnest(range(len(tk))) AS i FROM t), " +
+        "cp AS (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM sp), " +
+        "keep AS (SELECT p.doc_id, p.i FROM p LEFT JOIN cp " +
+        "ON cp.doc_id = p.doc_id AND cp.i = p.i WHERE cp.i IS NULL), " +
+        "txt AS (SELECT k.doc_id, " +
+        "string_agg(tk[CAST(k.i AS INT) + 1], ' ' ORDER BY k.i) AS tc " +
+        "FROM keep k JOIN t ON t.doc_id = k.doc_id GROUP BY 1) " +
+        "SELECT t.doc_id, len(tk) AS n_tok, " +
+        "CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_cov, " +
+        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(tk) AS coverage, " +
+        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(tk) <= 0.6 AS kept, " +
+        "coalesce(txt.tc, '') AS text_clipped " +
+        "FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id " +
+        "LEFT JOIN txt ON txt.doc_id = t.doc_id ORDER BY 1"
+    },
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("text")))
+      val spans = Dedup.repeatedSpans(corpus, "doc_id", "text",
+        k = 8, minDocs = 2)
+      Dedup.clipSpans(corpus, spans, "doc_id", "text", maxCoverage = 0.6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Benchmark decontamination: every-20th document plays the test set,
     * the rest the corpus; both engines count each corpus doc's distinct
     * shingles that appear anywhere in the test set. */
@@ -892,5 +955,5 @@ object TextBattery {
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
-    repetitionQ, piiRedactQ, lmScoreQ, repeatedSpansQ)
+    repetitionQ, piiRedactQ, lmScoreQ, repeatedSpansQ, spanClipQ)
 }

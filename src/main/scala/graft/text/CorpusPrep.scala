@@ -350,19 +350,39 @@ object CorpusPrep {
     * clustering is the correct keep-one-per-duplicate-set contract. */
   def prepare(df: DataFrame, idCol: String, textCol: String,
               quality: Quality = Quality(),
-              nearDup: Boolean = false, minJaccard: Double = 0.8): DataFrame = {
+              nearDup: Boolean = false, minJaccard: Double = 0.8,
+              spanClip: Boolean = false, spanK: Int = 8,
+              maxSpanCoverage: Double = 0.5): DataFrame = {
     val filtered = df.filter(qualityFilter(col(textCol), quality))
     val exact = exactDedupKeep(filtered, idCol, textCol)
-    if (!nearDup) exact
+    val deduped =
+      if (!nearDup) exact
+      else {
+        val pairs = Dedup.minhashNearDup(exact, idCol, textCol, minJaccard = minJaccard)
+        val comps = graft.graph.ConnectedComponents.run(
+          exact.select(col(idCol).as("id")), pairs,
+          srcCol = "id_a", dstCol = "id_b")
+        exact.join(
+          graft.graph.ConnectedComponents.keepers(comps)
+            .withColumnRenamed("id", idCol),
+          Seq(idCol), "left_semi")
+      }
+    if (!spanClip) deduped
     else {
-      val pairs = Dedup.minhashNearDup(exact, idCol, textCol, minJaccard = minJaccard)
-      val comps = graft.graph.ConnectedComponents.run(
-        exact.select(col(idCol).as("id")), pairs,
-        srcCol = "id_a", dstCol = "id_b")
-      exact.join(
-        graft.graph.ConnectedComponents.keepers(comps)
-          .withColumnRenamed("id", idCol),
-        Seq(idCol), "left_semi")
+      // Substring-level pass AFTER document-level dedup: find runs of
+      // spanK tokens shared across ≥2 surviving docs, clip them from
+      // each doc's normalized token stream, and drop docs that are
+      // mostly such boilerplate. The surviving docs carry the CLIPPED
+      // text — prepare's contract stays "rows you would train on".
+      val spans = Dedup.repeatedSpans(deduped, idCol, textCol, k = spanK)
+      val clipped = Dedup.clipSpans(deduped, spans, idCol, textCol,
+        maxCoverage = maxSpanCoverage)
+      deduped.join(
+        clipped.filter(col("kept"))
+          .select(col("id").as(idCol), col("text_clipped")),
+        Seq(idCol))
+        .drop(textCol)
+        .withColumnRenamed("text_clipped", textCol)
     }
   }
 }

@@ -301,6 +301,25 @@ class DedupSpec extends SparkSuite {
     assert(!spans.exists(s => s._1 == 3L || s._1 == 4L))
   }
 
+  test("clipSpans removes exactly the covered tokens, flags " +
+    "over-coverage docs, and passes span-free docs through") {
+    // Docs 1/2 share a 6-token run (k=3 spans); doc 3 shares nothing.
+    val fix = docs(
+      1L -> "a b c p q r s t u d e f",
+      2L -> "x y p q r s t u z w v k",
+      3L -> "one two three four five six seven eight nine")
+    val spans = Dedup.repeatedSpans(fix, "doc_id", "text", k = 3, minDocs = 2)
+    val out = Dedup.clipSpans(fix, spans, "doc_id", "text", maxCoverage = 0.49)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_cov"),
+          r.getAs[Boolean]("kept"), r.getAs[String]("text_clipped")))).toMap
+    // Span in doc 1 covers positions 3..8 (p q r s t u): 6 of 12.
+    assert(out(1L) === ((12L, 6L, false, "a b c d e f")))
+    assert(out(2L) === ((12L, 6L, false, "x y z w v k")))
+    assert(out(3L) === ((9L, 0L, true,
+      "one two three four five six seven eight nine")))
+  }
+
   private def pairsOf(df: DataFrame): Set[(Long, Long)] =
     df.collect()
       .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))

@@ -256,4 +256,30 @@ class CorpusPrepSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(b.filter(_ <= 2000L) == a)
   }
+
+  test("prepare spanClip: shared boilerplate runs are clipped from " +
+    "survivors and mostly-boilerplate docs are dropped") {
+    val s = spark
+    import s.implicits._
+    val boiler = "subscribe to our newsletter for updates and follow " +
+      "the channel to never miss a new episode of the series"
+    val df = Seq(
+      (1L, s"a long and genuinely unique article about adaptive shuffle " +
+        s"partitioning in distributed engines $boiler"),
+      (2L, s"another wholly distinct essay on columnar storage layouts " +
+        s"vectorized execution pipelines and late materialization " +
+        s"strategies for analytical scans $boiler"),
+      // Doc 3 is boilerplate + a couple of words: coverage > threshold.
+      (3L, s"$boiler thanks everyone")
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.prepare(df, "doc_id", "text",
+      spanClip = true, spanK = 8, maxSpanCoverage = 0.6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // The shared run is gone from both survivors; the unique prose stays.
+    assert(!out(1L).contains("newsletter") && !out(2L).contains("newsletter"))
+    assert(out(1L).contains("adaptive shuffle partitioning"))
+    assert(out(2L).contains("columnar storage layouts"))
+  }
 }
