@@ -76,14 +76,16 @@ object StreamBattery {
     * full width — a fixed width would either pay store churn at sf
     * scale or starve the 90× replay (both measured; see
     * withShufflePartitions). */
+  private[ops] def dirBytes(s: SparkSession, dir: String): Long =
+    try {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    } catch { case _: Exception => 0L }
+
   private[ops] def replayPartitions(s: SparkSession, feedDir: String): Int =
     sys.env.get("GRAFT_REPLAY_PARTITIONS").flatMap(_.toIntOption).getOrElse {
-      val bytes =
-        try {
-          val p = new Path(feedDir)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
-        } catch { case _: Exception => 0L }
+      val bytes = dirBytes(s, feedDir)
       math.max(4, math.min(s.sparkContext.defaultParallelism, (bytes >> 20).toInt))
     }
 
@@ -479,11 +481,18 @@ object StreamBattery {
         writeSlice(slice(o.filter(d >= t99), "U2-", Seq("L3", "L4"), "s2"),
           feedDir, 2)
       }
+      // Initial bucket count derives from feed volume (the target's
+      // steady-state size is ~the replayed feed): sf-scale feeds floor
+      // at 4 — fewer per-batch file writes on a merge-bound gate —
+      // while a 90× feed derives up. GRAFT_MERGE_BUCKETS overrides for
+      // A/B runs.
       val q = graft.streaming.StreamingSync.start(
         s.readStream.schema(graft.source.QuadSource.schema)
           .option("maxFilesPerTrigger", 1).parquet(feed),
         Seq(Tables.intellectualEntity, Tables.schemaLicense),
-        target, s"$base/ckpt", numBuckets = 16)
+        target, s"$base/ckpt",
+        numBuckets = Env.intOr("GRAFT_MERGE_BUCKETS",
+          graft.sink.Upsert.bucketsFor(dirBytes(s, feed))))
       q.awaitTermination()
       val parent = s.read.parquet(s"$target/graph_intellectual_entity")
         .select(col("id"), col("schema_name"))

@@ -96,6 +96,22 @@ object Upsert {
   private def bucketOf(spec: TableSpec, numBuckets: Int) =
     pmod(xxhash64(mergeKeys(spec).map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Data-derived initial bucket count for a NEW bucketed target: one
+    * bucket per ~32 MB of expected staged volume, floor 4, cap 4096.
+    * The count trades rewrite granularity (each incremental merge
+    * rewrites whole touched buckets — more buckets = finer pruning)
+    * against per-merge file fan-out (every touched bucket is ≥1 file
+    * per write — a tiny table laid out over many buckets pays task and
+    * file overhead on EVERY batch). Sizing from volume the way
+    * streaming replay width derives from feed bytes keeps both ends
+    * honest: a sf-scale test table derives to the floor, a 100 TB
+    * table derives to wide pruning. Existing targets ignore this —
+    * the layout marker pins their count (see readBucketMarker). */
+  def bucketsFor(expectedBytes: Long, floor: Int = 4,
+                 perBucketBytes: Long = 32L << 20, cap: Int = 4096): Int =
+    math.max(floor,
+      math.min(cap, (expectedBytes / math.max(1L, perBucketBytes)).toInt))
+
   /** Parquet-backed upsert, partition-scoped: the target lives
     * partitioned by `__bucket = pmod(xxhash64(mergeKey), numBuckets)`, so
     * an incremental batch touching 0.1% of entities rewrites only the
