@@ -143,9 +143,12 @@ object Bench {
     * test-shingle estimate scan and can switch exact/Bloom),
     * embeddingNearDup's corpus-count plane derivation, adaptive
     * persist levels, the derived IVF cells/nprobe geometry and the
-    * native L2-normalize kernel (q_ann_pq 90×: 16.1 → 4.7 s).
+    * native L2-normalize kernel (q_ann_pq 90×: 16.1 → 4.7 s),
+    * v4 = round-15: three new gates (q_neardup_minhash_delta,
+    * q_minhash_persist, q_span_clip), feed-derived multisync merge
+    * buckets, and the narrow-row bulk ANN search shape.
     */
-  private val WorkloadVersion = 3
+  private val WorkloadVersion = 4
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

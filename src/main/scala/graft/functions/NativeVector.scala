@@ -65,6 +65,32 @@ object NativeVector {
     new GenericArrayData(out)
   }
 
+  /** ADC lookup-sum: Σ_j dtable[j][codes[j]] — the fused form of
+    * `aggregate(zip_with(codes, dtable, (c, row) -> element_at(row,
+    * c + 1)), 0.0, (acc, v) -> acc + v)`: same left-to-right
+    * accumulation, so swapping it in cannot move an oracle hash. The
+    * composed form runs interpreted per ELEMENT — at candidate
+    * cardinality (probes × nprobe × cell occupancy) the closure
+    * dispatch dominated the whole bulk PQ search (BENCH_NOTES r15).
+    * NULL for length mismatch, null elements, or an out-of-range code
+    * (codes are construction-valid, so the last never fires in the
+    * PQ path). */
+  def adcSum(codes: ArrayData, dtable: ArrayData): java.lang.Double = {
+    val n = codes.numElements()
+    if (dtable.numElements() != n) return null
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      if (codes.isNullAt(j) || dtable.isNullAt(j)) return null
+      val row = dtable.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getDouble(c)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Sign-bit LSH bucket: bit p set iff dot(v, m(p)) > 0 — the fused
     * form of `when(dot > 0, 1L << p)` OR-folded. */
   def bucket(v: ArrayData, m: Array[Array[Double]], vF: Boolean): java.lang.Long = {
@@ -359,6 +385,38 @@ case class MatVecDotsExpr(child: Expression, matrix: Array[Array[Double]])
 object MatVecDotsExpr {
   def apply(c: Column, m: Array[Array[Double]]): Column =
     ColumnBridge.column(new MatVecDotsExpr(ColumnBridge.expression(c), m))
+}
+
+/** Native ADC lookup-sum of a per-vector code array against a
+  * per-probe distance table → double (see [[NativeVector.adcSum]]). */
+case class AdcSumExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_sum"
+
+  override def nullSafeEval(codes: Any, dtable: Any): Any =
+    NativeVector.adcSum(codes.asInstanceOf[ArrayData], dtable.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("adcRes")
+    nullSafeCodeGen(ctx, ev, (c, d) =>
+      s"""
+         |java.lang.Double $r = graft.functions.NativeVector.adcSum($c, $d);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSumExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcSumExpr {
+  def apply(codes: Column, dtable: Column): Column =
+    ColumnBridge.column(
+      new AdcSumExpr(ColumnBridge.expression(codes), ColumnBridge.expression(dtable)))
 }
 
 /** Native sign-bit LSH bucket of a vector under constant hyperplanes →

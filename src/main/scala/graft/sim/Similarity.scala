@@ -227,6 +227,16 @@ object Similarity {
     // Same argmax-invariance as training: cells rank by dot with unit
     // centroids.
     val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(model.centroids))
+    // pv rides the (probe_id, cell) fan INTO the cell join (≤ nprobe
+    // copies per probe — bounded), so the cosine is computed inside
+    // the join stage itself and candidate-cardinality rows shuffle
+    // NARROW (probe_id, neighbor_id, cos) to the top-k window. Unlike
+    // pqSearch there is no cheap ADC prune between the cell join and
+    // the exact scores, so a join-back of pv at candidate cardinality
+    // would re-shuffle |probes| × nprobe × occupancy rows carrying the
+    // dim-wide cv — the exact wide-payload shape the bulk split
+    // exists to avoid (see the pqSearch note; there the pv join-back
+    // is at SHORTLIST cardinality, which is what makes it cheap).
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("__sims", probeSims)
@@ -234,14 +244,31 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("__sims"),
         explode(slice(col("__ranked"), 1, model.nprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
+      // Dedup at probe fan-out size — see the pqSearch note: unique
+      // (probe, cell) ⇒ unique (probe, neighbor), each indexed vector
+      // lives in exactly one cell.
       .select(col("probe_id"), col("pv"), col("cell"))
-    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
+      .dropDuplicates("probe_id", "cell")
+    def probeSide(df: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(df) else df
+    // Bulk: pin BOTH cell-join inputs to session width — see the
+    // pqSearch note (AQE's size-based reads serialize the cell-join
+    // expansion onto 1-2 tasks on whichever side the planner streams;
+    // a user repartition is neither coalescible nor local-readable).
+    val width =
+      model.indexed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val indexSide =
+      if (broadcastProbes) model.indexed
+      else model.indexed.repartition(width, col("cell"), col("neighbor_id"))
+    val probeFan =
+      if (broadcastProbes) probeCells
+      else probeCells.repartition(width, col("cell"), col("probe_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    model.indexed.join(probeSide, Seq("cell"))
+    indexSide.join(probeSide(probeFan), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -535,43 +562,101 @@ object Similarity {
     val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(coarse))
     val dtable = array((0 until m).map(j =>
       graft.functions.MatVecDotsExpr(subvec(col("pv"), j), books(j))): _*)
-    val probeCells = graft.sim.Embeddings
+    // Per-probe frame: unit vector + ADC table, ONE row per probe.
+    // Everything probe-derived that is wide (pv: dim doubles; dtable:
+    // m×k doubles) lives here and joins back by probe_id only where
+    // needed — candidate-cardinality rows stay NARROW. The first cut
+    // of the bulk path carried pv+dtable on every (probe, cell) row
+    // into the candidate join, so the dedup and shortlist-window
+    // shuffles moved ~1 KB × |candidates| (measured at 30×/6k probes:
+    // 230 s; this shape: see BENCH_NOTES r15).
+    val probeMeta = graft.sim.Embeddings
       .withL2Normalized(probes.select(col(idCol), col(vecCol)), vecCol)
       .filter(col("unit").isNotNull)
       .select(col(idCol).as("probe_id"), col("unit").as("pv"))
+      .withColumn("dtable", dtable.as("dtable"))
+    val probeCells = probeMeta
       .withColumn("__sims", probeSims)
       .withColumn("__ranked", reverse(array_sort(col("__sims"))))
-      .select(col("probe_id"), col("pv"), col("__sims"),
+      .select(col("probe_id"), col("__sims"),
         explode(slice(col("__ranked"), 1, model.nprobe)).as("__target"))
       .withColumn("cell", (array_position(col("__sims"), col("__target")) - 1).cast("int"))
-      .select(col("probe_id"), col("pv"), col("cell"))
-      .withColumn("dtable", dtable.as("dtable"))
+      // Distinct at PROBE fan-out size, not candidate size: duplicate
+      // (probe, cell) rows (possible only on exact sim ties — the
+      // ranked slice maps tied entries to one array_position) are the
+      // SOLE source of duplicate (probe, neighbor) candidates, because
+      // every indexed vector lives in exactly one cell. A candidate-
+      // level dropDuplicates re-shuffled |probes|×nprobe×occupancy
+      // rows to kill duplicates this distinct kills in |probes|×nprobe.
+      .select(col("probe_id"), col("cell"))
+      .distinct()
 
     // ADC score = Σ_j dtable[j][code_j] ≈ cos(probe, candidate): m
-    // element lookups per candidate, no vector math.
-    val adc = aggregate(
-      zip_with(col("codes"), col("dtable"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, v) => acc + v)
+    // element lookups per candidate, no vector math. Native codegen
+    // kernel — the composed aggregate∘zip_with form runs interpreted
+    // per element and dominated the bulk path at candidate
+    // cardinality (spec-pinned identical in NativeVectorSpec).
+    val adc = graft.functions.AdcSumExpr(col("codes"), col("dtable"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
-    val short = model.indexed.join(probeSide, Seq("cell"))
+    // Interactive: broadcast BOTH probe frames (bounded batch). Bulk:
+    // plain equi-joins — candidates shuffle as (probe_id, neighbor_id,
+    // codes) rows, the wide per-probe columns shuffle once at probe
+    // cardinality. In bulk mode BOTH cell-join inputs are pinned to
+    // explicit session-width repartitions: every input to the join is
+    // small (the compressed index is ~m bytes/vector, the probe-cell
+    // frame |probes|×nprobe rows), so AQE's size-based local-read/
+    // coalesce shrinks the join stage to 1-2 tasks — blind to the
+    // fact that the join EXPANDS each probe-cell row by the cell
+    // occupancy (~n/cells matches) and that the same stage carries
+    // the ADC scoring and the shortlist's partial sort (measured at
+    // 30×/6k probes: a 1-2-task stage holding 30-75 s of CPU, 16×
+    // under the box — whichever side the planner streams inherits
+    // the narrowing, so both are pinned; the one under the broadcast
+    // build is a negligible extra shuffle of the query's cheapest
+    // frame). A user repartition is neither coalescible nor
+    // local-readable, so the expansion runs at session width at every
+    // scale; the second key spreads hot cells evenly — the streamed
+    // side of a broadcast join needs no particular distribution.
+    def probeSide(df: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(df) else df
+    val width =
+      model.indexed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val indexSide =
+      if (broadcastProbes) model.indexed
+      else model.indexed.repartition(width, col("cell"), col("neighbor_id"))
+    // The ADC table rides the (probe_id, cell) fan-out INTO the cell
+    // join (≤ nprobe copies per probe — bounded), so the ADC score is
+    // computed and the row projected narrow inside the join stage
+    // itself: candidate-cardinality rows never carry the table and
+    // never shuffle before the partial window limit. (Joining dtable
+    // to the candidates instead re-shuffled every candidate row by
+    // probe_id the moment the probe batch outgrew the broadcast
+    // threshold — measured 228M-row shuffle at 90×/18k probes.)
+    val probeFan0 = probeCells
+      .join(probeMeta.select(col("probe_id"), col("dtable")), Seq("probe_id"))
+    val probeFan =
+      if (broadcastProbes) probeFan0
+      else probeFan0.repartition(width, col("cell"), col("probe_id"))
+    val short = indexSide
+      .join(probeSide(probeFan), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("adc", adc)
+      .select(col("probe_id"), col("neighbor_id"), adc.as("adc"))
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= model.shortlist)
-      .select(col("probe_id"), col("pv"), col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
 
     // Exact re-rank touches full vectors ONLY for the shortlist.
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     short
+      .join(probeSide(probeMeta.select(col("probe_id"), col("pv"))),
+        Seq("probe_id"))
       .join(model.corpus2.select(
           col(model.idCol).as("neighbor_id"), col(model.vecCol).as("cv")),
         Seq("neighbor_id"))
       .withColumn("cos", cosine(col("pv"), col("cv")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))

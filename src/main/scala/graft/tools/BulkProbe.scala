@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Td
+import graft.sim.Similarity
+
+/** Measures the bulk (non-broadcast) PQ search path with a genuinely
+  * large probe batch — the r14 verdict's open scale question: the
+  * `pqSearch(broadcastProbes = false)` strategy split exists FOR big
+  * probe sets (offline join-everything-to-its-neighbors jobs), but had
+  * only ever run under the 5-probe oracle gate. Here the probe batch
+  * is a deterministic `vec_id % <mod> = 0` slice of the corpus itself
+  * (default 10%), searched against the PQ index via the (cell)
+  * equi-join — never probes × corpus.
+  *
+  * Prints one row per phase: build secs, bulk-search secs (count of
+  * (probe, neighbor) rows as the action), and rows/probe as a sanity
+  * check that every probe produced topK hits.
+  *
+  * The same measurement covers `ivfSearch(broadcastProbes = false)`
+  * (full-precision candidates, no ADC stage) via `mode=ivf`.
+  *
+  * Usage: runMain graft.tools.BulkProbe <sfDir> [probeMod] [topK] [shortlist] [mode]
+  */
+object BulkProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.BulkProbe <sfDir> [probeMod] [topK] [shortlist] [pq|ivf]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val probeMod = if (args.length > 1) args(1).toInt else 10
+    val topK = if (args.length > 2) args(2).toInt else 3
+    val shortlist = if (args.length > 3) args(3).toInt else -1
+    val mode = if (args.length > 4) args(4) else "pq"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.run.Tuning.initialPartitions(sfDir).toString)
+      .config("spark.memory.storageFraction", "0.2")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", sys.env.getOrElse("BULK_PROBE_UI", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Per-stage wall/task-time reporter: the dominant stage names the
+    // bottleneck without the (disabled) UI.
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secs = (i.completionTime.getOrElse(0L) -
+            i.submissionTime.getOrElse(0L)) / 1e3
+          if (secs > 2.0) {
+            val m = i.taskMetrics
+            println(f"  stage ${i.stageId}%4d ${secs}%6.1f s " +
+              s"tasks=${i.numTasks} " +
+              f"cpu=${m.executorCpuTime / 1e9}%.1f " +
+              f"in=${m.inputMetrics.recordsRead} " +
+              f"sr=${m.shuffleReadMetrics.recordsRead} " +
+              f"sw=${m.shuffleWriteMetrics.recordsWritten} " +
+              f"out=${m.outputMetrics.recordsWritten}")
+            // RDD scope names reveal which operators ran in this stage.
+            println("        rdds: " + i.rddInfos.map(_.name).distinct
+              .mkString(", ").take(200))
+          }
+        }
+      })
+
+    val emb = Td(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val probes = emb.filter(col("vec_id") % probeMod === 0)
+    val nProbes = probes.count()
+    println(s"corpus n=$n probes=$nProbes (1/$probeMod) topK=$topK mode=$mode")
+
+    var t0 = System.nanoTime()
+    val search: () => org.apache.spark.sql.DataFrame = mode match {
+      case "ivf" =>
+        val model = Similarity.ivfBuild(emb)
+        println(f"ivfBuild: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          s"cells=${model.cells} nprobe=${model.nprobe}")
+        () => Similarity.ivfSearch(model, probes, topK = topK,
+          broadcastProbes = false)
+      case _ =>
+        val model = Similarity.pqBuild(emb, shortlist = shortlist)
+        println(f"pqBuild: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(s"index partitions=${model.indexed.rdd.getNumPartitions} " +
+          s"corpus2 partitions=${model.corpus2.rdd.getNumPartitions} " +
+          s"cells=${model.cells} nprobe=${model.nprobe} shortlist=${model.shortlist}")
+        () => Similarity.pqSearch(model, probes, topK = topK,
+          broadcastProbes = false)
+    }
+
+    // Warm-up + 2 timed iterations; min is the honest per-batch cost
+    // (the build is amortized across batches by design).
+    (0 until 3).foreach { i =>
+      t0 = System.nanoTime()
+      val pq = search()
+      val rows = pq.collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      val tag = if (i == 0) "warmup" else s"iter$i"
+      println(f"bulkSearch[$tag]: $sec%.1f s rows=$rows rows/probe=${rows.toDouble / nProbes}%.2f")
+      if (i == 0 && sys.env.contains("BULK_PROBE_EXPLAIN"))
+        println(pq.queryExecution.executedPlan.toString.take(14000))
+    }
+    spark.stop()
+  }
+}

@@ -66,6 +66,40 @@ class NativeVectorSpec extends SparkSuite {
     assert(diff === 0)
   }
 
+  test("AdcSumExpr is bit-identical to the composed aggregate∘zip_with " +
+    "lookup-sum") {
+    val r = new scala.util.Random(42)
+    val m = 8; val k = 16
+    val df = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(m)(r.nextInt(k)),
+        Array.fill(m, k)(r.nextGaussian()))
+    }.toDF("id", "codes", "dtable")
+    val composed = aggregate(
+      zip_with(col("codes"), col("dtable"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df
+      .select(AdcSumExpr(col("codes"), col("dtable")).as("native"),
+        composed.as("c"))
+      .filter(col("native") =!= col("c")) // exact double equality
+      .count()
+    assert(diff === 0)
+  }
+
+  test("AdcSumExpr null/shape edges yield null") {
+    val df = Seq(
+      (1L, Array(0, 1), Array(Array(1.0, 2.0), Array(3.0, 4.0))),
+      (2L, Array(0, 1), Array(Array(1.0, 2.0))), // length mismatch
+      (3L, Array(0, 5), Array(Array(1.0, 2.0), Array(3.0, 4.0))) // oob code
+    ).toDF("id", "codes", "dtable")
+    val out = df.select(col("id"), AdcSumExpr(col("codes"), col("dtable")).as("s"))
+      .collect().map(rw => rw.getLong(0) ->
+        (if (rw.isNullAt(1)) None else Some(rw.getDouble(1)))).toMap
+    assert(out(1L) === Some(1.0 + 4.0))
+    assert(out(2L) === None)
+    assert(out(3L) === None)
+  }
+
   test("null and shape edge cases yield null") {
     val m = Array(Array(1.0, 2.0))
     val rows = Seq(
