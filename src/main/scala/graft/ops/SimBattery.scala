@@ -391,6 +391,37 @@ object SimBattery {
     }
   )
 
+  /** The bulk-probe (non-broadcast) IVF search path under the same
+    * recall-floor oracle as `q_ann_ivf` — the full-precision twin of
+    * `q_ann_pq_bulk`. The bulk split differs physically from PQ's
+    * (no ADC prune exists, so the probe vector rides the (probe,
+    * cell) fan and the cosine computes inside the cell join; the
+    * rank ≤ topK window prunes map-side via WindowGroupLimit), so it
+    * needs its own gate: a regression that re-widens the candidate
+    * rows or forces the broadcast fails here. */
+  val annIvfBulk = Q(
+    "q_ann_ivf_bulk",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val model = Similarity.ivfBuild(emb)
+      val ivf = Similarity.ivfSearch(model, probes, topK = 3,
+        broadcastProbes = false)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
   /** PQ index persistence under the oracle: build → `pqSave` →
     * `pqLoad` in the same session, search the LOADED index, and hold
     * the `q_ann_pq` recall floor. The round trip exercises the full
@@ -459,5 +490,6 @@ object SimBattery {
 
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
     annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
-    annPq, semanticDedup, annPqBulk, annPqPersist, annIvfPersist)
+    annPq, semanticDedup, annPqBulk, annIvfBulk, annPqPersist,
+    annIvfPersist)
 }
