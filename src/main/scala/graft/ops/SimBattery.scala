@@ -422,6 +422,66 @@ object SimBattery {
     }
   )
 
+  /** No-retrain index growth under the oracle: build the IVF index on
+    * HALF the corpus (even vec_ids), `ivfExtend` with the other half,
+    * then search the extended index and hold the recall floor against
+    * brute force over the FULL corpus. A broken extend (dropped ids,
+    * mis-assigned cells, duplicated rows fanning out the top-k
+    * window) fails the floor; the probes themselves are split across
+    * both halves so the gate exercises built AND extended regions. */
+  val annIvfExtend = Q(
+    "q_ann_ivf_extend",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val model = Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0))
+      val extended = Similarity.ivfExtend(model,
+        emb.filter(col("vec_id") % 2 === 1))
+      val ivf = Similarity.ivfSearch(extended, probes, topK = 3)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = ivf.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
+  /** [[annIvfExtend]]'s IVF-PQ twin: half-corpus `pqBuild`, `pqExtend`
+    * with the other half (frozen codebooks encode the delta), recall
+    * floor vs full-corpus brute force through the extended index —
+    * both the compressed candidate side and the exact re-rank side
+    * must have grown correctly for the floor to hold. */
+  val annPqExtend = Q(
+    "q_ann_pq_extend",
+    Some(
+      "SELECT vec_id AS probe_id, true AS recall_ok FROM embeddings " +
+        "WHERE vec_id < 5 ORDER BY 1"),
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val model = Similarity.pqBuild(emb.filter(col("vec_id") % 2 === 0))
+      val extended = Similarity.pqExtend(model,
+        emb.filter(col("vec_id") % 2 === 1))
+      val pq = Similarity.pqSearch(extended, probes, topK = 3)
+      val brute = Similarity.bruteTopK(emb, probes, k = 3)
+      val hits = pq.join(brute.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
   /** PQ index persistence under the oracle: build → `pqSave` →
     * `pqLoad` in the same session, search the LOADED index, and hold
     * the `q_ann_pq` recall floor. The round trip exercises the full
@@ -491,5 +551,5 @@ object SimBattery {
   val all: Seq[Q] = Seq(annBrute, annLsh, multimodalMeta, neardupEmbedding,
     annIvf, embedQuantize, multimodalDecode, multimodalResize, audioDecode,
     annPq, semanticDedup, annPqBulk, annIvfBulk, annPqPersist,
-    annIvfPersist)
+    annIvfPersist, annIvfExtend, annPqExtend)
 }

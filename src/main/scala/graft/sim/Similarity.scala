@@ -274,6 +274,32 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Add vectors to a built IVF index WITHOUT retraining — the Faiss
+    * `IndexIVF.add` operation, completing the build-once lifecycle for
+    * growing corpora: new vectors are assigned to cells under the
+    * model's FROZEN centroids and unioned into the cell index, so the
+    * extend costs one assignment pass over the delta (never the
+    * corpus). Ids already present in the index are anti-joined away —
+    * extend is idempotent and re-extends cannot duplicate candidate
+    * rows (the same contract as `Dedup.minhashExtend`).
+    *
+    * Frozen-geometry caveat (inherent to no-retrain adds, same as
+    * Faiss): cells/nprobe stay sized for the BUILD-time corpus, and a
+    * delta whose distribution drifts from the training corpus lands in
+    * centroids that never saw it. Recall on the extended region
+    * degrades gracefully (cells only get fuller), but a corpus that
+    * doubles or drifts deserves a fresh [[ivfBuild]] — which is cheap
+    * relative to any search batch and restores derived geometry. */
+  def ivfExtend(model: IvfIndexModel, delta: DataFrame): IvfIndexModel = {
+    val fresh = delta
+      .select(col(model.idCol).as("neighbor_id"), col(model.vecCol).as("cv"))
+      .join(model.indexed.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
+      .select(col("neighbor_id"), col("cv"),
+        nearestCell(col("cv"), model.centroids).as("cell"))
+    model.copy(indexed =
+      model.indexed.unionByName(fresh).localCheckpoint())
+  }
+
   /** Persist a built IVF index to `path`: the cell-indexed corpus as
     * parquet plus the driver-held geometry and centroid matrix as a
     * 1-row nested-array parquet — the same at-rest shape as
@@ -492,6 +518,40 @@ object Similarity {
       .localCheckpoint()
     PqIndexModel(effCells, effNprobe, m, k, dim, effShortlist,
       coarse, books, corpus2, indexed, idCol, vecCol)
+  }
+
+  /** Add vectors to a built IVF-PQ index WITHOUT retraining — the
+    * Faiss `IndexIVFPQ.add` operation: the delta is L2-normalized,
+    * anti-joined against ids already indexed (idempotent re-extends,
+    * same contract as [[ivfExtend]] / `Dedup.minhashExtend`), then
+    * cell-assigned and PQ-encoded under the model's FROZEN coarse
+    * centroids and codebooks. Both the compressed index and the
+    * normalized corpus (the exact re-rank side) grow; the extend
+    * costs one assign+encode pass over the delta only.
+    *
+    * Frozen-geometry caveat: cells/nprobe/shortlist keep their
+    * build-time sizes (shortlist in particular stays ~1% of the
+    * BUILD corpus), and codebooks never saw the delta — fine for
+    * steady growth, but a doubled or drifted corpus deserves a fresh
+    * [[pqBuild]], which restores derived geometry and retrains the
+    * quantizers. */
+  def pqExtend(model: PqIndexModel, delta: DataFrame): PqIndexModel = {
+    val sub = model.dim / model.m
+    def subvec(vec: Column, j: Int): Column = slice(vec, j * sub + 1, sub)
+    val fresh = graft.sim.Embeddings
+      .withL2Normalized(delta.select(col(model.idCol), col(model.vecCol)),
+        model.vecCol)
+      .filter(col("unit").isNotNull)
+      .select(col(model.idCol), col("unit").as(model.vecCol))
+      .join(model.corpus2.select(col(model.idCol)), Seq(model.idCol), "left_anti")
+      .localCheckpoint()
+    val freshIndexed = fresh.select(col(model.idCol).as("neighbor_id"),
+      nearestCell(col(model.vecCol), model.coarse).as("cell"),
+      array((0 until model.m).map(j =>
+        argminL2(subvec(col(model.vecCol), j), model.books(j))): _*).as("codes"))
+    model.copy(
+      corpus2 = model.corpus2.unionByName(fresh).localCheckpoint(),
+      indexed = model.indexed.unionByName(freshIndexed).localCheckpoint())
   }
 
   /** Persist a built index to `path`: the compressed index and the

@@ -182,6 +182,57 @@ class SimilaritySpec extends SparkSuite {
     assert(run(loaded) === first) // exact, cos included
   }
 
+  test("ivfExtend: no-retrain add finds delta neighbors, is idempotent, " +
+    "and never duplicates an id") {
+    // Build WITHOUT the planted duplicate (100) or the near-neighbor
+    // (101); extend with them under the frozen centroids.
+    val base = vecs.filter("vec_id < 100")
+    val delta = vecs.filter("vec_id >= 100")
+    val extended = Similarity.ivfExtend(
+      Similarity.ivfBuild(base, k = 3, nprobe = 3, dim = 8), delta)
+    // Each id indexed exactly once — including after a re-extend with
+    // overlapping ids (the anti-join contract).
+    val again = Similarity.ivfExtend(extended, delta)
+    for (m <- Seq(extended, again)) {
+      assert(m.indexed.count() === vecs.count())
+      assert(m.indexed.select("neighbor_id").distinct().count() === vecs.count())
+    }
+    def top(m: Similarity.IvfIndexModel, probe: String) =
+      Similarity.ivfSearch(m, vecs.filter(s"vec_id = $probe"), topK = 1)
+        .collect().map(r => r.getAs[Long]("neighbor_id")).toSet
+    assert(top(extended, "1") === Set(100L)) // built region finds delta
+    assert(top(extended, "101") === Set(2L)) // delta region finds built
+    assert(top(again, "1") === Set(100L)) // re-extend changed nothing
+  }
+
+  test("pqExtend: no-retrain add grows both the compressed index and " +
+    "the re-rank corpus; frozen codebooks encode the delta") {
+    val base = vecs.filter("vec_id < 100")
+    val delta = vecs.filter("vec_id >= 100")
+    val extended = Similarity.pqExtend(
+      Similarity.pqBuild(base, cells = 3, nprobe = 3, m = 4, k = 4,
+        shortlist = 10, dim = 8), delta)
+    val again = Similarity.pqExtend(extended, delta)
+    for (m <- Seq(extended, again)) {
+      assert(m.indexed.count() === vecs.count())
+      assert(m.corpus2.count() === vecs.count()) // exact re-rank side grew too
+      assert(m.indexed.select("neighbor_id").distinct().count() === vecs.count())
+    }
+    def top(m: Similarity.PqIndexModel, probe: String) =
+      Similarity.pqSearch(m, vecs.filter(s"vec_id = $probe"), topK = 1)
+        .collect().map(r => r.getAs[Long]("neighbor_id")).toSet
+    assert(top(extended, "1") === Set(100L))
+    assert(top(again, "1") === Set(100L))
+    // The extended index round-trips save/load like any built index.
+    graft.ops.Scratch.withDir("graft_pq_ext_idx") { dir =>
+      Similarity.pqSave(extended, dir)
+      val got = Similarity.pqSearch(Similarity.pqLoad(spark, dir),
+        vecs.filter("vec_id = 1"), topK = 1)
+        .collect().map(r => r.getAs[Long]("neighbor_id")).toSet
+      assert(got === Set(100L))
+    }
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)
