@@ -150,7 +150,20 @@ object Dedup {
     * shingle occurrence, the irreducible verify state. */
   final case class MinHashIndexModel(
       numHashes: Int, bands: Int, shingleK: Int,
-      buckets: DataFrame, sets: DataFrame, idCol: String)
+      buckets: DataFrame, sets: DataFrame, idCol: String,
+      builtN: Long = -1L, extendedN: Long = 0L) {
+    /** Rebuild recommendation — same contract as
+      * [[graft.sim.Similarity.IvfIndexModel.needsRebuild]]: flips once
+      * [[minhashExtend]] adds have grown the index past its BUILD-time
+      * doc count. MinHash geometry (numHashes/bands/shingleK) is
+      * data-independent, so unlike the ANN indexes recall does NOT
+      * drift — the trigger here is about index hygiene (band-bucket
+      * posting lengths and the sets table growing unboundedly from
+      * deltas that were never quality-gated as a corpus) and gives the
+      * ingestion loop the same operational signal at the same
+      * threshold. */
+    def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
+  }
 
   /** Build a [[MinHashIndexModel]] over `df`. Both frames are
     * localCheckpoint'd (same rationale as `ivfBuild`): repeated
@@ -161,12 +174,18 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    shingleK: Int = 3): MinHashIndexModel = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // dropDuplicates(id): build shares extend's id-uniqueness contract
+    // ([[minhashExtend]] anti-joins, so a duplicate id can only enter
+    // at build) — a doubled id would double its bucket/set rows and
+    // fan out every later delta verify join on that id.
     val withSig = sigProjection(df, idCol, textCol, numHashes, shingleK)
+      .dropDuplicates("id")
       .localCheckpoint()
     MinHashIndexModel(numHashes, bands, shingleK,
       buckets = bandBuckets(withSig, numHashes, bands).localCheckpoint(),
       sets = withSig.select(col("id"), col("hs")).localCheckpoint(),
-      idCol = idCol)
+      idCol = idCol,
+      builtN = withSig.count())
   }
 
   /** Near-dup pairs between a `delta` batch and an indexed corpus:
@@ -227,12 +246,24 @@ object Dedup {
       model.numHashes, model.shingleK)
       .join(model.sets.select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint()
+    // Rebuild-trigger bookkeeping: count the ADMITTED rows on the
+    // just-materialized delta checkpoint (cheap — delta-sized).
+    val extended =
+      if (model.builtN < 0) model.extendedN
+      else model.extendedN + dSig.count()
+    if (model.builtN >= 0 && extended > model.builtN &&
+        model.extendedN <= model.builtN)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashExtend: index has grown past its build-time size " +
+          s"($extended extended vs ${model.builtN} built) — schedule " +
+          "a fresh minhashBuild (needsRebuild = true)")
     model.copy(
       buckets = model.buckets
         .unionByName(bandBuckets(dSig, model.numHashes, model.bands))
         .localCheckpoint(),
       sets = model.sets.unionByName(dSig.select(col("id"), col("hs")))
-        .localCheckpoint())
+        .localCheckpoint(),
+      extendedN = extended)
   }
 
   /** Persist a built index: both tables as parquet plus the geometry
@@ -243,8 +274,10 @@ object Dedup {
     model.sets.write.mode("overwrite").parquet(s"$path/sets")
     val s = model.buckets.sparkSession
     import s.implicits._
-    Seq((model.numHashes, model.bands, model.shingleK, model.idCol))
-      .toDF("num_hashes", "bands", "shingle_k", "id_col")
+    Seq((model.numHashes, model.bands, model.shingleK, model.idCol,
+        model.builtN, model.extendedN))
+      .toDF("num_hashes", "bands", "shingle_k", "id_col",
+        "built_n", "extended_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -259,7 +292,12 @@ object Dedup {
       shingleK = meta.getAs[Int]("shingle_k"),
       buckets = spark.read.parquet(s"$path/buckets"),
       sets = spark.read.parquet(s"$path/sets"),
-      idCol = meta.getAs[String]("id_col"))
+      idCol = meta.getAs[String]("id_col"),
+      // Pre-trigger saves carry no baseline (see Similarity.ivfLoad).
+      builtN = if (meta.schema.fieldNames.contains("built_n"))
+        meta.getAs[Long]("built_n") else -1L,
+      extendedN = if (meta.schema.fieldNames.contains("extended_n"))
+        meta.getAs[Long]("extended_n") else 0L)
   }
 
   /** Exact n-gram Jaccard near-dup via the prefix-filter set-similarity
@@ -797,42 +835,53 @@ object Dedup {
   }
 
   /** The policy step [[repeatedSpans]] feeds: apply span coordinates to
-    * the corpus — clip the covered tokens out of each doc's normalized
-    * token stream and flag docs whose span coverage exceeds
-    * `maxCoverage` for dropping (the two knobs of Lee et al. 2022-style
-    * substring dedup: remove the boilerplate, drop the docs that are
-    * mostly boilerplate).
+    * the corpus — clip the covered tokens out of each doc's ORIGINAL
+    * text and flag docs whose span coverage exceeds `maxCoverage` for
+    * dropping (the two knobs of Lee et al. 2022-style substring dedup:
+    * remove the boilerplate, drop the docs that are mostly boilerplate).
     *
     * Returns (id, n_tok, n_cov, coverage, kept, text_clipped) — one row
-    * per input doc, `kept = coverage ≤ maxCoverage`, `text_clipped` the
-    * normalized text with every covered token removed (the merged spans
-    * are disjoint by construction, so coverage is a plain sum).
+    * per input doc, `kept = coverage ≤ maxCoverage`. `text_clipped` is
+    * the RAW text with each covered token's alnum run (and its trailing
+    * separator) removed — see [[graft.functions.NativeClip]] for the
+    * run↔token alignment contract; spans index the normalized token
+    * stream, which corresponds 1:1 to the raw text's `[A-Za-z0-9]+`
+    * runs. Docs with no spans pass through byte-identical (substring
+    * dedup must not rewrite untouched documents), so casing and
+    * punctuation survive everywhere except inside removed spans.
+    *
+    * Edges pinned by spec: an empty / whitespace-only / null-text doc
+    * has n_tok = 0 and coverage DEFINED AS 0.0 (not 0/0), so kept is
+    * true and the row survives a downstream `filter(kept)` instead of
+    * silently dropping on a null boolean.
     *
     * Scale shape: the spans table is tiny next to the corpus (one row
-    * per merged span), so the join is the cheap side; the clip itself is
-    * a scan-side projection — token positions are filtered against the
-    * per-doc span array with HOFs, never exploded through a
-    * token-per-row shuffle. */
+    * per merged span), so the join is the cheap side; the clip itself
+    * is one scan-side codegen pass over the raw text — no token
+    * explode, no per-element interpreted HOF lambda. Each heavy
+    * expression (the run-count regex, the clip kernel) appears exactly
+    * once in the projection; coverage/kept are attribute arithmetic on
+    * top (the CollapseProject multi-reference trap documented on
+    * TextFunctions.shinglesFromTokens). */
   def clipSpans(df: DataFrame, spans: DataFrame, idCol: String,
                 textCol: String, maxCoverage: Double = 0.5): DataFrame = {
     val spansAgg = spans.groupBy(col("id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"),
-        sum(col("span_end") - col("span_start") + 1).as("n_cov"))
-    df.select(col(idCol).as("id"),
-      split(TextFunctions.normalize(col(textCol)), " ").as("tk"))
+      .agg(collect_list(struct(
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))).as("sp"),
+        sum(col("span_end") - col("span_start") + 1).cast("long").as("n_cov"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(spansAgg, Seq("id"), "left")
       .select(
         col("id"),
-        size(col("tk")).cast("long").as("n_tok"),
+        coalesce(size(regexp_extract_all(col("__text"),
+          lit("[A-Za-z0-9]+"), lit(0))), lit(0)).cast("long").as("n_tok"),
         coalesce(col("n_cov"), lit(0L)).as("n_cov"),
-        (coalesce(col("n_cov"), lit(0L)).cast("double") /
-          size(col("tk"))).as("coverage"),
-        when(col("sp").isNull, array_join(col("tk"), " "))
-          .otherwise(array_join(
-            filter(col("tk"), (_, i) =>
-              !exists(col("sp"), s =>
-                i >= s("span_start") && i <= s("span_end"))), " "))
+        graft.functions.ClipRunsExpr(col("__text"), col("sp"))
           .as("text_clipped"))
+      .withColumn("coverage",
+        when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(col("n_cov").cast("double") / col("n_tok")))
       .withColumn("kept", col("coverage") <= lit(maxCoverage))
       .select(col("id"), col("n_tok"), col("n_cov"), col("coverage"),
         col("kept"), col("text_clipped"))

@@ -557,6 +557,162 @@ object StreamBattery {
     }
   )
 
+  /** Streaming MinHash INGESTION LOOP — the reference's central
+    * semantic axis (incremental sync: a standing corpus absorbs
+    * arriving deltas without rescanning itself,
+    * reference/README.md:48-50) transplanted to the LLM-corpus story,
+    * composing the whole gated B38 lifecycle the way a real pipeline
+    * runs it: per micro-batch, quality-filter the arrivals →
+    * `minhashDeltaPairs` against the STANDING index (band equi-join,
+    * corpus text never rescanned) → drop the near-dups → admit the
+    * novel docs via `minhashExtend` — so the NEXT batch dedups against
+    * the grown index. Cross-batch correctness that no per-call gate
+    * can see: batch 2 carries mutations of batch 1's novel docs, so
+    * recall_b2_ok holds only if batch 1's admissions actually entered
+    * the index (and the extends' localCheckpoints keep plan depth flat
+    * across the chain).
+    *
+    * Closed-form oracle (the truthSql pattern): both engines count the
+    * planted J≥0.5 (doc, mutation) truth per batch family, restricted
+    * to docs whose BOTH sides clear the quality gate (the loop filters
+    * before pairing, so the truth must too); the loop must recover
+    * ≥95% of each. `junk_clean` pins the quality stage itself: batch 1
+    * plants punctuation-flooded copies of batch-2 docs (id+9e6; the
+    * pad doubles length so punct×5 > length — fails quality, while
+    * normalize strips the pad so its shingles equal the original's).
+    * A loop that forgot the quality filter would admit the junk and
+    * batch 2 would match it at J≈1 → junk_clean flips false; the
+    * oracle independently re-checks in SQL that the junk construction
+    * fails the shared quality predicate.
+    *
+    * Scale shape: per-batch cost = sign the batch + two bounded
+    * equi-joins against the index + a delta-sized extend; the standing
+    * index is touched only through its band buckets. State lives in
+    * the index tables (localCheckpoint'd), not a streaming state
+    * store — the loop is restart-safe via minhashSave/Load
+    * (q_minhash_persist). */
+  val streamIngestDedup = Q(
+    "q_stream_ingest_dedup",
+    Some {
+      def qual(e: String): String =
+        s"length($e) >= 50 " +
+          raw"AND len(regexp_extract_all($e, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) >= 10 " +
+          raw"AND len(regexp_extract_all($e, '[^\w\s]')) * 5 <= length($e)"
+      def truthCte(name: String, mod: Int): String =
+        s"$name AS (SELECT doc_id FROM (SELECT doc_id, " +
+          s"${TextBattery.shinglesSqlOf("text")} AS sh_o, " +
+          s"${TextBattery.shinglesSqlOf("text[12:]")} AS sh_m " +
+          s"FROM documents WHERE doc_id % 3 = $mod " +
+          s"AND ${qual("text")} AND ${qual("text[12:]")}) " +
+          "WHERE CAST(len(list_intersect(sh_o, sh_m)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(sh_o, sh_m))) >= 0.5)"
+      s"WITH ${truthCte("tr1", 0)}, ${truthCte("tr2", 1)}, " +
+        "junk AS (SELECT count(*) AS n FROM documents WHERE doc_id % 15 = 2 " +
+        s"AND ${qual("text || repeat('!', length(text))")}) " +
+        "SELECT (SELECT count(*) FROM tr1) AS n_truth_b1, true AS recall_b1_ok, " +
+        "(SELECT count(*) FROM tr2) AS n_truth_b2, true AS recall_b2_ok, " +
+        "(SELECT n FROM junk) = 0 AS junk_clean"
+    },
+    (s, dir) => {
+      import graft.dedup.Dedup
+      import graft.text.{CorpusPrep, TextFunctions}
+      def docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      def quality(c: org.apache.spark.sql.Column) =
+        CorpusPrep.qualityFilter(c, CorpusPrep.Quality())
+      def mut(c: org.apache.spark.sql.Column) = substring(c, 12, 1000000)
+      val feed = FeedCache(
+        s"stream_ingest:$dir:mod=3:mutbases=1e6,2e6:junk=mod15+9e6:pad=len") {
+        feedDir =>
+          // batch 1: novel docs (%3=1) ∪ mutations of the base corpus
+          // (%3=0, +1e6) ∪ punctuation-flooded junk copies of batch-2
+          // docs (%15=2, +9e6) that MUST die at the quality stage
+          writeSlice(
+            docs.filter(col("doc_id") % 3 === 1)
+              .unionByName(docs.filter(col("doc_id") % 3 === 0)
+                .select((col("doc_id") + 1000000L).as("doc_id"),
+                  mut(col("text")).as("text")))
+              .unionByName(docs.filter(col("doc_id") % 15 === 2)
+                .select((col("doc_id") + 9000000L).as("doc_id"),
+                  concat(col("text"),
+                    repeat(lit("!"), length(col("text")).cast("int")))
+                    .as("text"))),
+            feedDir, 0)
+          // batch 2: novel docs (%3=2 — the junk probes) ∪ mutations of
+          // batch 1's NOVEL docs (%3=1, +2e6) — findable only through
+          // the batch-1 extend
+          writeSlice(
+            docs.filter(col("doc_id") % 3 === 2)
+              .unionByName(docs.filter(col("doc_id") % 3 === 1)
+                .select((col("doc_id") + 2000000L).as("doc_id"),
+                  mut(col("text")).as("text"))),
+            feedDir, 1)
+      }
+      withShufflePartitions(s, replayPartitions(s, feed)) {
+        var model = Dedup.minhashBuild(
+          docs.filter(col("doc_id") % 3 === 0).filter(quality(col("text"))),
+          "doc_id", "text", numHashes = 64, bands = 16, shingleK = 3)
+        val batchPairs =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // quality → delta-dedup → admit novel; the batch is read
+            // twice (pairing + extend), checkpoint the survivors once
+            val b = batch.filter(quality(col("text"))).localCheckpoint()
+            val pairs = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
+              minJaccard = 0.5).localCheckpoint()
+            batchPairs += pairs
+            val novel = b.join(
+              pairs.select(col("delta_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            model = Dedup.minhashExtend(model, novel, "doc_id", "text")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val found = batchPairs.reduce(_ unionByName _)
+        // Planted truth, quality-restricted on BOTH sides (the loop
+        // filters before pairing, so the truth must too) — Spark's
+        // independent count of the same closed form the oracle states.
+        def truthIds(mod: Int) = {
+          def sh(c: org.apache.spark.sql.Column) =
+            graft.functions.ShingleHashesExpr(TextFunctions.normalize(c), 3)
+          docs.filter(col("doc_id") % 3 === mod)
+            .filter(quality(col("text")) && quality(mut(col("text"))))
+            .select(col("doc_id"), sh(col("text")).as("sh_o"),
+              sh(mut(col("text"))).as("sh_m"))
+            .filter(size(array_intersect(col("sh_o"), col("sh_m"))).cast("double") /
+              size(array_union(col("sh_o"), col("sh_m"))) >= 0.5)
+            .select(col("doc_id"))
+        }
+        def recallRow(truth: org.apache.spark.sql.DataFrame,
+                      foundIds: org.apache.spark.sql.DataFrame,
+                      prefix: String) =
+          truth.join(foundIds.withColumn("f", lit(1)).distinct(),
+            Seq("doc_id"), "left")
+            .agg(count(lit(1)).as(s"n_truth_$prefix"),
+              (count(col("f")) >= count(lit(1)) * 0.95)
+                .as(s"recall_${prefix}_ok"))
+        val r1 = recallRow(truthIds(0),
+          found.filter(col("corpus_id") % 3 === 0 &&
+            col("corpus_id") < 1000000L &&
+            col("delta_id") === col("corpus_id") + 1000000L)
+            .select(col("corpus_id").as("doc_id")), "b1")
+        val r2 = recallRow(truthIds(1),
+          found.filter(col("corpus_id") % 3 === 1 &&
+            col("corpus_id") < 1000000L &&
+            col("delta_id") === col("corpus_id") + 2000000L)
+            .select(col("corpus_id").as("doc_id")), "b2")
+        val junk = found.agg(
+          (count(when(col("corpus_id") >= 9000000L, lit(1))) === 0)
+            .as("junk_clean"))
+        r1.crossJoin(r2).crossJoin(junk)
+      }
+    }
+  )
+
   val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
-    streamJoin, streamJoinOuter, streamDecontaminate)
+    streamJoin, streamJoinOuter, streamDecontaminate, streamIngestDedup)
 }

@@ -15,14 +15,14 @@ object TextBattery {
 
   // DuckDB needs the 'g' flag for replace-all; Spark replaces all by
   // default. Both must produce byte-identical normalized text.
-  private def normSqlOf(e: String): String =
+  private[ops] def normSqlOf(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private val normSql = normSqlOf("text")
 
   /** DuckDB mirror of the Spark normalize→tokenize→3-shingle→distinct
     * chain (the same correspondence `q_doc_fingerprint` proves
     * element-for-element). */
-  private def shinglesSqlOf(e: String): String = {
+  private[ops] def shinglesSqlOf(e: String): String = {
     val n = normSqlOf(e)
     val toks = s"string_split($n, ' ')"
     s"list_distinct(CASE WHEN len($toks) >= 3 " +
@@ -337,23 +337,28 @@ object TextBattery {
 
   /** Span-clip policy ([[graft.dedup.Dedup.clipSpans]]) — the apply
     * step over [[graft.dedup.Dedup.repeatedSpans]]'s coordinates:
-    * covered tokens are clipped from each doc's normalized token
-    * stream and docs whose coverage exceeds the threshold are flagged
-    * dropped. FULL closed-form oracle: the corpus plants HALF-copies
-    * (each doc ∪ its first-half text), so originals sit near coverage
-    * 0.5 (kept at the 0.6 threshold) and the copies near 1.0
-    * (dropped); DuckDB re-derives the whole chain — spans, disjoint-
-    * span coverage sum, position-level anti-join, ordered re-join of
-    * surviving tokens — and compares exact
+    * covered tokens are clipped out of each doc's RAW text (the i-th
+    * normalized token ↔ the i-th `[A-Za-z0-9]+` run; a dropped run
+    * takes its trailing separator; no-span docs pass byte-identical —
+    * the [[graft.functions.NativeClip]] contract) and docs whose
+    * coverage exceeds the threshold are flagged dropped. FULL
+    * closed-form oracle: the corpus plants HALF-copies (each doc ∪ its
+    * first-half text), so originals sit near coverage 0.5 (kept at the
+    * 0.6 threshold) and the copies near 1.0 (dropped); DuckDB
+    * re-derives the whole chain — normalized-stream spans, disjoint-
+    * span coverage sum, then the raw-run reconstruction
+    * `sep₀ + Σ_{kept} runᵢ + sepᵢ₊₁` via regexp_extract_all (runs) ∥
+    * regexp_split_to_array (separators) — and compares exact
     * (doc_id, n_tok, n_cov, coverage, kept, text_clipped) rows, so the
-    * clip arithmetic (inclusive span ends, 0-based positions, empty-
-    * clip docs) is pinned token-for-token. */
+    * clip arithmetic (inclusive span ends, 0-based positions,
+    * separator attachment, no-span passthrough) is pinned
+    * character-for-character. */
   val spanClipQ = Q(
     "q_span_clip",
     Some {
-      val half = normSqlOf("text[1:len(text)//2]")
-      s"WITH c AS (SELECT doc_id, ${normSqlOf("text")} AS nt FROM documents " +
-        s"UNION ALL SELECT doc_id + 1000000, $half FROM documents), " +
+      s"WITH craw AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text[1:len(text)//2] FROM documents), " +
+        s"c AS (SELECT doc_id, ${normSqlOf("text")} AS nt FROM craw), " +
         "t AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM c), " +
         "g AS (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS i, tk FROM t " +
         "WHERE len(tk) >= 8), " +
@@ -370,20 +375,27 @@ object TextBattery {
         "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e " +
         "FROM i2 GROUP BY doc_id, island), " +
         "cov AS (SELECT doc_id, sum(e - s + 1) AS n_cov FROM sp GROUP BY 1), " +
-        "p AS (SELECT doc_id, unnest(range(len(tk))) AS i FROM t), " +
+        "r AS (SELECT doc_id, text, " +
+        "regexp_extract_all(text, '[A-Za-z0-9]+') AS runs, " +
+        "regexp_split_to_array(text, '[A-Za-z0-9]+') AS seps FROM craw), " +
+        "p AS (SELECT doc_id, unnest(range(len(runs))) AS i FROM r), " +
         "cp AS (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM sp), " +
         "keep AS (SELECT p.doc_id, p.i FROM p LEFT JOIN cp " +
         "ON cp.doc_id = p.doc_id AND cp.i = p.i WHERE cp.i IS NULL), " +
-        "txt AS (SELECT k.doc_id, " +
-        "string_agg(tk[CAST(k.i AS INT) + 1], ' ' ORDER BY k.i) AS tc " +
-        "FROM keep k JOIN t ON t.doc_id = k.doc_id GROUP BY 1) " +
-        "SELECT t.doc_id, len(tk) AS n_tok, " +
+        "txt AS (SELECT k.doc_id, string_agg(" +
+        "runs[CAST(k.i AS INT) + 1] || seps[CAST(k.i AS INT) + 2], " +
+        "'' ORDER BY k.i) AS body " +
+        "FROM keep k JOIN r ON r.doc_id = k.doc_id GROUP BY 1) " +
+        "SELECT r.doc_id, CAST(len(runs) AS BIGINT) AS n_tok, " +
         "CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_cov, " +
-        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(tk) AS coverage, " +
-        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(tk) <= 0.6 AS kept, " +
-        "coalesce(txt.tc, '') AS text_clipped " +
-        "FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id " +
-        "LEFT JOIN txt ON txt.doc_id = t.doc_id ORDER BY 1"
+        "CASE WHEN len(runs) = 0 THEN 0.0 ELSE " +
+        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(runs) END AS coverage, " +
+        "(CASE WHEN len(runs) = 0 THEN 0.0 ELSE " +
+        "CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / len(runs) END) <= 0.6 AS kept, " +
+        "CASE WHEN cov.doc_id IS NULL THEN r.text " +
+        "ELSE seps[1] || coalesce(txt.body, '') END AS text_clipped " +
+        "FROM r LEFT JOIN cov ON cov.doc_id = r.doc_id " +
+        "LEFT JOIN txt ON txt.doc_id = r.doc_id ORDER BY 1"
     },
     (s, dir) => {
       val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))

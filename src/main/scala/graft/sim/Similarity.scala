@@ -188,7 +188,19 @@ object Similarity {
   final case class IvfIndexModel(
       cells: Int, nprobe: Int, dim: Int,
       centroids: Array[Array[Double]],
-      indexed: DataFrame, idCol: String, vecCol: String)
+      indexed: DataFrame, idCol: String, vecCol: String,
+      builtN: Long = -1L, extendedN: Long = 0L) {
+    /** Rebuild recommendation for the frozen-geometry extend lifecycle:
+      * flips once no-retrain adds ([[ivfExtend]]) have grown the index
+      * past its BUILD-time size (extended > built) — the point where
+      * cells/nprobe are sized for half the corpus and centroids never
+      * saw the majority of it. A long-running ingestion loop should
+      * check this each extend and schedule a fresh [[ivfBuild]] (cheap
+      * relative to any search batch; re-derives geometry from the
+      * doubled corpus). Conservative threshold, not a cliff: recall
+      * degrades gradually as cells fill. */
+    def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
+  }
 
   /** Train the coarse quantizer and cell-index the corpus (see
     * [[ivfTopK]] for parameter semantics; ≤ 0 values derive from
@@ -202,17 +214,25 @@ object Similarity {
     // step, cell index) — materialize the 2-column projection once;
     // localCheckpoint so repeated invocations are ContextCleaner-safe
     // (same rationale as graft.view.Patterns.ensurePersisted).
-    val corpus2 = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    // dropDuplicates(id): build shares extend's id-uniqueness contract
+    // ([[ivfExtend]] anti-joins, so a duplicate id can only enter at
+    // build) — a doubled id would occupy multiple topK slots with the
+    // same neighbor since each vector lives in exactly one cell.
+    val corpus2 = corpus.select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol).localCheckpoint()
     // k/nprobe ≤ 0 derive from corpus size (count is on the
-    // checkpoint, not the upstream tree — one cheap job).
-    val cells = if (k > 0) k else derivedCells(corpus2.count())
+    // checkpoint, not the upstream tree — one cheap job). The count
+    // also pins builtN, the rebuild-trigger baseline.
+    val n = corpus2.count()
+    val cells = if (k > 0) k else derivedCells(n)
     val effNprobe = if (nprobe > 0) math.min(nprobe, cells) else derivedNprobe(cells)
     val refined = coarseCentroids(corpus2, cells, idCol, vecCol)
     // Index the corpus by refined cell; probes visit nprobe cells.
     val indexed = corpus2.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), refined).as("cell"))
       .localCheckpoint()
-    IvfIndexModel(cells, effNprobe, dim, refined, indexed, idCol, vecCol)
+    IvfIndexModel(cells, effNprobe, dim, refined, indexed, idCol, vecCol,
+      builtN = n)
   }
 
   /** Query a built IVF index (see [[ivfTopK]] for semantics).
@@ -296,8 +316,21 @@ object Similarity {
       .join(model.indexed.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id"), col("cv"),
         nearestCell(col("cv"), model.centroids).as("cell"))
-    model.copy(indexed =
-      model.indexed.unionByName(fresh).localCheckpoint())
+    val indexed = model.indexed.unionByName(fresh).localCheckpoint()
+    // Rebuild-trigger bookkeeping: the count runs on the checkpoint
+    // just materialized (cheap block scan, no recompute) and updates
+    // the extended fraction behind [[IvfIndexModel.needsRebuild]].
+    val extended =
+      if (model.builtN < 0) model.extendedN
+      else indexed.count() - model.builtN
+    if (model.builtN >= 0 && extended > model.builtN &&
+        model.extendedN <= model.builtN)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfExtend: index has grown past its build-time size " +
+          s"($extended extended vs ${model.builtN} built) — frozen " +
+          "cells/nprobe/centroids are now sized for a minority of the " +
+          "corpus; schedule a fresh ivfBuild (needsRebuild = true)")
+    model.copy(indexed = indexed, extendedN = extended)
   }
 
   /** Persist a built IVF index to `path`: the cell-indexed corpus as
@@ -311,8 +344,9 @@ object Similarity {
     import s.implicits._
     Seq((model.cells, model.nprobe, model.dim,
         model.centroids.map(_.toSeq).toSeq,
-        model.idCol, model.vecCol))
-      .toDF("cells", "nprobe", "dim", "centroids", "id_col", "vec_col")
+        model.idCol, model.vecCol, model.builtN, model.extendedN))
+      .toDF("cells", "nprobe", "dim", "centroids", "id_col", "vec_col",
+        "built_n", "extended_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -328,7 +362,13 @@ object Similarity {
         .map(_.toArray).toArray,
       indexed = spark.read.parquet(s"$path/index"),
       idCol = meta.getAs[String]("id_col"),
-      vecCol = meta.getAs[String]("vec_col"))
+      vecCol = meta.getAs[String]("vec_col"),
+      // Indexes saved before the rebuild trigger existed carry no
+      // baseline — needsRebuild stays permanently false for them.
+      builtN = if (meta.schema.fieldNames.contains("built_n"))
+        meta.getAs[Long]("built_n") else -1L,
+      extendedN = if (meta.schema.fieldNames.contains("extended_n"))
+        meta.getAs[Long]("extended_n") else 0L)
   }
 
   /** LSH-bucketed cosine top-k: `tables` independent hyperplane sets
@@ -459,7 +499,17 @@ object Similarity {
   final case class PqIndexModel(
       cells: Int, nprobe: Int, m: Int, k: Int, dim: Int, shortlist: Int,
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      corpus2: DataFrame, indexed: DataFrame, idCol: String, vecCol: String)
+      corpus2: DataFrame, indexed: DataFrame, idCol: String, vecCol: String,
+      builtN: Long = -1L, extendedN: Long = 0L) {
+    /** Rebuild recommendation — same contract as
+      * [[IvfIndexModel.needsRebuild]], with a sharper bite here: the
+      * frozen shortlist stays ~1% of the BUILD corpus (a halved
+      * effective re-rank fraction once extended > built) and the PQ
+      * codebooks never saw the delta, so ADC precision drifts with the
+      * data. Check each [[pqExtend]]; a fresh [[pqBuild]] re-derives
+      * cells/nprobe/shortlist and retrains both quantizer levels. */
+    def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
+  }
 
   /** Train quantizers and encode the corpus (see [[ivfPqTopK]] for
     * the parameter semantics; ≤ 0 values derive from corpus size).
@@ -474,14 +524,19 @@ object Similarity {
     require(m * sub == dim, s"dim $dim must be divisible by m $m")
     // Normalized 2-column projection, read by training (2×), indexing,
     // and the shortlist re-rank — materialize once.
+    // dropDuplicates(id): build shares extend's id-uniqueness contract
+    // ([[pqExtend]] anti-joins, so a duplicate id can only enter at
+    // build) — a doubled id would occupy multiple topK slots.
     val corpus2 = graft.sim.Embeddings
-      .withL2Normalized(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .withL2Normalized(corpus.select(col(idCol), col(vecCol))
+        .dropDuplicates(idCol), vecCol)
       .filter(col("unit").isNotNull)
       .select(col(idCol), col("unit").as(vecCol))
       .localCheckpoint()
     // One cheap count on the checkpoint feeds every data-derived
-    // parameter below (cells, nprobe, shortlist).
-    lazy val n = corpus2.count()
+    // parameter below (cells, nprobe, shortlist) and pins builtN,
+    // the rebuild-trigger baseline.
+    val n = corpus2.count()
     // cells/nprobe ≤ 0 derive from corpus size — see derivedCells /
     // derivedNprobe: a fixed cells=16 scanned a constant nprobe/16 of
     // the corpus per probe at any n (the r13 q_ann_pq 30→90× exponent
@@ -517,7 +572,7 @@ object Similarity {
       codesOf(col(vecCol)).as("codes"))
       .localCheckpoint()
     PqIndexModel(effCells, effNprobe, m, k, dim, effShortlist,
-      coarse, books, corpus2, indexed, idCol, vecCol)
+      coarse, books, corpus2, indexed, idCol, vecCol, builtN = n)
   }
 
   /** Add vectors to a built IVF-PQ index WITHOUT retraining — the
@@ -549,9 +604,23 @@ object Similarity {
       nearestCell(col(model.vecCol), model.coarse).as("cell"),
       array((0 until model.m).map(j =>
         argminL2(subvec(col(model.vecCol), j), model.books(j))): _*).as("codes"))
+    val indexed = model.indexed.unionByName(freshIndexed).localCheckpoint()
+    // Rebuild-trigger bookkeeping (see [[ivfExtend]]): count on the
+    // just-materialized checkpoint, flip needsRebuild past parity.
+    val extended =
+      if (model.builtN < 0) model.extendedN
+      else indexed.count() - model.builtN
+    if (model.builtN >= 0 && extended > model.builtN &&
+        model.extendedN <= model.builtN)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"pqExtend: index has grown past its build-time size " +
+          s"($extended extended vs ${model.builtN} built) — frozen " +
+          "cells/nprobe/shortlist/codebooks are now sized and trained " +
+          "for a minority of the corpus; schedule a fresh pqBuild " +
+          "(needsRebuild = true)")
     model.copy(
       corpus2 = model.corpus2.unionByName(fresh).localCheckpoint(),
-      indexed = model.indexed.unionByName(freshIndexed).localCheckpoint())
+      indexed = indexed, extendedN = extended)
   }
 
   /** Persist a built index to `path`: the compressed index and the
@@ -571,9 +640,9 @@ object Similarity {
         model.shortlist,
         model.coarse.map(_.toSeq).toSeq,
         model.books.map(_.map(_.toSeq).toSeq).toSeq,
-        model.idCol, model.vecCol))
+        model.idCol, model.vecCol, model.builtN, model.extendedN))
       .toDF("cells", "nprobe", "m", "k", "dim", "shortlist",
-        "coarse", "books", "id_col", "vec_col")
+        "coarse", "books", "id_col", "vec_col", "built_n", "extended_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -596,7 +665,12 @@ object Similarity {
       corpus2 = spark.read.parquet(s"$path/corpus"),
       indexed = spark.read.parquet(s"$path/index"),
       idCol = meta.getAs[String]("id_col"),
-      vecCol = meta.getAs[String]("vec_col"))
+      vecCol = meta.getAs[String]("vec_col"),
+      // Pre-trigger saves carry no baseline (see ivfLoad).
+      builtN = if (meta.schema.fieldNames.contains("built_n"))
+        meta.getAs[Long]("built_n") else -1L,
+      extendedN = if (meta.schema.fieldNames.contains("extended_n"))
+        meta.getAs[Long]("extended_n") else 0L)
   }
 
   /** Query a built IVF-PQ index (see [[ivfPqTopK]] for semantics).

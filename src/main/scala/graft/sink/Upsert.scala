@@ -140,28 +140,43 @@ object Upsert {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Three-way marker read result: a present-but-unreadable marker is
+    * NOT the same as a missing one. Treating them alike would let the
+    * legacy-upgrade path overwrite a corrupt marker with the caller's
+    * numBuckets — silently re-pinning a possibly wrong modulus on a
+    * target whose true layout is unknown, the exact dup-key corruption
+    * the marker exists to prevent. */
+  private sealed trait MarkerState
+  private case object MarkerAbsent extends MarkerState
+  private final case class MarkerValid(n: Int) extends MarkerState
+  private final case class MarkerInvalid(reason: String) extends MarkerState
+
   /** Reads the whole marker (single `read` calls may return short on
     * FSDataInputStream — a short read would parse a truncated count,
-    * e.g. '6' from '64', and silently merge under the wrong modulus:
-    * the exact dup-key corruption the marker exists to prevent) and
-    * rejects values outside a sane layout range. */
+    * e.g. '6' from '64', and silently merge under the wrong modulus)
+    * and rejects values outside a sane layout range. Absent markers
+    * mean a legacy (pre-marker) target; unparseable/out-of-range
+    * content or a read error means the layout is UNKNOWN — callers
+    * must refuse to merge incrementally rather than guess. */
   private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: Path): Option[Int] =
-    try {
-      val p = new Path(dir, BucketMarker)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try {
-          val buf = new java.io.ByteArrayOutputStream(32)
-          val chunk = new Array[Byte](32)
-          var n = in.read(chunk)
-          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          val v = new String(buf.toByteArray, "UTF-8").trim.toInt
-          if (v >= 1 && v <= (1 << 20)) Some(v) else None
-        } finally in.close()
-      }
-    } catch { case _: Exception => None }
+                               dir: Path): MarkerState = {
+    val p = new Path(dir, BucketMarker)
+    if (!fs.exists(p)) MarkerAbsent
+    else try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(32)
+        val chunk = new Array[Byte](32)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        val v = new String(buf.toByteArray, "UTF-8").trim.toInt
+        if (v >= 1 && v <= (1 << 20)) MarkerValid(v)
+        else MarkerInvalid(s"bucket count $v outside [1, ${1 << 20}]")
+      } finally in.close()
+    } catch {
+      case e: Exception => MarkerInvalid(s"unreadable: ${e.getMessage}")
+    }
+  }
 
   def mergeAndWrite(spark: SparkSession, path: String, staged: DataFrame,
                     spec: TableSpec, fullSync: Boolean,
@@ -187,12 +202,24 @@ object Upsert {
       // two dirs. The marker makes the layout self-describing; targets
       // written before the marker existed fall back to the caller's
       // value (the historical behavior).
-      val marker = readBucketMarker(fs, new Path(path))
-      val layoutBuckets = marker.getOrElse(numBuckets)
-      // Upgrade legacy (pre-marker) targets in place: once the caller's
-      // value has been used to merge, it IS the layout — pin it so the
-      // target stops being vulnerable to a future mismatched caller.
-      if (marker.isEmpty) writeBucketMarker(fs, new Path(path), layoutBuckets)
+      val layoutBuckets = readBucketMarker(fs, new Path(path)) match {
+        case MarkerValid(n) => n
+        case MarkerAbsent =>
+          // Upgrade legacy (pre-marker) targets in place: once the
+          // caller's value has been used to merge, it IS the layout —
+          // pin it so the target stops being vulnerable to a future
+          // mismatched caller.
+          writeBucketMarker(fs, new Path(path), numBuckets)
+          numBuckets
+        case MarkerInvalid(reason) =>
+          // Fail loudly: merging under a guessed modulus on a target
+          // whose layout is unknown is the dup-key corruption the
+          // marker exists to prevent. Recover with a full sync (which
+          // rewrites layout + marker atomically).
+          throw new IllegalStateException(
+            s"bucket marker at $path is $reason; refusing incremental " +
+              "merge — run a full sync to re-pin the layout")
+      }
       val bucket = bucketOf(spec, layoutBuckets)
       val touched = staged.select(bucket.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted // ≤ layoutBuckets values

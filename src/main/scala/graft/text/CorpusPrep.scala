@@ -370,10 +370,12 @@ object CorpusPrep {
     if (!spanClip) deduped
     else {
       // Substring-level pass AFTER document-level dedup: find runs of
-      // spanK tokens shared across ≥2 surviving docs, clip them from
-      // each doc's normalized token stream, and drop docs that are
-      // mostly such boilerplate. The surviving docs carry the CLIPPED
-      // text — prepare's contract stays "rows you would train on".
+      // spanK tokens shared across ≥2 surviving docs, clip them out of
+      // each doc's ORIGINAL text (raw-run clip — casing/punctuation
+      // survive; a doc with zero spans passes through byte-identical,
+      // see Dedup.clipSpans), and drop docs that are mostly such
+      // boilerplate. The surviving docs carry the CLIPPED text —
+      // prepare's contract stays "rows you would train on".
       val spans = Dedup.repeatedSpans(deduped, idCol, textCol, k = spanK)
       val clipped = Dedup.clipSpans(deduped, spans, idCol, textCol,
         maxCoverage = maxSpanCoverage)

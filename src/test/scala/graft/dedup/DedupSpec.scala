@@ -374,6 +374,121 @@ class DedupSpec extends SparkSuite {
     assert(found.contains((20L, 10L)))
   }
 
+  test("clipSpans clips the ORIGINAL text: casing/punct survive, a " +
+    "dropped run takes its trailing separator, no-span docs pass " +
+    "byte-identical") {
+    val s = spark
+    import s.implicits._
+    // Raw alnum runs of doc 1: Foo(0) bar(1) Baz(2) qux(3) 42(4) end(5)
+    // — aligned 1:1 with the normalized tokens "foo bar baz qux 42 end".
+    val fix = docs(
+      1L -> "Foo, bar! Baz-qux 42; end.",
+      2L -> "UNTOUCHED (casing & punct...) must survive VERBATIM!",
+      3L -> "A, b! c")
+    val spans = Seq(
+      (1L, 2L, 3L), // doc 1: drop Baz, qux
+      (3L, 0L, 0L), // doc 3: drop the FIRST run
+      (3L, 2L, 2L)  // ... and the last
+    ).toDF("id", "span_start", "span_end")
+    val out = Dedup.clipSpans(fix, spans, "doc_id", "text", maxCoverage = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_cov"),
+          r.getAs[Double]("coverage"), r.getAs[Boolean]("kept"),
+          r.getAs[String]("text_clipped")))).toMap
+    // Dropped runs take their trailing separators ("Baz-" and "qux ");
+    // the kept runs keep casing, digits and their own punctuation.
+    assert(out(1L) === ((6L, 2L, 2.0 / 6, true, "Foo, bar! 42; end.")))
+    // No spans → byte-identical passthrough, never re-normalized.
+    assert(out(2L)._5 === "UNTOUCHED (casing & punct...) must survive VERBATIM!")
+    assert(out(2L)._4 === true)
+    // First run dropped: its trailing ", " goes with it; last run
+    // dropped: the separator BEFORE it stays (trailing-attachment rule).
+    assert(out(3L) === ((3L, 2L, 2.0 / 3, false, "b! ")))
+  }
+
+  test("clipSpans empty/whitespace/null docs: n_tok 0, coverage " +
+    "DEFINED as 0.0, kept true — never a silent null-drop") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq((1L, ""), (2L, "!!! ..."), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val spans = Seq.empty[(Long, Long, Long)]
+      .toDF("id", "span_start", "span_end")
+    val out = Dedup.clipSpans(fix, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Double]("coverage"),
+          r.getAs[Boolean]("kept"), r.getAs[String]("text_clipped")))).toMap
+    assert(out(1L) === ((0L, 0.0, true, "")))
+    assert(out(2L) === ((0L, 0.0, true, "!!! ..."))) // byte-identical
+    assert(out(3L)._1 === 0L && out(3L)._2 === 0.0 && out(3L)._3 === true)
+    assert(out(3L)._4 === null)
+  }
+
+  test("minhash build dedupes ids; extend tracks growth and flips " +
+    "needsRebuild past parity without counting re-feeds") {
+    // Duplicate id at build collapses (the extend contract holds at
+    // build too — a doubled id would fan out every later verify join).
+    val dup = Dedup.minhashBuild(
+      fixture.unionByName(fixture.filter(col("doc_id") === 1L)),
+      "doc_id", "text")
+    assert(dup.builtN === 5L && dup.sets.count() === 5L)
+
+    val model = Dedup.minhashBuild(fixture, "doc_id", "text")
+    assert(model.builtN === 5L && model.extendedN === 0L && !model.needsRebuild)
+    val e1 = Dedup.minhashExtend(model, docs(
+      10L -> "ten unique words here nothing shared with any other row",
+      11L -> "eleven other tokens forming an entirely distinct document body",
+      12L -> "twelve more filler phrases keeping this corpus strictly novel",
+      13L -> "thirteen closing sentences that resemble no indexed content"),
+      "doc_id", "text")
+    assert(e1.extendedN === 4L && !e1.needsRebuild) // 4 ≤ 5
+    val e2 = Dedup.minhashExtend(e1, docs(
+      14L -> "fourteen fresh words once again disjoint from everything",
+      15L -> "fifteen final unrelated tokens to push the index past parity"),
+      "doc_id", "text")
+    assert(e2.extendedN === 6L && e2.needsRebuild) // 6 > 5
+    // Re-feeding already-indexed ids is a no-op for the counter too.
+    val e3 = Dedup.minhashExtend(e2, docs(
+      14L -> "fourteen fresh words once again disjoint from everything"),
+      "doc_id", "text")
+    assert(e3.extendedN === 6L)
+  }
+
+  test("ingestion loop across batches: each batch dedups against ALL " +
+    "prior admissions (build → extend → extend chain)") {
+    val novelA = "alpha corpus addition with plenty of distinctive language inside it for shingles"
+    val novelB = "beta follow-up document whose wording overlaps nothing indexed before this point"
+    var model = Dedup.minhashBuild(fixture, "doc_id", "text")
+    // batch 1: novel A arrives — no pairs, admitted
+    val b1 = docs(10L -> novelA)
+    assert(pairsOf(Dedup.minhashDeltaPairs(model, b1, "doc_id", "text",
+      minJaccard = 0.5)).isEmpty)
+    model = Dedup.minhashExtend(model, b1, "doc_id", "text")
+    // batch 2: novel B + a near-dup of A — the dup is visible ONLY
+    // through batch 1's admission
+    val b2 = docs(20L -> novelB,
+      21L -> novelA.replace("alpha", "gamma"))
+    val p2 = pairsOf(Dedup.minhashDeltaPairs(model, b2, "doc_id", "text",
+      minJaccard = 0.5))
+    assert(p2.contains((21L, 10L)) && !p2.exists(_._1 == 20L))
+    model = Dedup.minhashExtend(model,
+      b2.filter(col("doc_id") === 20L), "doc_id", "text")
+    // batch 3: near-dups of B (batch-2 admission), of A (batch-1
+    // admission) AND of an original build doc — all three generations
+    // of the index answer in one delta call
+    val p3 = pairsOf(Dedup.minhashDeltaPairs(model, docs(
+      30L -> novelB.replace("beta", "delta"),
+      31L -> novelA.replace("plenty", "loads"),
+      32L -> base.replace("morning", "noon")),
+      "doc_id", "text", minJaccard = 0.5))
+    assert(p3.contains((30L, 20L)))
+    assert(p3.contains((31L, 10L)))
+    assert(p3.exists { case (d, c) => d == 32L && (c == 1L || c == 2L) })
+    // the near-dup of A admitted in batch 2? it was NOT extended (21
+    // was a dup) — so nothing matches against id 21
+    assert(!p3.exists(_._2 == 21L))
+  }
+
   test("minhash index save/load round trip: geometry and delta pairs " +
     "identical") {
     val model = Dedup.minhashBuild(fixture, "doc_id", "text",
@@ -384,6 +499,9 @@ class DedupSpec extends SparkSuite {
       val loaded = Dedup.minhashLoad(spark, dir.toString)
       assert(loaded.numHashes === 32 && loaded.bands === 8 &&
         loaded.shingleK === 3 && loaded.idCol === "doc_id")
+      // the rebuild-trigger baseline survives the round trip
+      assert(loaded.builtN === model.builtN &&
+        loaded.extendedN === 0L && !loaded.needsRebuild)
       val delta = docs(10L -> base.replace("morning", "afternoon"))
       val orig = pairsOf(Dedup.minhashDeltaPairs(model, delta,
         "doc_id", "text", minJaccard = 0.5))

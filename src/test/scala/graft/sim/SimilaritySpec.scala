@@ -233,6 +233,53 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("needsRebuild flips once extends outgrow the build; a fresh " +
+    "build re-derives geometry; builds dedupe ids; baseline survives " +
+    "save/load") {
+    import org.apache.spark.sql.functions._
+    def synth(lo: Long, n: Long): DataFrame =
+      spark.range(lo, lo + n).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          (pmod(xxhash64(col("id"), lit(j)), lit(1000)).cast("double")
+            / 500.0 - 1.0).cast("float")): _*).as("embedding"))
+    // build dedupes duplicate ids (the extend contract holds at build)
+    assert(Similarity.ivfBuild(
+      synth(0, 100).unionByName(synth(0, 100))).builtN === 100L)
+
+    val m0 = Similarity.ivfBuild(synth(0, 1200))
+    assert(m0.builtN === 1200L && m0.extendedN === 0L && !m0.needsRebuild)
+    val m1 = Similarity.ivfExtend(m0, synth(5000, 1000))
+    assert(m1.extendedN === 1000L && !m1.needsRebuild) // 1000 ≤ 1200
+    val m2 = Similarity.ivfExtend(m1, synth(10000, 400))
+    assert(m2.extendedN === 1400L && m2.needsRebuild) // 1400 > 1200
+    // A fresh build over the grown corpus resets the trigger AND
+    // re-derives geometry from the new n (√2600/2 > √1200/2).
+    val m3 = Similarity.ivfBuild(
+      synth(0, 1200).unionByName(synth(5000, 1000))
+        .unionByName(synth(10000, 400)))
+    assert(m3.cells > m0.cells && !m3.needsRebuild && m3.extendedN === 0L)
+    // The baseline is part of the at-rest index.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild")
+    try {
+      Similarity.ivfSave(m2, dir.toString)
+      val loaded = Similarity.ivfLoad(spark, dir.toString)
+      assert(loaded.builtN === 1200L && loaded.extendedN === 1400L &&
+        loaded.needsRebuild)
+    } finally {
+      import java.nio.file.{Files, Path}
+      val st = Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally st.close()
+    }
+    // Same trigger on the PQ lifecycle.
+    val p0 = Similarity.pqBuild(synth(0, 60), cells = 4, nprobe = 4,
+      m = 2, k = 8, shortlist = 16, dim = 8)
+    assert(p0.builtN === 60L && !p0.needsRebuild)
+    val p1 = Similarity.pqExtend(p0, synth(200, 61))
+    assert(p1.extendedN === 61L && p1.needsRebuild)
+  }
+
   test("IVF-PQ plan contains no CartesianProduct") {
     val plan = Similarity.ivfPqTopK(vecs, vecs.filter("vec_id IN (1, 2)"),
       topK = 1, cells = 3, nprobe = 2, m = 4, k = 4, shortlist = 5, dim = 8)

@@ -158,6 +158,61 @@ class UpsertSpec extends SparkSuite {
     }
   }
 
+  test("a corrupt/out-of-range bucket marker refuses incremental merge " +
+    "instead of silently re-pinning the caller's width") {
+    val s = spark
+    import s.implicits._
+    val spec = TableSpec("t.pk", Seq("v" -> ColType.Str))
+    def seedTarget(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("upsert-badmk").toString + "/tbl"
+      Upsert.mergeAndWrite(spark, tmp,
+        (1 to 20).map(i => (s"r$i", s"old$i")).toDF("id", "v"),
+        spec, fullSync = true, numBuckets = 8)
+      tmp
+    }
+    def corrupt(tmp: String, content: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "_graft_buckets"),
+        content.getBytes("UTF-8"))
+    val update = Seq(("r1", "new1")).toDF("id", "v")
+    // Unparseable and out-of-range markers both mean the layout is
+    // UNKNOWN — merging under a guessed modulus is the dup-key
+    // corruption the marker exists to prevent, so the merge must die
+    // loudly, and must NOT overwrite the evidence.
+    Seq("garbage", "0", (1 << 21).toString).foreach { bad =>
+      val tmp = seedTarget()
+      corrupt(tmp, bad)
+      val e = intercept[IllegalStateException] {
+        Upsert.mergeAndWrite(spark, tmp, update, spec,
+          fullSync = false, numBuckets = 8)
+      }
+      assert(e.getMessage.contains("refusing incremental"))
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tmp, "_graft_buckets")), "UTF-8") == bad,
+        "a corrupt marker must be preserved as evidence, not overwritten")
+    }
+    // ABSENT marker stays the legacy path: merge under the caller's
+    // width and pin it.
+    val tmp = seedTarget()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tmp, "_graft_buckets"))
+    Upsert.mergeAndWrite(spark, tmp, update, spec,
+      fullSync = false, numBuckets = 8)
+    assert(new java.io.File(tmp, "_graft_buckets").isFile)
+    val m = spark.read.parquet(tmp).select("id", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("r1") == "new1" && m.size == 20)
+  }
+
+  test("bucketsFor derives one bucket per ~32 MB, floored and capped") {
+    // floor: tiny tables never fan below 4 buckets
+    assert(Upsert.bucketsFor(0L) == 4)
+    assert(Upsert.bucketsFor(32L << 20) == 4)
+    // midpoint: exact multiples land on bytes/32MB
+    assert(Upsert.bucketsFor(320L << 20) == 10)
+    // cap: a 1 PB expectation stays at 4096
+    assert(Upsert.bucketsFor(1L << 50) == 4096)
+  }
+
   test("registry topo order puts every dep before its dependents") {
     val order = Tables.topoOrder().map(_.name).zipWithIndex.toMap
     Tables.all.foreach { t =>
