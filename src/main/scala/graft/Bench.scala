@@ -146,9 +146,13 @@ object Bench {
     * native L2-normalize kernel (q_ann_pq 90×: 16.1 → 4.7 s),
     * v4 = round-15: three new gates (q_neardup_minhash_delta,
     * q_minhash_persist, q_span_clip), feed-derived multisync merge
-    * buckets, and the narrow-row bulk ANN search shape.
+    * buckets, and the narrow-row bulk ANN search shape,
+    * v5 = round-16: new q_stream_ingest_dedup gate, q_span_clip
+    * semantics changed to raw-text clipping (native ClipRunsExpr),
+    * build-side dropDuplicates + rebuild-trigger counts in the
+    * IVF/PQ/MinHash builds and extends.
     */
-  private val WorkloadVersion = 4
+  private val WorkloadVersion = 5
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

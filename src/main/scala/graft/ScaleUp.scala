@@ -77,19 +77,25 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
+    require(args.length >= 3 && args.length <= 5,
       "usage: ScaleUp <srcDir> <dstDir> <factor> [--clustered-embeddings[=K]] " +
-        "(clustered mode REPLACES embeddings for all copies incl. k=0 — " +
-        "writes a _CLUSTERED_EMBEDDINGS marker; embedding-recall oracles " +
-        "don't apply to such dirs)")
+        "[--dim=N] (clustered mode REPLACES embeddings for all copies incl. " +
+        "k=0 — writes a _CLUSTERED_EMBEDDINGS marker; embedding-recall " +
+        "oracles don't apply to such dirs; --dim overrides the synthesized " +
+        "vector dimension, e.g. 512/768 for the high-dim PQ-vs-IVF dial)")
     val Array(src, dst, factorS) = args.take(3)
-    val clusteredK: Int = args.drop(3).headOption match {
-      case None => 0
-      case Some("--clustered-embeddings") => 100
-      case Some(s) if s.startsWith("--clustered-embeddings=") =>
-        s.stripPrefix("--clustered-embeddings=").toInt
-      case Some(other) => sys.error(s"unknown flag $other")
+    var clusteredK = 0
+    var dimOverride = 0
+    args.drop(3).foreach {
+      case "--clustered-embeddings" => clusteredK = 100
+      case s if s.startsWith("--clustered-embeddings=") =>
+        clusteredK = s.stripPrefix("--clustered-embeddings=").toInt
+      case s if s.startsWith("--dim=") =>
+        dimOverride = s.stripPrefix("--dim=").toInt
+      case other => sys.error(s"unknown flag $other")
     }
+    require(dimOverride == 0 || clusteredK > 0,
+      "--dim only applies to --clustered-embeddings (synthesized vectors)")
     val factor = factorS.toInt
     require(factor >= 1 && factor <= strides.length, s"factor 1..${strides.length}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -157,7 +163,9 @@ object ScaleUp {
       "documents", factor * 2)
 
     if (clusteredK > 0) {
-      val dim = rd("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim =
+        if (dimOverride > 0) dimOverride
+        else rd("embeddings").select(size(col("embedding"))).head().getInt(0)
       val rnd = new scala.util.Random(4242L)
       val centers = Array.fill(clusteredK, dim)(rnd.nextGaussian())
       val sigma = 0.3
@@ -189,7 +197,7 @@ object ScaleUp {
       // disk instead of surfacing as a confusing oracle miss.
       val note =
         s"embeddings REPLACED by synthetic Gaussian clusters (K=$clusteredK, " +
-          "sigma=0.3, seed 4242) for ANN recall dials. Source-corpus " +
+          s"dim=$dim, sigma=0.3, seed 4242) for ANN recall dials. Source-corpus " +
           "planted embedding structure (e.g. near-dup pairs) is NOT " +
           "preserved; do not point embedding-recall oracles here.\n"
       java.nio.file.Files.write(

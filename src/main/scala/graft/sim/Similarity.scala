@@ -482,7 +482,21 @@ object Similarity {
     * encoding so ADC's dot approximation ranks by cosine (cosine is
     * scale-invariant, so the exact re-rank over raw vectors is
     * unchanged). Everything is deterministic: hash-seeded codebooks,
-    * argmax tie-break by first index, rank ties by neighbor id. */
+    * argmax tie-break by first index, rank ties by neighbor id.
+    *
+    * When to choose PQ over [[ivfTopK]] — measured, not assumed
+    * (BENCH_NOTES r16; 30×/60k clustered corpus, 6k bulk probes):
+    * PQ-bulk 4.9 s vs IVF-bulk 6.5 s at dim 64, but 17.3 s vs 8.6 s
+    * at dim 512 — raising dim hurt the PQ path MORE (its dim-scaled
+    * stages are the dtable build and the shortlist re-rank join's
+    * full-vector payload, plus heavy JIT/GC warm-in variance on wide
+    * rows), while IVF's fused per-candidate cosine grew only ~30%.
+    * On a compute-rich executor whose full-precision index fits
+    * storage, IVF-flat is the default bulk engine at ANY of these
+    * dims; PQ is the INDEX-SIZE lever — ~m bytes/vector at rest vs
+    * dim×4 — for when the full-vector index can't fit the
+    * storage/broadcast/bandwidth budget (the 100 TB regime), not a
+    * local-throughput lever. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, topK: Int,
                 cells: Int = -1, nprobe: Int = -1, m: Int = 8, k: Int = 16,
                 shortlist: Int = -1, dim: Int = 64,

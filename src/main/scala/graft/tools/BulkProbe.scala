@@ -78,20 +78,23 @@ object BulkProbe {
 
     val emb = Td(spark, sfDir, "embeddings")
     val n = emb.count()
+    // dim from the data, not a constant — the high-dim PQ-vs-IVF dial
+    // feeds this tool 512/768-dim ScaleUp corpora (--dim).
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val probes = emb.filter(col("vec_id") % probeMod === 0)
     val nProbes = probes.count()
-    println(s"corpus n=$n probes=$nProbes (1/$probeMod) topK=$topK mode=$mode")
+    println(s"corpus n=$n dim=$dim probes=$nProbes (1/$probeMod) topK=$topK mode=$mode")
 
     var t0 = System.nanoTime()
     val search: () => org.apache.spark.sql.DataFrame = mode match {
       case "ivf" =>
-        val model = Similarity.ivfBuild(emb)
+        val model = Similarity.ivfBuild(emb, dim = dim)
         println(f"ivfBuild: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
           s"cells=${model.cells} nprobe=${model.nprobe}")
         () => Similarity.ivfSearch(model, probes, topK = topK,
           broadcastProbes = false)
       case _ =>
-        val model = Similarity.pqBuild(emb, shortlist = shortlist)
+        val model = Similarity.pqBuild(emb, shortlist = shortlist, dim = dim)
         println(f"pqBuild: ${(System.nanoTime() - t0) / 1e9}%.1f s")
         println(s"index partitions=${model.indexed.rdd.getNumPartitions} " +
           s"corpus2 partitions=${model.corpus2.rdd.getNumPartitions} " +
@@ -100,9 +103,12 @@ object BulkProbe {
           broadcastProbes = false)
     }
 
-    // Warm-up + 2 timed iterations; min is the honest per-batch cost
-    // (the build is amortized across batches by design).
-    (0 until 3).foreach { i =>
+    // Warm-up + N timed iterations (BULK_PROBE_ITERS, default 2); min
+    // is the honest per-batch cost (the build is amortized across
+    // batches by design). High-dim runs carry large JIT/GC variance on
+    // early iterations — read the min, not the first number.
+    val iters = sys.env.get("BULK_PROBE_ITERS").flatMap(_.toIntOption).getOrElse(2)
+    (0 until (1 + iters)).foreach { i =>
       t0 = System.nanoTime()
       val pq = search()
       val rows = pq.collect().length
