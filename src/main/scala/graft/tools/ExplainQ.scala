@@ -60,7 +60,9 @@ object ExplainQ {
       println("| --- | --- | --- | --- | --- | --- |")
       graft.ops.Registry.all.map(_.name).sorted.foreach { q =>
         if (executingGates(q))
-          println(s"| $q | — | — | — | — | — |")
+          // ASCII on purpose: an em-dash here reaches PLANS.md as "?"
+          // when sbt's console charset isn't UTF-8 (the r15 doc-drift).
+          println(s"| $q | builder | builder | builder | builder | builder |")
         else {
           val r = try {
             val df = graft.ops.Registry.byName(q).run(spark, sfDir)
