@@ -150,9 +150,14 @@ object Bench {
     * v5 = round-16: new q_stream_ingest_dedup gate, q_span_clip
     * semantics changed to raw-text clipping (native ClipRunsExpr),
     * build-side dropDuplicates + rebuild-trigger counts in the
-    * IVF/PQ/MinHash builds and extends.
+    * IVF/PQ/MinHash builds and extends,
+    * v6 = round-17: new q_stream_ingest_rebuild gate (mid-stream
+    * index rebuild + decision-invariance twin), Unicode-exact clip
+    * scanner + native token_run_count replacing the regex n_tok,
+    * exact cross-collision exclusion in both ingest truths,
+    * delta-bound extend bookkeeping in ivfExtend/pqExtend.
     */
-  private val WorkloadVersion = 5
+  private val WorkloadVersion = 6
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

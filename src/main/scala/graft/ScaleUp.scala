@@ -92,6 +92,11 @@ object ScaleUp {
         clusteredK = s.stripPrefix("--clustered-embeddings=").toInt
       case s if s.startsWith("--dim=") =>
         dimOverride = s.stripPrefix("--dim=").toInt
+        // 0 is the internal "unset" sentinel — a supplied flag must be
+        // genuinely positive (0 would silently fall back to the
+        // data-derived dim; negative would pass the clustered-mode
+        // require and synthesize zero-length centroid rows).
+        require(dimOverride > 0, s"--dim must be positive, got $s")
       case other => sys.error(s"unknown flag $other")
     }
     require(dimOverride == 0 || clusteredK > 0,

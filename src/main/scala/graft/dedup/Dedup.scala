@@ -842,11 +842,12 @@ object Dedup {
     *
     * Returns (id, n_tok, n_cov, coverage, kept, text_clipped) — one row
     * per input doc, `kept = coverage ≤ maxCoverage`. `text_clipped` is
-    * the RAW text with each covered token's alnum run (and its trailing
+    * the RAW text with each covered token's run (and its trailing
     * separator) removed — see [[graft.functions.NativeClip]] for the
-    * run↔token alignment contract; spans index the normalized token
-    * stream, which corresponds 1:1 to the raw text's `[A-Za-z0-9]+`
-    * runs. Docs with no spans pass through byte-identical (substring
+    * run↔token alignment contract: spans index the normalized token
+    * stream, and the raw scanner segments runs by each code point's
+    * `lower()`-image pattern, so alignment holds for mixed-script text
+    * too (not just ASCII). Docs with no spans pass through byte-identical (substring
     * dedup must not rewrite untouched documents), so casing and
     * punctuation survive everywhere except inside removed spans.
     *
@@ -859,7 +860,7 @@ object Dedup {
     * per merged span), so the join is the cheap side; the clip itself
     * is one scan-side codegen pass over the raw text — no token
     * explode, no per-element interpreted HOF lambda. Each heavy
-    * expression (the run-count regex, the clip kernel) appears exactly
+    * expression (the run-count kernel, the clip kernel) appears exactly
     * once in the projection; coverage/kept are attribute arithmetic on
     * top (the CollapseProject multi-reference trap documented on
     * TextFunctions.shinglesFromTokens). */
@@ -874,8 +875,8 @@ object Dedup {
       .join(spansAgg, Seq("id"), "left")
       .select(
         col("id"),
-        coalesce(size(regexp_extract_all(col("__text"),
-          lit("[A-Za-z0-9]+"), lit(0))), lit(0)).cast("long").as("n_tok"),
+        coalesce(graft.functions.TokenRunCountExpr(col("__text"))
+          .cast("long"), lit(0L)).as("n_tok"),
         coalesce(col("n_cov"), lit(0L)).as("n_cov"),
         graft.functions.ClipRunsExpr(col("__text"), col("sp"))
           .as("text_clipped"))

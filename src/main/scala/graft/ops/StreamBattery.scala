@@ -557,6 +557,30 @@ object StreamBattery {
     }
   )
 
+  /** Ids of `a` having EXACT shingle-Jaccard ≥ `minJ` with ANY row of
+    * `b` — the closed-form cross-family collision set the ingest
+    * truths subtract (a doc the loop legitimately dropped as a
+    * near-dup of the standing corpus can never yield its planted
+    * mutation pair). Exact, not LSH: candidates come from a
+    * shingle-hash equi-join (J ≥ minJ ⇒ at least one shared shingle),
+    * then survivors verify on the full sets — the same
+    * prefilter-then-verify shape as the DuckDB oracle's `xc` CTE, so
+    * both engines state identical truth counts. Both inputs are
+    * (doc_id, sh) projections. */
+  private def exactCrossCollisions(a: DataFrame, b: DataFrame,
+                                   minJ: Double): DataFrame = {
+    val cand = a.select(col("doc_id").as("id_a"), explode(col("sh")).as("t"))
+      .join(b.select(col("doc_id").as("id_b"), explode(col("sh")).as("t")),
+        Seq("t"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(a.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(b.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJ)
+      .select(col("id_a").as("doc_id")).distinct()
+  }
+
   /** Streaming MinHash INGESTION LOOP — the reference's central
     * semantic axis (incremental sync: a standing corpus absorbs
     * arriving deltas without rescanning itself,
@@ -575,8 +599,11 @@ object StreamBattery {
     * Closed-form oracle (the truthSql pattern): both engines count the
     * planted J≥0.5 (doc, mutation) truth per batch family, restricted
     * to docs whose BOTH sides clear the quality gate (the loop filters
-    * before pairing, so the truth must too); the loop must recover
-    * ≥95% of each. `junk_clean` pins the quality stage itself: batch 1
+    * before pairing, so the truth must too); batch-2 truth further
+    * excludes docs with an exact J≥0.5 collision against the standing
+    * corpus (the loop drops those at batch 1, so their mutation pair
+    * is structurally unrecoverable — see exactCrossCollisions); the
+    * loop must recover ≥95% of each. `junk_clean` pins the quality stage itself: batch 1
     * plants punctuation-flooded copies of batch-2 docs (id+9e6; the
     * pad doubles length so punct×5 > length — fails quality, while
     * normalize strips the pad so its shingles equal the original's).
@@ -598,15 +625,38 @@ object StreamBattery {
         s"length($e) >= 50 " +
           raw"AND len(regexp_extract_all($e, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) >= 10 " +
           raw"AND len(regexp_extract_all($e, '[^\w\s]')) * 5 <= length($e)"
-      def truthCte(name: String, mod: Int): String =
+      def truthCte(name: String, mod: Int, exclude: Option[String]): String =
         s"$name AS (SELECT doc_id FROM (SELECT doc_id, " +
           s"${TextBattery.shinglesSqlOf("text")} AS sh_o, " +
           s"${TextBattery.shinglesSqlOf("text[12:]")} AS sh_m " +
           s"FROM documents WHERE doc_id % 3 = $mod " +
           s"AND ${qual("text")} AND ${qual("text[12:]")}) " +
           "WHERE CAST(len(list_intersect(sh_o, sh_m)) AS DOUBLE) / " +
-          "len(list_distinct(list_concat(sh_o, sh_m))) >= 0.5)"
-      s"WITH ${truthCte("tr1", 0)}, ${truthCte("tr2", 1)}, " +
+          "len(list_distinct(list_concat(sh_o, sh_m))) >= 0.5" +
+          exclude.map(x =>
+            s" AND doc_id NOT IN (SELECT doc_id FROM $x)").getOrElse("") + ")"
+      // Batch-2 truth excludes %3=1 docs carrying an EXACT J≥0.5
+      // collision with the quality-passing standing corpus (%3=0): the
+      // loop drops such docs at batch 1, so their +2e6 mutation cannot
+      // produce the (corpus_id, corpus_id+2e6) pair the recall filter
+      // requires — without the exclusion the gate leaned on the 5%
+      // slack absorbing data-dependent cross-family collisions (r16
+      // advice). Found-at-batch-1 pairs are a SUBSET of this exact set
+      // (LSH verify is exact, no false positives), so every truth doc
+      // is genuinely recoverable at any corpus or scale.
+      def xsCte(name: String, mod: Int): String =
+        s"$name AS (SELECT doc_id, ${TextBattery.shinglesSqlOf("text")} AS sh " +
+          s"FROM documents WHERE doc_id % 3 = $mod AND ${qual("text")})"
+      val xcCte =
+        "xc AS (SELECT DISTINCT p.id1 AS doc_id FROM " +
+          "(SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id0 " +
+          "FROM (SELECT doc_id, unnest(sh) AS t FROM xs1) a " +
+          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t) p " +
+          "JOIN xs1 ON xs1.doc_id = p.id1 JOIN xs0 ON xs0.doc_id = p.id0 " +
+          "WHERE CAST(len(list_intersect(xs1.sh, xs0.sh)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(xs1.sh, xs0.sh))) >= 0.5)"
+      s"WITH ${truthCte("tr1", 0, None)}, ${xsCte("xs1", 1)}, " +
+        s"${xsCte("xs0", 0)}, $xcCte, ${truthCte("tr2", 1, Some("xc"))}, " +
         "junk AS (SELECT count(*) AS n FROM documents WHERE doc_id % 15 = 2 " +
         s"AND ${qual("text || repeat('!', length(text))")}) " +
         "SELECT (SELECT count(*) FROM tr1) AS n_truth_b1, true AS recall_b1_ok, " +
@@ -700,7 +750,17 @@ object StreamBattery {
             col("corpus_id") < 1000000L &&
             col("delta_id") === col("corpus_id") + 1000000L)
             .select(col("corpus_id").as("doc_id")), "b1")
-        val r2 = recallRow(truthIds(1),
+        // Exclude %3=1 docs the loop legitimately dropped at batch 1
+        // (exact cross-family collision with the standing corpus —
+        // see exactCrossCollisions; mirrors the oracle's xc CTE).
+        def shSet(mod: Int) =
+          docs.filter(col("doc_id") % 3 === mod)
+            .filter(quality(col("text")))
+            .select(col("doc_id"),
+              graft.functions.ShingleHashesExpr(
+                TextFunctions.normalize(col("text")), 3).as("sh"))
+        val xc = exactCrossCollisions(shSet(1), shSet(0), 0.5)
+        val r2 = recallRow(truthIds(1).join(xc, Seq("doc_id"), "left_anti"),
           found.filter(col("corpus_id") % 3 === 1 &&
             col("corpus_id") < 1000000L &&
             col("delta_id") === col("corpus_id") + 2000000L)
@@ -713,6 +773,195 @@ object StreamBattery {
     }
   )
 
+  /** Ingestion loop WITH the rebuild consumed — closes the B38/B36
+    * lifecycle: [[streamIngestDedup]] proved build → delta → extend
+    * across batches; this gate proves the `needsRebuild` trigger
+    * (produced since r16 on all three index models) actually FIRES
+    * mid-stream and that dedup decisions are invariant across the
+    * rebuild.
+    *
+    * Scenario: the standing index is built over a QUARTER of the
+    * corpus (%4=0); batch 1 delivers twice that volume (%4 ∈ {1,2}),
+    * so after its extend `extendedN > builtN` flips `needsRebuild` and
+    * the loop runs a fresh `minhashBuild` over the accumulated
+    * admitted corpus — the operational story: state lives in a stored
+    * corpus table, the rebuild is a batch job over it, the loop swaps
+    * the model between micro-batches. Batch 2 then carries mutations
+    * of BOTH populations (build corpus +1e6, batch-1 admissions +2e6):
+    * recall of each family holds only if the REBUILT index contains
+    * both the original build corpus and the batch-1 admissions.
+    *
+    * Decision invariance (spec-pinned in DedupSpec too, gated here on
+    * real streaming data): an extend-only twin of the model processes
+    * the same batches without ever rebuilding, and every post-rebuild
+    * batch must produce IDENTICAL delta pairs (ids and jaccard) under
+    * both models — MinHash signatures are deterministic functions of
+    * (text, geometry), so build-over-union and extend-by-parts hold
+    * the same logical index content. The oracle pins `n_rebuilds = 1`
+    * as a closed form: batch-1 admissions ≈ 2× the build corpus
+    * guarantee the flip, while batch-2 admissions (mutations that
+    * dodged their original, a strict subset of one corpus slice) can
+    * never exceed the post-rebuild baseline of ~3 slices.
+    *
+    * Batch-1-family truth subtracts exact cross-collisions with the
+    * standing corpus, same closed form as [[streamIngestDedup]]'s
+    * batch-2 truth (a doc dropped at batch 1 cannot yield its
+    * mutation pair). */
+  val streamIngestRebuild = Q(
+    "q_stream_ingest_rebuild",
+    Some {
+      def qual(e: String): String =
+        s"length($e) >= 50 " +
+          raw"AND len(regexp_extract_all($e, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) >= 10 " +
+          raw"AND len(regexp_extract_all($e, '[^\w\s]')) * 5 <= length($e)"
+      def truthCte(name: String, mod: Int, exclude: Option[String]): String =
+        s"$name AS (SELECT doc_id FROM (SELECT doc_id, " +
+          s"${TextBattery.shinglesSqlOf("text")} AS sh_o, " +
+          s"${TextBattery.shinglesSqlOf("text[12:]")} AS sh_m " +
+          s"FROM documents WHERE doc_id % 4 = $mod " +
+          s"AND ${qual("text")} AND ${qual("text[12:]")}) " +
+          "WHERE CAST(len(list_intersect(sh_o, sh_m)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(sh_o, sh_m))) >= 0.5" +
+          exclude.map(x =>
+            s" AND doc_id NOT IN (SELECT doc_id FROM $x)").getOrElse("") + ")"
+      def xsCte(name: String, mod: Int): String =
+        s"$name AS (SELECT doc_id, ${TextBattery.shinglesSqlOf("text")} AS sh " +
+          s"FROM documents WHERE doc_id % 4 = $mod AND ${qual("text")})"
+      val xcCte =
+        "xc AS (SELECT DISTINCT p.id1 AS doc_id FROM " +
+          "(SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id0 " +
+          "FROM (SELECT doc_id, unnest(sh) AS t FROM xs1) a " +
+          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t) p " +
+          "JOIN xs1 ON xs1.doc_id = p.id1 JOIN xs0 ON xs0.doc_id = p.id0 " +
+          "WHERE CAST(len(list_intersect(xs1.sh, xs0.sh)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(xs1.sh, xs0.sh))) >= 0.5)"
+      s"WITH ${truthCte("tr_base", 0, None)}, ${xsCte("xs1", 1)}, " +
+        s"${xsCte("xs0", 0)}, $xcCte, ${truthCte("tr1", 1, Some("xc"))} " +
+        "SELECT CAST(1 AS BIGINT) AS n_rebuilds, " +
+        "(SELECT count(*) FROM tr_base) AS n_truth_base, " +
+        "true AS recall_base_ok, " +
+        "(SELECT count(*) FROM tr1) AS n_truth_b1, " +
+        "true AS recall_b1_ok, true AS decisions_invariant"
+    },
+    (s, dir) => {
+      import graft.dedup.Dedup
+      import graft.text.{CorpusPrep, TextFunctions}
+      def docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      def quality(c: org.apache.spark.sql.Column) =
+        CorpusPrep.qualityFilter(c, CorpusPrep.Quality())
+      def mut(c: org.apache.spark.sql.Column) = substring(c, 12, 1000000)
+      val feed = FeedCache(
+        s"stream_ingest_rebuild:$dir:mod=4:b1=1,2:b2=base+1e6,b1+2e6") {
+        feedDir =>
+          // batch 1: novel docs at 2× the build-corpus volume — the
+          // extend that pushes the index past parity
+          writeSlice(
+            docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+            feedDir, 0)
+          // batch 2: mutations of the build corpus ∪ mutations of
+          // batch-1's %4=1 docs — recall against the REBUILT index
+          writeSlice(
+            docs.filter(col("doc_id") % 4 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                mut(col("text")).as("text"))
+              .unionByName(docs.filter(col("doc_id") % 4 === 1)
+                .select((col("doc_id") + 2000000L).as("doc_id"),
+                  mut(col("text")).as("text"))),
+            feedDir, 1)
+      }
+      withShufflePartitions(s, replayPartitions(s, feed)) {
+        val base = docs.filter(col("doc_id") % 4 === 0)
+          .filter(quality(col("text"))).localCheckpoint()
+        // The stored-corpus table a real pipeline rebuilds from:
+        // base ∪ every admitted batch, kept flat via checkpointed folds.
+        var corpus = base
+        var model = Dedup.minhashBuild(base, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 3)
+        var shadow = model // extend-only twin — never rebuilt
+        var rebuilds = 0
+        var invariant = true
+        var found: org.apache.spark.sql.DataFrame = null
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.filter(quality(col("text"))).localCheckpoint()
+            val pairs = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
+              minJaccard = 0.5).localCheckpoint()
+            if (rebuilds > 0) {
+              // post-rebuild: the twin that only extended must decide
+              // identically — ids AND jaccard values
+              val sp = Dedup.minhashDeltaPairs(shadow, b, "doc_id", "text",
+                minJaccard = 0.5).localCheckpoint()
+              invariant &&= pairs.count() == sp.count() &&
+                pairs.exceptAll(sp).isEmpty && sp.exceptAll(pairs).isEmpty
+            }
+            found = if (found == null) pairs
+              else found.unionByName(pairs).localCheckpoint()
+            val novel = b.join(
+              pairs.select(col("delta_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").localCheckpoint()
+            model = Dedup.minhashExtend(model, novel, "doc_id", "text")
+            shadow = Dedup.minhashExtend(shadow, novel, "doc_id", "text")
+            corpus = corpus.unionByName(novel).localCheckpoint()
+            if (model.needsRebuild) {
+              rebuilds += 1
+              model = Dedup.minhashBuild(corpus, "doc_id", "text",
+                numHashes = 64, bands = 16, shingleK = 3)
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def shSet(mod: Int) =
+          docs.filter(col("doc_id") % 4 === mod)
+            .filter(quality(col("text")))
+            .select(col("doc_id"),
+              graft.functions.ShingleHashesExpr(
+                TextFunctions.normalize(col("text")), 3).as("sh"))
+        def truthIds(mod: Int) = {
+          def sh(c: org.apache.spark.sql.Column) =
+            graft.functions.ShingleHashesExpr(TextFunctions.normalize(c), 3)
+          docs.filter(col("doc_id") % 4 === mod)
+            .filter(quality(col("text")) && quality(mut(col("text"))))
+            .select(col("doc_id"), sh(col("text")).as("sh_o"),
+              sh(mut(col("text"))).as("sh_m"))
+            .filter(size(array_intersect(col("sh_o"), col("sh_m"))).cast("double") /
+              size(array_union(col("sh_o"), col("sh_m"))) >= 0.5)
+            .select(col("doc_id"))
+        }
+        def recallRow(truth: org.apache.spark.sql.DataFrame,
+                      foundIds: org.apache.spark.sql.DataFrame,
+                      prefix: String) =
+          truth.join(foundIds.withColumn("f", lit(1)).distinct(),
+            Seq("doc_id"), "left")
+            .agg(count(lit(1)).as(s"n_truth_$prefix"),
+              (count(col("f")) >= count(lit(1)) * 0.95)
+                .as(s"recall_${prefix}_ok"))
+        val rBase = recallRow(truthIds(0),
+          found.filter(col("corpus_id") % 4 === 0 &&
+            col("corpus_id") < 1000000L &&
+            col("delta_id") === col("corpus_id") + 1000000L)
+            .select(col("corpus_id").as("doc_id")), "base")
+        val xc = exactCrossCollisions(shSet(1), shSet(0), 0.5)
+        val rB1 = recallRow(truthIds(1).join(xc, Seq("doc_id"), "left_anti"),
+          found.filter(col("corpus_id") % 4 === 1 &&
+            col("corpus_id") < 1000000L &&
+            col("delta_id") === col("corpus_id") + 2000000L)
+            .select(col("corpus_id").as("doc_id")), "b1")
+        val flags = s.range(1).select(
+          lit(rebuilds.toLong).as("n_rebuilds"),
+          lit(invariant).as("decisions_invariant"))
+        flags.crossJoin(rBase).crossJoin(rB1)
+          .select(col("n_rebuilds"), col("n_truth_base"),
+            col("recall_base_ok"), col("n_truth_b1"),
+            col("recall_b1_ok"), col("decisions_invariant"))
+      }
+    }
+  )
+
   val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
-    streamJoin, streamJoinOuter, streamDecontaminate, streamIngestDedup)
+    streamJoin, streamJoinOuter, streamDecontaminate, streamIngestDedup,
+    streamIngestRebuild)
 }

@@ -311,18 +311,22 @@ object Similarity {
     * doubles or drifts deserves a fresh [[ivfBuild]] — which is cheap
     * relative to any search batch and restores derived geometry. */
   def ivfExtend(model: IvfIndexModel, delta: DataFrame): IvfIndexModel = {
+    // Checkpoint the (delta-sized) admitted frame so both the union
+    // below and the bookkeeping count touch materialized blocks.
     val fresh = delta
       .select(col(model.idCol).as("neighbor_id"), col(model.vecCol).as("cv"))
       .join(model.indexed.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id"), col("cv"),
         nearestCell(col("cv"), model.centroids).as("cell"))
+      .localCheckpoint()
     val indexed = model.indexed.unionByName(fresh).localCheckpoint()
-    // Rebuild-trigger bookkeeping: the count runs on the checkpoint
-    // just materialized (cheap block scan, no recompute) and updates
-    // the extended fraction behind [[IvfIndexModel.needsRebuild]].
+    // Rebuild-trigger bookkeeping: count the ADMITTED delta checkpoint
+    // and accumulate — O(delta) per extend, like Dedup.minhashExtend,
+    // instead of an O(total-index) count on every extend (which made
+    // frequent small extends pay a growing per-batch cost).
     val extended =
       if (model.builtN < 0) model.extendedN
-      else indexed.count() - model.builtN
+      else model.extendedN + fresh.count()
     if (model.builtN >= 0 && extended > model.builtN &&
         model.extendedN <= model.builtN)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -619,11 +623,11 @@ object Similarity {
       array((0 until model.m).map(j =>
         argminL2(subvec(col(model.vecCol), j), model.books(j))): _*).as("codes"))
     val indexed = model.indexed.unionByName(freshIndexed).localCheckpoint()
-    // Rebuild-trigger bookkeeping (see [[ivfExtend]]): count on the
-    // just-materialized checkpoint, flip needsRebuild past parity.
+    // Rebuild-trigger bookkeeping (see [[ivfExtend]]): count the
+    // delta checkpoint and accumulate — O(delta), not O(total-index).
     val extended =
       if (model.builtN < 0) model.extendedN
-      else indexed.count() - model.builtN
+      else model.extendedN + fresh.count()
     if (model.builtN >= 0 && extended > model.builtN &&
         model.extendedN <= model.builtN)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

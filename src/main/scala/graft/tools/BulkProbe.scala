@@ -28,7 +28,7 @@ object BulkProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: runMain graft.tools.BulkProbe <sfDir> [probeMod] [topK] [shortlist] [pq|ivf]")
+        "usage: runMain graft.tools.BulkProbe <sfDir> [probeMod] [topK] [shortlist] [pq|ivf|size]")
       sys.exit(2)
     }
     val sfDir = args(0)
@@ -84,6 +84,43 @@ object BulkProbe {
     val probes = emb.filter(col("vec_id") % probeMod === 0)
     val nProbes = probes.count()
     println(s"corpus n=$n dim=$dim probes=$nProbes (1/$probeMod) topK=$topK mode=$mode")
+
+    if (mode == "size") {
+      // At-rest index-size measurement (the r16 refutation re-scoped
+      // PQ's value to index FOOTPRINT — ~m bytes/vector of codes vs
+      // dim×4 of full float vectors — but no byte number existed).
+      // Saves both indexes and walks the files: `index/` is the
+      // candidate-generation table each search scans (the honest
+      // apples-to-apples footprint); PQ's `corpus/` — the exact
+      // re-rank side a deployment may keep on cheaper storage — is
+      // reported separately, as is the flat corpus parquet itself.
+      def du(dir: String): Long = {
+        val root = java.nio.file.Paths.get(dir)
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally st.close()
+      }
+      graft.ops.Scratch.withDir("graft_size_ivf") { ivfDir =>
+        graft.ops.Scratch.withDir("graft_size_pq") { pqDir =>
+          val ivf = Similarity.ivfBuild(emb, dim = dim)
+          Similarity.ivfSave(ivf, ivfDir)
+          val pq = Similarity.pqBuild(emb, shortlist = shortlist, dim = dim)
+          Similarity.pqSave(pq, pqDir)
+          val bi = du(s"$ivfDir/index")
+          val bp = du(s"$pqDir/index")
+          val bc = du(s"$pqDir/corpus")
+          println(f"at-rest: n=$n dim=$dim m=${pq.m} " +
+            f"ivf_index_bytes=$bi pq_index_bytes=$bp " +
+            f"ratio=${bi.toDouble / bp}%.1f " +
+            f"pq_corpus_bytes=$bc " +
+            f"ivf_bytes_per_vec=${bi.toDouble / n}%.1f " +
+            f"pq_bytes_per_vec=${bp.toDouble / n}%.1f")
+        }
+      }
+      spark.stop()
+      return
+    }
 
     var t0 = System.nanoTime()
     val search: () => org.apache.spark.sql.DataFrame = mode match {

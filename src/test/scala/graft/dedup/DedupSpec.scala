@@ -516,4 +516,110 @@ class DedupSpec extends SparkSuite {
       finally s.close()
     }
   }
+
+  test("rebuild decision invariance: build-over-union and " +
+    "extend-by-parts produce IDENTICAL delta pairs (ids and jaccard)") {
+    // The contract q_stream_ingest_rebuild gates on streaming data:
+    // swapping an extended index for a fresh build over the same docs
+    // must not change a single dedup decision — MinHash signatures are
+    // deterministic functions of (text, geometry).
+    val d1 = docs(
+      10L -> "alpha corpus addition with plenty of distinctive language inside it for shingles",
+      11L -> "beta follow-up document whose wording overlaps nothing indexed before this point")
+    val extended = Dedup.minhashExtend(
+      Dedup.minhashBuild(fixture, "doc_id", "text"), d1, "doc_id", "text")
+    val rebuilt = Dedup.minhashBuild(fixture.unionByName(d1), "doc_id", "text")
+    val probe = docs(
+      20L -> base.replace("morning", "afternoon"), // near-dup of 1/2
+      21L -> "alpha corpus addition with plenty of distinctive language inside it for shingle", // near-dup of 10
+      22L -> "wholly novel text matching absolutely nothing in the standing index")
+    def full(df: DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("delta_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard"))).toSet
+    val pe = full(Dedup.minhashDeltaPairs(extended, probe, "doc_id", "text",
+      minJaccard = 0.5))
+    val pr = full(Dedup.minhashDeltaPairs(rebuilt, probe, "doc_id", "text",
+      minJaccard = 0.5))
+    assert(pe === pr)
+    assert(pe.exists(_._2 == 10L)) // the extended region is decidable
+    assert(pe.exists(p => p._2 == 1L || p._2 == 2L))
+  }
+
+  test("unicode clip alignment: runs follow the lower()-image pattern " +
+    "('K' Kelvin joins a run, 'İ' closes one), matching normalize") {
+    val s = spark
+    import s.implicits._
+    // "Kelvin K test": normalize → "kelvin k test" (the Kelvin sign
+    // U+212A lowercases to ASCII 'k') — three tokens. An ASCII-only
+    // scanner saw two runs and shifted every span after it.
+    // "Aİ b c": 'İ' U+0130 lowercases to "i̇" (token char + combining
+    // dot → separator), so 'A'+'İ' form ONE run that 'İ' also closes:
+    // tokens are [ai, b, c].
+    val fix = docs(
+      1L -> "Kelvin K test",
+      2L -> "Aİ b c",
+      3L -> "café résumé") // é lowers to é → separator: [caf, r, sum]
+    val spans = Seq(
+      (1L, 1L, 1L), // drop the Kelvin-sign token
+      (2L, 0L, 0L), // drop the 'Aİ' run (takes its trailing space)
+      (3L, 2L, 2L)  // drop "sum" — é boundaries must align
+    ).toDF("id", "span_start", "span_end")
+    val out = Dedup.clipSpans(fix, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[String]("text_clipped")))).toMap
+    assert(out(1L) === ((3L, "Kelvin test")))
+    assert(out(2L) === ((3L, "b c")))
+    assert(out(3L) === ((3L, "café ré")))
+  }
+
+  test("token_run_count == token count of normalize(text) for " +
+    "mixed-script inputs (the shared-classifier contract)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val strs = Seq(
+      "", "!!! ...", "plain ascii text 123",
+      "Kelvin K test", "Aİ b c", "İİİ",
+      "café résumé naïve",
+      "漢字 and ascii", "ẞ sharp", "ábc combining",
+      "ＡＢＣ fullwidth", "Σigma ΣΣ ΒΣ",
+      "٣٤٥ 123", "  leading and trailing  ",
+      "xKy mid-run kelvin", "İstart and endİ")
+    val out = strs.toDF("text").select(
+      graft.functions.TokenRunCountExpr(col("text")).as("n"),
+      size(filter(split(graft.text.TextFunctions.normalize(col("text")), " "),
+        t => length(t) > 0)).as("m"),
+      col("text")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("n") === r.getAs[Int]("m"),
+        s"run count diverged from normalize tokens on '${r.getAs[String]("text")}'")
+    }
+  }
+
+  test("unicode clip ↔ token removal equivalence: clipping span (i,i) " +
+    "removes exactly the i-th normalized token") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "Kelvin K test", "Aİ b c", "xKy mid kelvin run",
+      "café résumé naïve words", "mixed 42 漢 digits 7x")
+    // normalize via the REAL Spark expression (not a Scala re-derivation)
+    def toks(x: String): Seq[String] =
+      Seq(x).toDF("text")
+        .select(filter(split(graft.text.TextFunctions.normalize(col("text")), " "),
+          v => length(v) > 0).as("tk"))
+        .head().getAs[scala.collection.Seq[String]]("tk").toSeq
+    for (t <- texts) {
+      val want = toks(t)
+      for (i <- want.indices) {
+        val spans = Seq((1L, i.toLong, i.toLong))
+          .toDF("id", "span_start", "span_end")
+        val clipped = Dedup.clipSpans(docs(1L -> t), spans, "doc_id", "text")
+          .head().getAs[String]("text_clipped")
+        assert(toks(clipped) === want.zipWithIndex.filter(_._2 != i).map(_._1),
+          s"clipping token $i of '$t' gave '$clipped'")
+      }
+    }
+  }
 }
