@@ -647,8 +647,12 @@ object Similarity {
     * side-format parser). With [[pqLoad]] this is the deployment
     * shape: build on the full corpus once, serve probe batches from
     * any later session without retraining or re-encoding — the
-    * at-rest index is ~m bytes/vector, the 32× cut that makes a
-    * 100 TB corpus's index fit object storage comfortably. */
+    * at-rest index is ~m bytes/vector — measured (BENCH_NOTES r17,
+    * 60k vectors): 9.6–9.8 bytes/vector at ANY dim vs the flat
+    * index's dim×4 (27.6× smaller at dim 64, 210× at dim 512) — the
+    * cut that makes a 100 TB corpus's scan-hot index tier fit fast
+    * storage, with the exact re-rank corpus (touched only at
+    * shortlist cardinality) relegated to cold storage. */
   def pqSave(model: PqIndexModel, path: String): Unit = {
     model.indexed.write.mode("overwrite").parquet(s"$path/index")
     model.corpus2.write.mode("overwrite").parquet(s"$path/corpus")

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Td
+import graft.text.CorpusPrep
+
+/** Scale probe for the MinHash ingestion loop (the operator behind
+  * `q_stream_ingest_dedup` / `q_stream_ingest_rebuild`): drives the
+  * build → (pairs → extend [→ rebuild]) chain batch-by-batch over a
+  * ScaleUp corpus and prints ONE LINE PER BATCH — wall seconds split
+  * into the pairing join and the extend, plus admitted/pair counts —
+  * so the trend the scaladoc claims ("per-batch cost = sign the batch
+  * + two bounded equi-joins + delta-sized extend") is measured, not
+  * asserted. The streaming file-source harness is deliberately
+  * omitted: its replay machinery is gated at sf0.1; what can break at
+  * 30×/90× is the INDEX side (bucket-table growth, chained-extend plan
+  * depth), which this loop exercises identically via foreachBatch's
+  * own body.
+  *
+  * Batch plan: documents split by `doc_id % (nBatches+1)` — slice 0
+  * builds the standing index, slices 1..n arrive as batches. Each
+  * batch additionally carries near-dup mutations (`substring 12`) of
+  * a 1-in-4 sample of the PREVIOUS slice (ids offset by +5e7, clear of
+  * ScaleUp's 1e8 copy bands), so the pairing join always has real
+  * matches to verify, like the gated loop.
+  *
+  * With `rebuild=1` the loop consumes `needsRebuild` exactly as
+  * `q_stream_ingest_rebuild` does (fresh `minhashBuild` over the
+  * accumulated admitted corpus when extends outgrow the build) —
+  * across a doubling corpus this fires O(log n) times and the probe
+  * prints the rebuild's own wall beside the batch's.
+  *
+  * Usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1]
+  */
+object IngestProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val nBatches = if (args.length > 1) args(1).toInt else 6
+    val doRebuild = args.length > 2 && args(2) == "1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def quality(c: org.apache.spark.sql.Column) =
+      CorpusPrep.qualityFilter(c, CorpusPrep.Quality())
+    val docs = Td(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val mod = nBatches + 1
+    def slice(i: Int) = docs.filter(col("doc_id") % mod === i)
+
+    def secs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (base, buildS) = secs {
+      val b = slice(0).filter(quality(col("text"))).localCheckpoint()
+      (b, Dedup.minhashBuild(b, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3))
+    }
+    var corpus = base._1
+    var model = base._2
+    println(f"build: n=${model.builtN} wall=${buildS}%.1f s " +
+      s"(sfDir=$sfDir batches=$nBatches rebuild=$doRebuild)")
+
+    var rebuilds = 0
+    for (i <- 1 to nBatches) {
+      // novel slice ∪ near-dup mutations of 1/4 of the PREVIOUS slice
+      val batch = slice(i)
+        .unionByName(slice(i - 1).filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"),
+            substring(col("text"), 12, 1000000).as("text")))
+      val (b, signS) = secs {
+        batch.filter(quality(col("text"))).localCheckpoint()
+      }
+      val ((pairs, nPairs), pairS) = secs {
+        val p = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
+          minJaccard = 0.5).localCheckpoint()
+        (p, p.count())
+      }
+      val ((novel, nNovel), novelS) = secs {
+        val nv = b.join(pairs.select(col("delta_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        (nv, nv.count())
+      }
+      val (_, extendS) = secs {
+        model = Dedup.minhashExtend(model, novel, "doc_id", "text")
+      }
+      corpus = corpus.unionByName(novel).localCheckpoint()
+      var rebuildS = 0.0
+      if (doRebuild && model.needsRebuild) {
+        rebuilds += 1
+        val (m2, rs) = secs {
+          Dedup.minhashBuild(corpus, "doc_id", "text",
+            numHashes = 64, bands = 16, shingleK = 3)
+        }
+        model = m2
+        rebuildS = rs
+      }
+      println(f"batch $i: in=${nNovel + nPairs} pairs=$nPairs admitted=$nNovel " +
+        f"indexN=${model.builtN + model.extendedN} " +
+        f"sign=${signS}%.1f pair=${pairS}%.1f novel=${novelS}%.1f " +
+        f"extend=${extendS}%.1f rebuild=${rebuildS}%.1f " +
+        f"total=${signS + pairS + novelS + extendS + rebuildS}%.1f s")
+    }
+    println(s"done: rebuilds=$rebuilds finalN=${model.builtN + model.extendedN}")
+    spark.stop()
+  }
+}
