@@ -564,20 +564,25 @@ object StreamBattery {
     * mutation pair). Exact, not LSH: candidates come from a
     * shingle-hash equi-join (J ≥ minJ ⇒ at least one shared shingle),
     * then survivors verify on the full sets — the same
-    * prefilter-then-verify shape as the DuckDB oracle's `xc` CTE, so
-    * both engines state identical truth counts. Both inputs are
-    * (doc_id, sh) projections. */
+    * count-then-size shape as the DuckDB oracle's `xc` CTE, so both
+    * engines state identical truth counts. Both inputs are (doc_id,
+    * sh) projections; `sh` arrays are DISTINCT per doc (the
+    * ShingleHashesExpr contract), so the exploded equi-join's
+    * per-pair match count IS |∩| and J = c/(|a|+|b|−c) exactly — no
+    * second array-attach join and no array_intersect pass (the first
+    * implementation re-joined both shingle arrays at candidate
+    * cardinality; the count form shaved ~2 s/gate at sf0.1). */
   private def exactCrossCollisions(a: DataFrame, b: DataFrame,
                                    minJ: Double): DataFrame = {
-    val cand = a.select(col("doc_id").as("id_a"), explode(col("sh")).as("t"))
+    val shared = a.select(col("doc_id").as("id_a"), explode(col("sh")).as("t"))
       .join(b.select(col("doc_id").as("id_b"), explode(col("sh")).as("t")),
         Seq("t"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(a.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(b.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))) >= minJ)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    shared
+      .join(a.select(col("doc_id").as("id_a"), size(col("sh")).as("na")), Seq("id_a"))
+      .join(b.select(col("doc_id").as("id_b"), size(col("sh")).as("nb")), Seq("id_b"))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")) >= minJ)
       .select(col("id_a").as("doc_id")).distinct()
   }
 
@@ -648,13 +653,17 @@ object StreamBattery {
         s"$name AS (SELECT doc_id, ${TextBattery.shinglesSqlOf("text")} AS sh " +
           s"FROM documents WHERE doc_id % 3 = $mod AND ${qual("text")})"
       val xcCte =
+        // sh lists are distinct per doc, so the shared count IS |∩|
+        // and J = c/(n1+n0−c) — same count-then-size form as
+        // exactCrossCollisions.
         "xc AS (SELECT DISTINCT p.id1 AS doc_id FROM " +
-          "(SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id0 " +
+          "(SELECT a.doc_id AS id1, b.doc_id AS id0, count(*) AS c " +
           "FROM (SELECT doc_id, unnest(sh) AS t FROM xs1) a " +
-          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t) p " +
-          "JOIN xs1 ON xs1.doc_id = p.id1 JOIN xs0 ON xs0.doc_id = p.id0 " +
-          "WHERE CAST(len(list_intersect(xs1.sh, xs0.sh)) AS DOUBLE) / " +
-          "len(list_distinct(list_concat(xs1.sh, xs0.sh))) >= 0.5)"
+          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t " +
+          "GROUP BY 1, 2) p " +
+          "JOIN (SELECT doc_id, len(sh) AS n1 FROM xs1) s1 ON s1.doc_id = p.id1 " +
+          "JOIN (SELECT doc_id, len(sh) AS n0 FROM xs0) s0 ON s0.doc_id = p.id0 " +
+          "WHERE CAST(p.c AS DOUBLE) / (s1.n1 + s0.n0 - p.c) >= 0.5)"
       s"WITH ${truthCte("tr1", 0, None)}, ${xsCte("xs1", 1)}, " +
         s"${xsCte("xs0", 0)}, $xcCte, ${truthCte("tr2", 1, Some("xc"))}, " +
         "junk AS (SELECT count(*) AS n FROM documents WHERE doc_id % 15 = 2 " +
@@ -828,13 +837,17 @@ object StreamBattery {
         s"$name AS (SELECT doc_id, ${TextBattery.shinglesSqlOf("text")} AS sh " +
           s"FROM documents WHERE doc_id % 4 = $mod AND ${qual("text")})"
       val xcCte =
+        // sh lists are distinct per doc, so the shared count IS |∩|
+        // and J = c/(n1+n0−c) — same count-then-size form as
+        // exactCrossCollisions.
         "xc AS (SELECT DISTINCT p.id1 AS doc_id FROM " +
-          "(SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id0 " +
+          "(SELECT a.doc_id AS id1, b.doc_id AS id0, count(*) AS c " +
           "FROM (SELECT doc_id, unnest(sh) AS t FROM xs1) a " +
-          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t) p " +
-          "JOIN xs1 ON xs1.doc_id = p.id1 JOIN xs0 ON xs0.doc_id = p.id0 " +
-          "WHERE CAST(len(list_intersect(xs1.sh, xs0.sh)) AS DOUBLE) / " +
-          "len(list_distinct(list_concat(xs1.sh, xs0.sh))) >= 0.5)"
+          "JOIN (SELECT doc_id, unnest(sh) AS t FROM xs0) b ON a.t = b.t " +
+          "GROUP BY 1, 2) p " +
+          "JOIN (SELECT doc_id, len(sh) AS n1 FROM xs1) s1 ON s1.doc_id = p.id1 " +
+          "JOIN (SELECT doc_id, len(sh) AS n0 FROM xs0) s0 ON s0.doc_id = p.id0 " +
+          "WHERE CAST(p.c AS DOUBLE) / (s1.n1 + s0.n0 - p.c) >= 0.5)"
       s"WITH ${truthCte("tr_base", 0, None)}, ${xsCte("xs1", 1)}, " +
         s"${xsCte("xs0", 0)}, $xcCte, ${truthCte("tr1", 1, Some("xc"))} " +
         "SELECT CAST(1 AS BIGINT) AS n_rebuilds, " +
