@@ -151,8 +151,9 @@ object Bench {
     * semantics changed to raw-text clipping (native ClipRunsExpr),
     * build-side dropDuplicates + rebuild-trigger counts in the
     * IVF/PQ/MinHash builds and extends,
-    * v6 = round-17: new q_stream_ingest_rebuild gate (mid-stream
-    * index rebuild + decision-invariance twin), Unicode-exact clip
+    * v6 = round-17: new q_stream_ingest_rebuild and q_stream_ingest_ann
+    * gates (mid-stream index rebuild + decision-invariance twin;
+    * IVF-rebuild recall preservation), Unicode-exact clip
     * scanner + native token_run_count replacing the regex n_tok,
     * exact cross-collision exclusion in both ingest truths,
     * delta-bound extend bookkeeping in ivfExtend/pqExtend.

@@ -974,7 +974,137 @@ object StreamBattery {
     }
   )
 
+  /** Streaming ANN INGESTION LOOP — the IVF sibling of
+    * [[streamIngestRebuild]], closing the B36 lifecycle the way that
+    * gate closed B38's: per micro-batch, arriving vectors dedup
+    * against the standing IVF index (`ivfSearch` top-1, cosine ≥ 0.9 =
+    * duplicate), novel vectors are admitted via `ivfExtend`, and when
+    * admissions outgrow the build (`needsRebuild`) the loop runs a
+    * fresh `ivfBuild` over the accumulated corpus — which, unlike the
+    * MinHash rebuild, RE-DERIVES geometry (cells/nprobe from the new
+    * n, centroids retrained on the full corpus). Decision invariance
+    * across the rebuild is therefore NOT the contract here (the
+    * geometry changes by design); the operational contract is that
+    * RECALL survives it — batch 2 plants near-dup mutations of BOTH
+    * the build corpus (+1e6) and batch-1's admissions (+2e6), and each
+    * family's pair is recoverable only if the rebuilt index still
+    * carries both populations.
+    *
+    * Closed forms: the mutation (first coordinate +0.25 on these
+    * unit-norm vectors) lands at cosine 0.968–0.979 to its original —
+    * 0.07 above the 0.9 dedup threshold — while organic cross-pairs
+    * top out near 0.47 (measured sf0.1), so both engines agree on
+    * every threshold decision with enormous margin (no float-vs-double
+    * boundary risk), batch 1 admits ~2× the build corpus (flips the
+    * trigger, `n_rebuilds = 1` exactly), and batch-2 admissions (the
+    * few mutations below threshold) can never re-flip it. Batch-1
+    * truth subtracts exact cross-collisions vs the standing corpus
+    * (brute top-1, the documented bounded broadcast shape) — same
+    * rationale as [[streamIngestRebuild]]. */
+  val streamIngestAnn = Q(
+    "q_stream_ingest_ann",
+    Some {
+      val mutSql = "list_concat([embedding[1] + 0.25], embedding[2:])"
+      s"WITH me0 AS (SELECT vec_id, list_cosine_similarity(embedding, $mutSql) AS c " +
+        "FROM embeddings WHERE vec_id % 3 = 0), " +
+        s"me1 AS (SELECT vec_id, list_cosine_similarity(embedding, $mutSql) AS c " +
+        "FROM embeddings WHERE vec_id % 3 = 1), " +
+        "x1 AS (SELECT a.vec_id FROM embeddings a WHERE a.vec_id % 3 = 1 " +
+        "AND EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id % 3 = 0 " +
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)) " +
+        "SELECT CAST(1 AS BIGINT) AS n_rebuilds, " +
+        "(SELECT count(*) FROM me0 WHERE c >= 0.9) AS n_truth_base, " +
+        "true AS recall_base_ok, " +
+        "(SELECT count(*) FROM me1 WHERE c >= 0.9 " +
+        "AND vec_id NOT IN (SELECT vec_id FROM x1)) AS n_truth_b1, " +
+        "true AS recall_b1_ok"
+    },
+    (s, dir) => {
+      import graft.sim.Similarity
+      def emb = Td(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def mut(c: org.apache.spark.sql.Column) =
+        concat(array(c.getItem(0) + lit(0.25f)), slice(c, 2, 1000000))
+      val feed = FeedCache(
+        s"stream_ingest_ann:$dir:mod=3:b1=1,2:b2=0+1e6,1+2e6:bump=0.25f") {
+        feedDir =>
+          writeSlice(emb.filter(col("vec_id") % 3 === 1 ||
+            col("vec_id") % 3 === 2), feedDir, 0)
+          writeSlice(
+            emb.filter(col("vec_id") % 3 === 0)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                mut(col("embedding")).as("embedding"))
+              .unionByName(emb.filter(col("vec_id") % 3 === 1)
+                .select((col("vec_id") + 2000000L).as("vec_id"),
+                  mut(col("embedding")).as("embedding"))),
+            feedDir, 1)
+      }
+      withShufflePartitions(s, replayPartitions(s, feed)) {
+        val base = emb.filter(col("vec_id") % 3 === 0).localCheckpoint()
+        var corpus = base
+        var model = Similarity.ivfBuild(base)
+        var rebuilds = 0
+        var found: org.apache.spark.sql.DataFrame = null
+        val q = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.localCheckpoint()
+            val pairs = Similarity.ivfSearch(model, b, topK = 1)
+              .filter(col("cos") >= 0.9)
+              .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+            found = if (found == null) pairs
+              else found.unionByName(pairs).localCheckpoint()
+            val novel = b.join(
+              pairs.select(col("probe_id").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti").localCheckpoint()
+            model = Similarity.ivfExtend(model, novel)
+            corpus = corpus.unionByName(novel).localCheckpoint()
+            if (model.needsRebuild) {
+              rebuilds += 1
+              model = Similarity.ivfBuild(corpus)
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def truthIds(m: Int) =
+          emb.filter(col("vec_id") % 3 === m)
+            .filter(Similarity.cosine(col("embedding"),
+              mut(col("embedding"))) >= 0.9)
+            .select(col("vec_id"))
+        val x1 = Similarity.bruteTopK(
+          emb.filter(col("vec_id") % 3 === 0),
+          emb.filter(col("vec_id") % 3 === 1), k = 1)
+          .filter(col("cos") >= 0.9)
+          .select(col("probe_id").as("vec_id")).distinct()
+        def recallRow(truth: org.apache.spark.sql.DataFrame,
+                      foundIds: org.apache.spark.sql.DataFrame,
+                      prefix: String) =
+          truth.join(foundIds.withColumn("f", lit(1)).distinct(),
+            Seq("vec_id"), "left")
+            .agg(count(lit(1)).as(s"n_truth_$prefix"),
+              (count(col("f")) >= count(lit(1)) * 0.95)
+                .as(s"recall_${prefix}_ok"))
+        val rBase = recallRow(truthIds(0),
+          found.filter(col("neighbor_id") % 3 === 0 &&
+            col("neighbor_id") < 1000000L &&
+            col("probe_id") === col("neighbor_id") + 1000000L)
+            .select(col("neighbor_id").as("vec_id")), "base")
+        val rB1 = recallRow(truthIds(1).join(x1, Seq("vec_id"), "left_anti"),
+          found.filter(col("neighbor_id") % 3 === 1 &&
+            col("neighbor_id") < 1000000L &&
+            col("probe_id") === col("neighbor_id") + 2000000L)
+            .select(col("neighbor_id").as("vec_id")), "b1")
+        s.range(1).select(lit(rebuilds.toLong).as("n_rebuilds"))
+          .crossJoin(rBase).crossJoin(rB1)
+          .select(col("n_rebuilds"), col("n_truth_base"),
+            col("recall_base_ok"), col("n_truth_b1"), col("recall_b1_ok"))
+      }
+    }
+  )
+
   val all: Seq[Q] = Seq(streamSessionize, streamDedup, streamMultisync,
     streamJoin, streamJoinOuter, streamDecontaminate, streamIngestDedup,
-    streamIngestRebuild)
+    streamIngestRebuild, streamIngestAnn)
 }

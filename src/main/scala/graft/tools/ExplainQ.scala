@@ -20,7 +20,7 @@ object ExplainQ {
     Set("q_stream_sync", "q_stream_multisync", "q_stream_sessionize",
       "q_stream_dedup", "q_stream_join", "q_stream_join_outer",
       "q_stream_decontaminate", "q_stream_ingest_dedup",
-      "q_stream_ingest_rebuild", "q_jdbc_sink")
+      "q_stream_ingest_rebuild", "q_stream_ingest_ann", "q_jdbc_sink")
 
   private def counts(text: String): (Int, Int, Int, Int, Int) = {
     // Count from the formatted text, not the SparkPlan tree:
