@@ -710,8 +710,11 @@ object StreamBattery {
         var model = Dedup.minhashBuild(
           docs.filter(col("doc_id") % 3 === 0).filter(quality(col("text"))),
           "doc_id", "text", numHashes = 64, bands = 16, shingleK = 3)
-        val batchPairs =
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        // Running checkpointed fold (not a driver buffer unioned at the
+        // end): each batch's pairs frame is already materialized, so
+        // the rolling union stays a flat two-checkpoint plan at ANY
+        // batch count — the shape a many-batch deployment needs.
+        var found: org.apache.spark.sql.DataFrame = null
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(feed)
           .writeStream
@@ -721,7 +724,8 @@ object StreamBattery {
             val b = batch.filter(quality(col("text"))).localCheckpoint()
             val pairs = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
               minJaccard = 0.5).localCheckpoint()
-            batchPairs += pairs
+            found = if (found == null) pairs
+              else found.unionByName(pairs).localCheckpoint()
             val novel = b.join(
               pairs.select(col("delta_id").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
@@ -731,7 +735,6 @@ object StreamBattery {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val found = batchPairs.reduce(_ unionByName _)
         // Planted truth, quality-restricted on BOTH sides (the loop
         // filters before pairing, so the truth must too) — Spark's
         // independent count of the same closed form the oracle states.
