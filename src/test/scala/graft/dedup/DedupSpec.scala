@@ -517,6 +517,46 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("ingestion-loop crash recovery: save the EXTENDED index, load " +
+    "in a fresh model, and the next batch decides identically " +
+    "(trigger state included)") {
+    // The operational composition behind the streaming loop's
+    // "restart-safe via minhashSave/Load" claim: an index that has
+    // absorbed deltas round-trips with its extended content AND its
+    // rebuild-trigger counters, so a resumed loop neither re-admits
+    // nor forgets anything and the trigger fires on the same schedule.
+    val d1 = docs(
+      10L -> "alpha corpus addition with plenty of distinctive language inside it for shingles",
+      11L -> "beta follow-up document whose wording overlaps nothing indexed before this point")
+    val extended = Dedup.minhashExtend(
+      Dedup.minhashBuild(fixture, "doc_id", "text"), d1, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("minhash_ext_idx")
+    try {
+      Dedup.minhashSave(extended, dir.toString)
+      val resumed = Dedup.minhashLoad(spark, dir.toString)
+      assert(resumed.builtN === extended.builtN &&
+        resumed.extendedN === extended.extendedN)
+      val probe = docs(
+        20L -> base.replace("morning", "afternoon"),
+        21L -> "alpha corpus addition with plenty of distinctive language inside it for shingle")
+      def full(df: DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("delta_id"),
+          r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard"))).toSet
+      val live = full(Dedup.minhashDeltaPairs(extended, probe,
+        "doc_id", "text", minJaccard = 0.5))
+      val rec = full(Dedup.minhashDeltaPairs(resumed, probe,
+        "doc_id", "text", minJaccard = 0.5))
+      assert(rec === live)
+      assert(rec.exists(_._2 == 10L)) // the extended region survived the crash
+    } finally {
+      import java.nio.file.{Files, Path}
+      val st = Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   test("rebuild decision invariance: build-over-union and " +
     "extend-by-parts produce IDENTICAL delta pairs (ids and jaccard)") {
     // The contract q_stream_ingest_rebuild gates on streaming data:
