@@ -33,18 +33,29 @@ import graft.text.CorpusPrep
   * across a doubling corpus this fires O(log n) times and the probe
   * prints the rebuild's own wall beside the batch's.
   *
-  * Usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1]
+  * Mode `ann` runs the IVF sibling (`q_stream_ingest_ann`'s chain:
+  * `ivfSearch` top-1 cosine ≥ 0.9 → `ivfExtend` → optional rebuild)
+  * over the embeddings table. The interesting scale question differs
+  * from MinHash: under FROZEN geometry the per-probe candidate scan is
+  * nprobe × occupancy, and occupancy grows linearly as extends pile
+  * into a fixed cell count — so per-batch cost RISES without the
+  * rebuild, and the rebuild (re-deriving cells ∝ √n) is what flattens
+  * it. Run with rebuild 0 vs 1 to see the divergence the trigger
+  * exists to prevent.
+  *
+  * Usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1] [minhash|ann]
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1]")
+        "usage: runMain graft.tools.IngestProbe <sfDir> [nBatches] [rebuild 0|1] [minhash|ann]")
       sys.exit(2)
     }
     val sfDir = args(0)
     val nBatches = if (args.length > 1) args(1).toInt else 6
     val doRebuild = args.length > 2 && args(2) == "1"
+    val mode = if (args.length > 3) args(3) else "minhash"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,17 +67,19 @@ object IngestProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def quality(c: org.apache.spark.sql.Column) =
-      CorpusPrep.qualityFilter(c, CorpusPrep.Quality())
-    val docs = Td(spark, sfDir, "documents").select(col("doc_id"), col("text"))
-    val mod = nBatches + 1
-    def slice(i: Int) = docs.filter(col("doc_id") % mod === i)
-
     def secs[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
+
+    if (mode == "ann") { runAnn(spark, sfDir, nBatches, doRebuild); return }
+
+    def quality(c: org.apache.spark.sql.Column) =
+      CorpusPrep.qualityFilter(c, CorpusPrep.Quality())
+    val docs = Td(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val mod = nBatches + 1
+    def slice(i: Int) = docs.filter(col("doc_id") % mod === i)
 
     val (base, buildS) = secs {
       val b = slice(0).filter(quality(col("text"))).localCheckpoint()
@@ -114,6 +127,71 @@ object IngestProbe {
       }
       println(f"batch $i: in=${nNovel + nPairs} pairs=$nPairs admitted=$nNovel " +
         f"indexN=${model.builtN + model.extendedN} " +
+        f"sign=${signS}%.1f pair=${pairS}%.1f novel=${novelS}%.1f " +
+        f"extend=${extendS}%.1f rebuild=${rebuildS}%.1f " +
+        f"total=${signS + pairS + novelS + extendS + rebuildS}%.1f s")
+    }
+    println(s"done: rebuilds=$rebuilds finalN=${model.builtN + model.extendedN}")
+    spark.stop()
+  }
+
+  /** ANN-mode loop — see the object scaladoc. */
+  private def runAnn(spark: SparkSession, sfDir: String,
+                     nBatches: Int, doRebuild: Boolean): Unit = {
+    import graft.sim.Similarity
+    def secs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val emb = Td(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val mod = nBatches + 1
+    def slice(i: Int) = emb.filter(col("vec_id") % mod === i)
+    def mut(c: org.apache.spark.sql.Column) =
+      concat(array(c.getItem(0) + lit(0.25f)), slice_(c))
+    def slice_(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.slice(c, 2, 1000000)
+
+    val (m0, buildS) = secs {
+      val b = slice(0).localCheckpoint()
+      (b, Similarity.ivfBuild(b))
+    }
+    var corpus = m0._1
+    var model = m0._2
+    println(f"build: n=${model.builtN} cells=${model.cells} " +
+      f"nprobe=${model.nprobe} wall=${buildS}%.1f s " +
+      s"(sfDir=$sfDir batches=$nBatches rebuild=$doRebuild mode=ann)")
+    var rebuilds = 0
+    for (i <- 1 to nBatches) {
+      val (b, signS) = secs {
+        slice(i)
+          .unionByName(slice(i - 1).filter(col("vec_id") % 4 === 0)
+            .select((col("vec_id") + 50000000L).as("vec_id"),
+              mut(col("embedding")).as("embedding")))
+          .localCheckpoint()
+      }
+      val ((pairs, nPairs), pairS) = secs {
+        val p = Similarity.ivfSearch(model, b, topK = 1)
+          .filter(col("cos") >= 0.9)
+          .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+        (p, p.count())
+      }
+      val ((novel, nNovel), novelS) = secs {
+        val nv = b.join(pairs.select(col("probe_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+        (nv, nv.count())
+      }
+      val (_, extendS) = secs { model = Similarity.ivfExtend(model, novel) }
+      corpus = corpus.unionByName(novel).localCheckpoint()
+      var rebuildS = 0.0
+      if (doRebuild && model.needsRebuild) {
+        rebuilds += 1
+        val (m2, rs) = secs { Similarity.ivfBuild(corpus) }
+        model = m2
+        rebuildS = rs
+      }
+      println(f"batch $i: in=${nNovel + nPairs} pairs=$nPairs admitted=$nNovel " +
+        f"indexN=${model.builtN + model.extendedN} cells=${model.cells} " +
         f"sign=${signS}%.1f pair=${pairS}%.1f novel=${novelS}%.1f " +
         f"extend=${extendS}%.1f rebuild=${rebuildS}%.1f " +
         f"total=${signS + pairS + novelS + extendS + rebuildS}%.1f s")
