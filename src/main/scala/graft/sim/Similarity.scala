@@ -200,6 +200,21 @@ object Similarity {
       * doubled corpus). Conservative threshold, not a cliff: recall
       * degrades gradually as cells fill. */
     def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
+
+    /** Per-cell matrix view of the index — one row per cell carrying
+      * every (neighbor_id, cv) as an array-of-structs — the input the
+      * bulk search's [[graft.functions.TopKCellCosExpr]] kernel scans.
+      * Lazily built and checkpointed once per model INSTANCE:
+      * [[ivfExtend]]/[[ivfBuild]] return new instances, so the matrix
+      * always reflects the index it belongs to and repeated bulk
+      * batches reuse the materialized blocks instead of re-grouping
+      * the index per batch. Row width is bounded by cell occupancy
+      * (~n/cells ≈ 2·√n under derived geometry — the same √n bound
+      * that keeps the candidate scan sublinear). */
+    @transient lazy val cellMatrix: DataFrame =
+      indexed.groupBy(col("cell"))
+        .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("mat"))
+        .localCheckpoint()
   }
 
   /** Train the coarse quantizer and cell-index the corpus (see
@@ -239,8 +254,15 @@ object Similarity {
     * `broadcastProbes` carries the same interactive-vs-bulk strategy
     * split as [[pqSearch]]: true replicates the bounded probe batch
     * and scans the index shuffle-free; false makes the candidate join
-    * a plain (cell) equi-join for probe batches too big to broadcast.
-    * Results are identical either way (spec-pinned). */
+    * a plain (cell) equi-join for probe batches too big to broadcast,
+    * scanning each visited cell inside one vectorized top-k kernel
+    * ([[graft.functions.TopKCellCosExpr]]). Results are identical
+    * either way (spec-pinned), with two bulk-path caveats: the id
+    * column must be BIGINT (the kernel's self-exclusion compares
+    * longs — analysis fails loudly otherwise), and zero-norm
+    * degenerate vectors are omitted rather than ranked NULLS-LAST,
+    * so only probes with fewer than topK finite candidates can see
+    * fewer (never different) rows. */
   def ivfSearch(model: IvfIndexModel, probes: DataFrame, topK: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 broadcastProbes: Boolean = true): DataFrame = {
@@ -269,29 +291,51 @@ object Similarity {
       // lives in exactly one cell.
       .select(col("probe_id"), col("pv"), col("cell"))
       .dropDuplicates("probe_id", "cell")
-    def probeSide(df: DataFrame): DataFrame =
-      if (broadcastProbes) broadcast(df) else df
-    // Bulk: pin BOTH cell-join inputs to session width — see the
-    // pqSearch note (AQE's size-based reads serialize the cell-join
-    // expansion onto 1-2 tasks on whichever side the planner streams;
-    // a user repartition is neither coalescible nor local-readable).
     val width =
       model.indexed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val indexSide =
-      if (broadcastProbes) model.indexed
-      else model.indexed.repartition(width, col("cell"), col("neighbor_id"))
-    val probeFan =
-      if (broadcastProbes) probeCells
-      else probeCells.repartition(width, col("cell"), col("probe_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    indexSide.join(probeSide(probeFan), Seq("cell"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    if (broadcastProbes) {
+      model.indexed.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          cosine(col("pv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    } else {
+      // Bulk (r17 rework): the r15 row-per-candidate cell join was
+      // measured CPU-bound once the index outgrew the broadcast
+      // threshold — 90×/18k probes: 228M candidate rows × ~2.8 µs of
+      // join/row machinery ≈ 630 CPU-s per batch, with the stacked
+      // EnsureRequirements exchange (the (cell, id) repartition never
+      // satisfied the join's clustering requirement) AQE-coalesced by
+      // input bytes, blind to the in-stage expansion, and sort-
+      // spilling 0.6–2.4 GB (BENCH_NOTES r17). Now the ~cells-row
+      // per-cell MATRIX joins the probe fan and the whole candidate
+      // scan runs inside one kernel per (probe, cell) row
+      // ([[graft.functions.TopKCellCosExpr]], reusing the very same
+      // fused cosine — values bit-identical, and global top-k is
+      // preserved because each vector lives in exactly one cell), so
+      // only probes × nprobe × topK rows reach the merge window.
+      // Both sides pin width by repartitioning on the JOIN KEY
+      // (HashPartitioning(cell) satisfies the requirement directly;
+      // REPARTITION_BY_NUM is not AQE-coalescible). Bulk requires a
+      // LONG id column (the kernel's self-exclusion compares longs);
+      // degenerate zero-norm vectors are skipped rather than ranked
+      // NULLS-LAST — see the kernel scaladoc.
+      val probeFan = probeCells.repartition(width, col("cell"))
+      val mat = model.cellMatrix.repartition(width, col("cell"))
+      probeFan.join(mat, Seq("cell"))
+        .select(col("probe_id"),
+          explode(graft.functions.TopKCellCosExpr(
+            col("probe_id"), col("pv"), col("mat"), topK)).as("e"))
+        .select(col("probe_id"), col("e.neighbor_id").as("neighbor_id"),
+          col("e.cos").as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }
   }
 
   /** Add vectors to a built IVF index WITHOUT retraining — the Faiss

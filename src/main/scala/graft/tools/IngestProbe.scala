@@ -66,6 +66,25 @@ object IngestProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heavy-stage reporter with SPILL metrics — names the cause when a
+    // batch's cost steps instead of trending (memory boundary vs
+    // candidate volume).
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secsW = (i.completionTime.getOrElse(0L) -
+            i.submissionTime.getOrElse(0L)) / 1e3
+          val m = i.taskMetrics
+          if (secsW > 2.0)
+            println(f"  stage ${i.stageId}%4d ${secsW}%6.1f s tasks=${i.numTasks} " +
+              f"cpu=${m.executorCpuTime / 1e9}%.1f " +
+              f"sr=${m.shuffleReadMetrics.recordsRead} " +
+              f"spillMem=${m.memoryBytesSpilled >> 20}MB " +
+              f"spillDisk=${m.diskBytesSpilled >> 20}MB")
+        }
+      })
 
     def secs[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -171,7 +190,10 @@ object IngestProbe {
           .localCheckpoint()
       }
       val ((pairs, nPairs), pairS) = secs {
-        val p = Similarity.ivfSearch(model, b, topK = 1)
+        // bulk path: a ~10k-probe batch is the non-broadcast regime
+        // the r15 strategy split exists for (see pqSearch scaladoc)
+        val p = Similarity.ivfSearch(model, b, topK = 1,
+            broadcastProbes = false)
           .filter(col("cos") >= 0.9)
           .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
         (p, p.count())

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The per-cell top-k kernel must return EXACTLY the rows the composed
+  * explode → cosine → rank-window form it replaces would keep for
+  * finite-cosine candidates — the bulk IVF search's identity with the
+  * broadcast path rests on it ([[graft.sim.Similarity.ivfSearch]]).
+  * The single documented divergence: zero-norm (NULL-cosine) entries
+  * are omitted rather than ranked NULLS-LAST behind every finite
+  * candidate. */
+class NativeTopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** (probe_id, pv, mat) rows: each probe faces one synthetic cell of
+    * `cellN` random vectors whose ids start at 1000·(probe+1). */
+  private def rows(nProbes: Int, cellN: Int, seed: Long): DataFrame = {
+    val r = new scala.util.Random(seed)
+    def vec() = Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    Seq.tabulate(nProbes) { p =>
+      (p.toLong, vec(),
+        Seq.tabulate(cellN)(i => (1000L * (p + 1) + i, vec())))
+    }.toDF("probe_id", "pv", "mat")
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<float>>>"))
+  }
+
+  private def kernel(df: DataFrame, k: Int): Set[(Long, Long, Double)] =
+    df.select(col("probe_id"),
+        explode(TopKCellCosExpr(col("probe_id"), col("pv"), col("mat"), k)).as("e"))
+      .select(col("probe_id"), col("e.neighbor_id"), col("e.cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** The composed form the r15 bulk path evaluated row-at-a-time. */
+  private def composed(df: DataFrame, k: Int): Set[(Long, Long, Double)] = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    df.select(col("probe_id"), col("pv"), explode(col("mat")).as("c"))
+      .filter(col("probe_id") =!= col("c.neighbor_id"))
+      .select(col("probe_id"), col("c.neighbor_id").as("neighbor_id"),
+        graft.sim.Similarity.cosine(col("pv"), col("c.cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("kernel is bit-identical to the composed explode+cosine+window form") {
+    val df = rows(nProbes = 40, cellN = 50, seed = 1).localCheckpoint()
+    for (k <- Seq(1, 3, 7)) assert(kernel(df, k) === composed(df, k))
+  }
+
+  test("ties rank by ascending neighbor_id, matching the merge window's order") {
+    // Three candidates with IDENTICAL vectors (cos ties exactly);
+    // ids deliberately out of storage order.
+    val v = Array.tabulate(dim)(_.toFloat + 1f)
+    val df = Seq((0L, v, Seq((9L, v), (3L, v), (7L, v), (1L, v.map(-_)))))
+      .toDF("probe_id", "pv", "mat")
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<float>>>"))
+    val got = df.select(
+        TopKCellCosExpr(col("probe_id"), col("pv"), col("mat"), 2).as("t"))
+      .select(col("t.neighbor_id")).as[Seq[Long]].head()
+    assert(got === Seq(3L, 7L)) // cos=1 ties broken by id asc; 9 evicted
+    assert(kernel(df, 2) === composed(df, 2))
+  }
+
+  test("self-id is excluded and zero-norm entries are skipped, not ranked") {
+    val v = Array.tabulate(dim)(_.toFloat + 1f)
+    val zero = Array.fill(dim)(0f)
+    val df = Seq((5L, v, Seq((5L, v), (8L, zero), (2L, v.map(_ * 2f)))))
+      .toDF("probe_id", "pv", "mat")
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<float>>>"))
+    // k=3 but only id 2 is admissible: 5 is the probe itself, 8 has a
+    // NULL cosine (zero norm) and must be OMITTED (the window form
+    // would rank it last; the kernel's contract drops it).
+    assert(kernel(df, 3).map(_._2) === Set(2L))
+  }
+
+  test("returns fewer than k when the cell is small, never more than k") {
+    val df = rows(nProbes = 5, cellN = 4, seed = 2).localCheckpoint()
+    val perProbe = df.select(col("probe_id"),
+        size(TopKCellCosExpr(col("probe_id"), col("pv"), col("mat"), 10)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(perProbe.values.forall(_ === 4))
+    assert(kernel(df, 10) === composed(df, 10))
+  }
+
+  test("double-typed cell vectors are accepted; wrong id type fails analysis") {
+    val df = rows(nProbes = 6, cellN = 12, seed = 3)
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<double>>>"))
+      .withColumn("pv", col("pv").cast("array<double>"))
+      .localCheckpoint()
+    assert(kernel(df, 3) === composed(df, 3))
+    val bad = df.withColumn("probe_id", col("probe_id").cast("int"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(TopKCellCosExpr(col("probe_id"), col("pv"), col("mat"), 3))
+        .collect()
+    }
+    assert(e.getMessage.contains("BIGINT probe id"))
+  }
+}
