@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -150,4 +150,216 @@ object TopKCellCosExpr {
     ColumnBridge.column(new TopKCellCosExpr(
       ColumnBridge.expression(probeId), ColumnBridge.expression(pv),
       ColumnBridge.expression(cells), k))
+}
+
+/** PQ siblings of the cosine kernel, backing the bulk
+  * [[graft.sim.Similarity.pqSearch]] path. The PQ shortlist CANNOT be
+  * shrunk per cell the way the IVF top-k can (derived shortlist n/100
+  * outgrows cell occupancy ~2·√n past n ≈ 40k, so per-cell truncation
+  * keeps everything) — the win is the ROW SHAPE, not the row count:
+  * the candidate scan leaves the per-(probe, cell) row as ONE compact
+  * sorted array instead of occupancy exploded rows, so the shuffle to
+  * the per-probe merge moves |probes| × nprobe array rows where the
+  * window form shuffled every candidate (measured 90×/18k probes:
+  * 228M rows, 557–1822 CPU-s in the shortlist window stage alone —
+  * BENCH_NOTES r17). Scoring reuses [[NativeVector.adcSum]]
+  * bit-identically; ordering matches the window's
+  * (adc desc, neighbor_id asc) exactly. */
+object NativeAdc {
+
+  /** Sorted index order for parallel (adcs, ids) arrays: adc
+    * descending, id ascending on ties — the shortlist window's
+    * ordering. */
+  private def sortedIdx(ids: Array[Long], adcs: Array[Double],
+                        n: Int): Array[Integer] = {
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val c = java.lang.Double.compare(adcs(y.intValue), adcs(x.intValue))
+        if (c != 0) c
+        else java.lang.Long.compare(ids(x.intValue), ids(y.intValue))
+      }
+    })
+    idx
+  }
+
+  /** `cells` is array<struct<neighbor_id: long, codes: array<int>>>.
+    * Returns the cell's candidates scored by ADC, sorted (adc desc,
+    * id asc), truncated to `s`, excluding the probe's own id. Entries
+    * whose ADC is NULL (malformed codes) are skipped — the window
+    * form ranked them behind every finite candidate. */
+  def adcTopS(probeId: Long, dtable: ArrayData, cells: ArrayData,
+              s: Int): ArrayData = {
+    val n = cells.numElements()
+    val ids = new Array[Long](n)
+    val adcs = new Array[Double](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val st = cells.getStruct(i, 2)
+      val id = st.getLong(0)
+      if (id != probeId) {
+        val a = NativeVector.adcSum(st.getArray(1), dtable)
+        if (a != null) {
+          ids(cnt) = id; adcs(cnt) = a.doubleValue(); cnt += 1
+        }
+      }
+      i += 1
+    }
+    val idx = sortedIdx(ids, adcs, cnt)
+    val keep = math.min(cnt, s)
+    val out = new Array[Any](keep)
+    i = 0
+    while (i < keep) {
+      val j = idx(i).intValue
+      out(i) = InternalRow(ids(j), adcs(j))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `arrs` is array<array<struct<neighbor_id, adc>>> — one sorted
+    * per-cell array per visited cell (each indexed vector lives in
+    * exactly one cell, so ids never repeat across arrays). K-way
+    * merges them and returns the global top-`s` neighbor ids in
+    * (adc desc, id asc) order — exactly the ids the shortlist window
+    * kept. */
+  def mergeTopS(arrs: ArrayData, s: Int): ArrayData = {
+    val k = arrs.numElements()
+    val cells = new Array[ArrayData](k)
+    val heads = new Array[Int](k)
+    var total = 0
+    var i = 0
+    while (i < k) {
+      cells(i) = arrs.getArray(i)
+      total += cells(i).numElements()
+      i += 1
+    }
+    val keep = math.min(total, s)
+    val out = new Array[Long](keep)
+    var emitted = 0
+    while (emitted < keep) {
+      var best = -1
+      var bestAdc = 0.0
+      var bestId = 0L
+      i = 0
+      while (i < k) {
+        if (heads(i) < cells(i).numElements()) {
+          val st = cells(i).getStruct(heads(i), 2)
+          val id = st.getLong(0)
+          val adc = st.getDouble(1)
+          if (best < 0 || adc > bestAdc ||
+              (adc == bestAdc && id < bestId)) {
+            best = i; bestAdc = adc; bestId = id
+          }
+        }
+        i += 1
+      }
+      out(emitted) = bestId
+      heads(best) += 1
+      emitted += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Catalyst expression for [[NativeAdc.adcTopS]]. Children: (probe_id:
+  * long, dtable: array<array<double>>, cells: array<struct<long,
+  * array<int>>>); `s` (the shortlist width) is a literal. */
+case class AdcTopSExpr(first: Expression, second: Expression,
+                       third: Expression, s: Int)
+    extends TernaryExpression {
+
+  require(s >= 1, "shortlist must be >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("adc", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "adc_top_s"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (first.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"adc_top_s requires a BIGINT probe id (got ${first.dataType.simpleString})")
+    else if (!(second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"adc_top_s requires an array<array<double>> ADC table (got ${second.dataType.simpleString})")
+    else third.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+            (st.fields(1).dataType match {
+              case ArrayType(IntegerType, _) => true
+              case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "adc_top_s requires cells as array<struct<neighbor_id: bigint, " +
+          s"codes: array<int>>> (got ${other.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(pid: Any, dtable: Any, cells: Any): Any =
+    NativeAdc.adcTopS(pid.asInstanceOf[Long],
+      dtable.asInstanceOf[ArrayData], cells.asInstanceOf[ArrayData], s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pid, dtable, cells) =>
+      s"${ev.value} = graft.functions.NativeAdc.adcTopS(" +
+        s"$pid, $dtable, $cells, $s);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): AdcTopSExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object AdcTopSExpr {
+  def apply(probeId: Column, dtable: Column, cells: Column, s: Int): Column =
+    ColumnBridge.column(new AdcTopSExpr(
+      ColumnBridge.expression(probeId), ColumnBridge.expression(dtable),
+      ColumnBridge.expression(cells), s))
+}
+
+/** Catalyst expression for [[NativeAdc.mergeTopS]]. Child: the
+  * collect_list of per-cell sorted arrays; `s` is a literal. Returns
+  * array<long> — the global shortlist's neighbor ids in rank order. */
+case class MergeTopSExpr(child: Expression, s: Int)
+    extends UnaryExpression {
+
+  require(s >= 1, "shortlist must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "merge_top_s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ArrayType(st: StructType, _), _)
+        if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+          st.fields(1).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "merge_top_s requires array<array<struct<neighbor_id: bigint, " +
+        s"adc: double>>> (got ${other.simpleString})")
+  }
+
+  override def nullSafeEval(arrs: Any): Any =
+    NativeAdc.mergeTopS(arrs.asInstanceOf[ArrayData], s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arrs =>
+      s"${ev.value} = graft.functions.NativeAdc.mergeTopS($arrs, $s);")
+
+  override protected def withNewChildInternal(newChild: Expression): MergeTopSExpr =
+    copy(child = newChild)
+}
+
+object MergeTopSExpr {
+  def apply(arrs: Column, s: Int): Column =
+    ColumnBridge.column(new MergeTopSExpr(ColumnBridge.expression(arrs), s))
 }

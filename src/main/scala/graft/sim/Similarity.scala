@@ -571,6 +571,18 @@ object Similarity {
       * data. Check each [[pqExtend]]; a fresh [[pqBuild]] re-derives
       * cells/nprobe/shortlist and retrains both quantizer levels. */
     def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
+
+    /** Per-cell matrix view of the compressed index — one row per
+      * cell carrying every (neighbor_id, codes) — the input to the
+      * bulk search's [[graft.functions.AdcTopSExpr]] kernel. Same
+      * lifecycle contract as [[IvfIndexModel.cellMatrix]]: lazily
+      * built and checkpointed once per model instance, and per-row
+      * width is cell occupancy × (8 + m) bytes — the compressed
+      * codes, NOT full vectors. */
+    @transient lazy val cellMatrix: DataFrame =
+      indexed.groupBy(col("cell"))
+        .agg(collect_list(struct(col("neighbor_id"), col("codes"))).as("mat"))
+        .localCheckpoint()
   }
 
   /** Train quantizers and encode the corpus (see [[ivfPqTopK]] for
@@ -799,52 +811,65 @@ object Similarity {
     val adc = graft.functions.AdcSumExpr(col("codes"), col("dtable"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    // Interactive: broadcast BOTH probe frames (bounded batch). Bulk:
-    // plain equi-joins — candidates shuffle as (probe_id, neighbor_id,
-    // codes) rows, the wide per-probe columns shuffle once at probe
-    // cardinality. In bulk mode BOTH cell-join inputs are pinned to
-    // explicit session-width repartitions: every input to the join is
-    // small (the compressed index is ~m bytes/vector, the probe-cell
-    // frame |probes|×nprobe rows), so AQE's size-based local-read/
-    // coalesce shrinks the join stage to 1-2 tasks — blind to the
-    // fact that the join EXPANDS each probe-cell row by the cell
-    // occupancy (~n/cells matches) and that the same stage carries
-    // the ADC scoring and the shortlist's partial sort (measured at
-    // 30×/6k probes: a 1-2-task stage holding 30-75 s of CPU, 16×
-    // under the box — whichever side the planner streams inherits
-    // the narrowing, so both are pinned; the one under the broadcast
-    // build is a negligible extra shuffle of the query's cheapest
-    // frame). A user repartition is neither coalescible nor
-    // local-readable, so the expansion runs at session width at every
-    // scale; the second key spreads hot cells evenly — the streamed
-    // side of a broadcast join needs no particular distribution.
+    // Interactive: broadcast BOTH probe frames (bounded batch) — the
+    // index is scanned once with no shuffle, the ADC table rides the
+    // (probe_id, cell) fan-out INTO the cell join (≤ nprobe copies
+    // per probe), and the shortlist window prunes map-side.
     def probeSide(df: DataFrame): DataFrame =
       if (broadcastProbes) broadcast(df) else df
     val width =
       model.indexed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val indexSide =
-      if (broadcastProbes) model.indexed
-      else model.indexed.repartition(width, col("cell"), col("neighbor_id"))
-    // The ADC table rides the (probe_id, cell) fan-out INTO the cell
-    // join (≤ nprobe copies per probe — bounded), so the ADC score is
-    // computed and the row projected narrow inside the join stage
-    // itself: candidate-cardinality rows never carry the table and
-    // never shuffle before the partial window limit. (Joining dtable
-    // to the candidates instead re-shuffled every candidate row by
-    // probe_id the moment the probe batch outgrew the broadcast
-    // threshold — measured 228M-row shuffle at 90×/18k probes.)
     val probeFan0 = probeCells
       .join(probeMeta.select(col("probe_id"), col("dtable")), Seq("probe_id"))
-    val probeFan =
-      if (broadcastProbes) probeFan0
-      else probeFan0.repartition(width, col("cell"), col("probe_id"))
-    val short = indexSide
-      .join(probeSide(probeFan), Seq("cell"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), adc.as("adc"))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= model.shortlist)
-      .select(col("probe_id"), col("neighbor_id"))
+    val short = if (broadcastProbes) {
+      model.indexed
+        .join(broadcast(probeFan0), Seq("cell"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), adc.as("adc"))
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= model.shortlist)
+        .select(col("probe_id"), col("neighbor_id"))
+    } else {
+      // Bulk (r17 rework, same disease and cure as ivfSearch): the
+      // row-per-candidate cell join shuffled EVERY ADC-scored
+      // candidate to the shortlist window — the derived shortlist
+      // (n/100) exceeds both cell occupancy (~2·√n past n ≈ 40k) and
+      // the per-map-partition per-probe candidate count, so
+      // WindowGroupLimit's map-side prune kept everything and the
+      // probe_id exchange moved the full candidate cardinality
+      // (measured 90×/18k probes: 228M rows shuffled, 557–1822 CPU-s
+      // in the window stage — BENCH_NOTES r17). The shortlist CANNOT
+      // be cut per cell (occupancy < shortlist ⇒ per-cell truncation
+      // is a no-op), so the fix changes row SHAPE instead of row
+      // count: [[graft.functions.AdcTopSExpr]] scores a whole cell
+      // per row (bit-identical [[graft.functions.NativeVector.adcSum]]
+      // — ADC boundaries cannot move) and leaves it as ONE sorted
+      // compact array, the probe_id shuffle moves |probes| × nprobe
+      // ARRAY rows of (8+m)-byte entries, and
+      // [[graft.functions.MergeTopSExpr]] k-way-merges the ≤ nprobe
+      // sorted arrays into the global shortlist — exact by the
+      // one-cell-per-vector argument, ties matching the window's
+      // (adc desc, neighbor_id asc). Both cell-join inputs pin width
+      // by repartitioning on the JOIN KEY (HashPartitioning(cell)
+      // satisfies the join's clustering requirement directly — the
+      // old (cell, id) repartition did not, stacking a second
+      // AQE-coalescible exchange; REPARTITION_BY_NUM is not
+      // coalescible). Bulk requires a BIGINT id (analysis fails
+      // loudly otherwise); malformed-code NULL-ADC entries are
+      // omitted rather than ranked NULLS-LAST — kernel scaladoc.
+      val probeFan = probeFan0.repartition(width, col("cell"))
+      val mat = model.cellMatrix.repartition(width, col("cell"))
+      probeFan.join(mat, Seq("cell"))
+        .select(col("probe_id"),
+          graft.functions.AdcTopSExpr(
+            col("probe_id"), col("dtable"), col("mat"),
+            model.shortlist).as("arr"))
+        .groupBy(col("probe_id"))
+        .agg(collect_list(col("arr")).as("arrs"))
+        .select(col("probe_id"),
+          explode(graft.functions.MergeTopSExpr(
+            col("arrs"), model.shortlist)).as("neighbor_id"))
+    }
 
     // Exact re-rank touches full vectors ONLY for the shortlist.
     val w = Window.partitionBy(col("probe_id"))

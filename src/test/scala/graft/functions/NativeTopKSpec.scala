@@ -95,6 +95,80 @@ class NativeTopKSpec extends SparkSuite {
     assert(kernel(df, 10) === composed(df, 10))
   }
 
+  // --- PQ siblings: AdcTopSExpr + MergeTopSExpr ------------------------
+
+  /** (probe_id, dtable, cells) rows — `m` subspaces × `k` codes. */
+  private def adcRows(nProbes: Int, cellN: Int, m: Int, k: Int,
+                      seed: Long): DataFrame = {
+    val r = new scala.util.Random(seed)
+    Seq.tabulate(nProbes) { p =>
+      (p.toLong, Array.fill(m, k)(r.nextGaussian()),
+        Seq.tabulate(cellN)(i => (1000L * (p + 1) + i,
+          Array.fill(m)(r.nextInt(k)))))
+    }.toDF("probe_id", "dtable", "cells")
+      .withColumn("cells", col("cells").cast(
+        "array<struct<neighbor_id: bigint, codes: array<int>>>"))
+  }
+
+  private def adcKernel(df: DataFrame, s: Int): Map[Long, Seq[Long]] =
+    df.select(col("probe_id"),
+        AdcTopSExpr(col("probe_id"), col("dtable"), col("cells"), s).as("arr"))
+      .select(col("probe_id"), col("arr.neighbor_id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+  /** The shortlist the composed window form keeps, in rank order. */
+  private def adcComposed(df: DataFrame, s: Int): Map[Long, Seq[Long]] = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    df.select(col("probe_id"), col("dtable"), explode(col("cells")).as("c"))
+      .filter(col("probe_id") =!= col("c.neighbor_id"))
+      .select(col("probe_id"), col("c.neighbor_id").as("neighbor_id"),
+        AdcSumExpr(col("c.codes"), col("dtable")).as("adc"))
+      .filter(col("adc").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= s)
+      .orderBy(col("probe_id"), col("rank"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+  }
+
+  test("AdcTopSExpr keeps exactly the composed ADC window's shortlist, in order") {
+    val df = adcRows(nProbes = 30, cellN = 40, m = 4, k = 8, seed = 11)
+      .localCheckpoint()
+    for (s <- Seq(1, 5, 40, 100)) assert(adcKernel(df, s) === adcComposed(df, s))
+  }
+
+  test("AdcTopSExpr excludes the probe's own id and breaks ADC ties by id asc") {
+    // Identical codes ⇒ identical ADC: pure tie-break ordering.
+    val codes = Array(0, 1)
+    val df = Seq((7L, Array.fill(2, 4)(1.0),
+        Seq((9L, codes), (7L, codes), (3L, codes))))
+      .toDF("probe_id", "dtable", "cells")
+      .withColumn("cells", col("cells").cast(
+        "array<struct<neighbor_id: bigint, codes: array<int>>>"))
+    assert(adcKernel(df, 5) === Map(7L -> Seq(3L, 9L)))
+  }
+
+  test("MergeTopSExpr merges sorted per-cell arrays into the exact global top-s") {
+    // Split one probe's candidates across 3 "cells", kernel per cell,
+    // merge — must equal the single-cell kernel over the union.
+    val df = adcRows(nProbes = 20, cellN = 60, m = 4, k = 8, seed = 12)
+      .localCheckpoint()
+    val whole = adcKernel(df, 10)
+    val split = df
+      .select(col("probe_id"), col("dtable"),
+        posexplode(col("cells")).as(Seq("i", "c")))
+      .groupBy(col("probe_id"), col("dtable"), pmod(col("i"), lit(3)).as("part"))
+      .agg(collect_list(col("c")).as("cells"))
+      .select(col("probe_id"),
+        AdcTopSExpr(col("probe_id"), col("dtable"), col("cells"), 10).as("arr"))
+      .groupBy(col("probe_id")).agg(collect_list(col("arr")).as("arrs"))
+      .select(col("probe_id"), MergeTopSExpr(col("arrs"), 10).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(split === whole)
+  }
+
   test("double-typed cell vectors are accepted; wrong id type fails analysis") {
     val df = rows(nProbes = 6, cellN = 12, seed = 3)
       .withColumn("mat", col("mat").cast(
