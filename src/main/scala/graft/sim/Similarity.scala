@@ -189,7 +189,8 @@ object Similarity {
       cells: Int, nprobe: Int, dim: Int,
       centroids: Array[Array[Double]],
       indexed: DataFrame, idCol: String, vecCol: String,
-      builtN: Long = -1L, extendedN: Long = 0L) {
+      builtN: Long = -1L, extendedN: Long = 0L,
+      private val seedMatrix: DataFrame = null) {
     /** Rebuild recommendation for the frozen-geometry extend lifecycle:
       * flips once no-retrain adds ([[ivfExtend]]) have grown the index
       * past its BUILD-time size (extended > built) — the point where
@@ -210,11 +211,30 @@ object Similarity {
       * batches reuse the materialized blocks instead of re-grouping
       * the index per batch. Row width is bounded by cell occupancy
       * (~n/cells ≈ 2·√n under derived geometry — the same √n bound
-      * that keeps the candidate scan sublinear). */
-    @transient lazy val cellMatrix: DataFrame =
-      indexed.groupBy(col("cell"))
+      * that keeps the candidate scan sublinear).
+      *
+      * [[ivfExtend]] maintains the matrix INCREMENTALLY: when the
+      * pre-extend model had materialized it (a long-running ingest
+      * loop bulk-searching every batch), the extended model is seeded
+      * with a shuffle-free merge of the checkpointed matrix and the
+      * grouped delta (both sides already hash-partitioned by cell) —
+      * without this, every batch of the loop would pay a full
+      * O(index) re-group shuffle, re-introducing the linear-per-batch
+      * cost the rebuild trigger exists to prevent. */
+    @transient lazy val cellMatrix: DataFrame = {
+      matrixForced = true
+      if (seedMatrix != null) seedMatrix
+      else indexed.groupBy(col("cell"))
         .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("mat"))
         .localCheckpoint()
+    }
+    @transient private var matrixForced = false
+    /** The matrix iff it is already materialized (forced or seeded) —
+      * what [[ivfExtend]] consults so it never FORCES a matrix on
+      * models whose callers use the broadcast path and would
+      * otherwise never build one. */
+    private[sim] def builtMatrix: Option[DataFrame] =
+      if (matrixForced || seedMatrix != null) Some(cellMatrix) else None
   }
 
   /** Train the coarse quantizer and cell-index the corpus (see
@@ -378,7 +398,24 @@ object Similarity {
           s"($extended extended vs ${model.builtN} built) — frozen " +
           "cells/nprobe/centroids are now sized for a minority of the " +
           "corpus; schedule a fresh ivfBuild (needsRebuild = true)")
-    model.copy(indexed = indexed, extendedN = extended)
+    // Incremental matrix maintenance (see [[IvfIndexModel.cellMatrix]]):
+    // merge the delta into an already-materialized per-cell matrix
+    // instead of letting the next bulk search re-group the whole
+    // index. Both sides are hash-partitioned by cell (groupBy output,
+    // preserved through the checkpoint), so the merge is a
+    // shuffle-free full-outer zip: delta-bound shuffle, O(index)
+    // local read — the same posture as the union checkpoint above.
+    val seed = model.builtMatrix.map { om =>
+      val fg = fresh.groupBy(col("cell"))
+        .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("fmat"))
+      om.join(fg, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          when(col("mat").isNull, col("fmat"))
+            .when(col("fmat").isNull, col("mat"))
+            .otherwise(concat(col("mat"), col("fmat"))).as("mat"))
+        .localCheckpoint()
+    }.orNull
+    model.copy(indexed = indexed, extendedN = extended, seedMatrix = seed)
   }
 
   /** Persist a built IVF index to `path`: the cell-indexed corpus as
@@ -562,7 +599,8 @@ object Similarity {
       cells: Int, nprobe: Int, m: Int, k: Int, dim: Int, shortlist: Int,
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
       corpus2: DataFrame, indexed: DataFrame, idCol: String, vecCol: String,
-      builtN: Long = -1L, extendedN: Long = 0L) {
+      builtN: Long = -1L, extendedN: Long = 0L,
+      private val seedMatrix: DataFrame = null) {
     /** Rebuild recommendation — same contract as
       * [[IvfIndexModel.needsRebuild]], with a sharper bite here: the
       * frozen shortlist stays ~1% of the BUILD corpus (a halved
@@ -576,13 +614,20 @@ object Similarity {
       * cell carrying every (neighbor_id, codes) — the input to the
       * bulk search's [[graft.functions.AdcTopSExpr]] kernel. Same
       * lifecycle contract as [[IvfIndexModel.cellMatrix]]: lazily
-      * built and checkpointed once per model instance, and per-row
-      * width is cell occupancy × (8 + m) bytes — the compressed
-      * codes, NOT full vectors. */
-    @transient lazy val cellMatrix: DataFrame =
-      indexed.groupBy(col("cell"))
+      * built and checkpointed once per model instance, maintained
+      * incrementally across [[pqExtend]]s when already materialized,
+      * and per-row width is cell occupancy × (8 + m) bytes — the
+      * compressed codes, NOT full vectors. */
+    @transient lazy val cellMatrix: DataFrame = {
+      matrixForced = true
+      if (seedMatrix != null) seedMatrix
+      else indexed.groupBy(col("cell"))
         .agg(collect_list(struct(col("neighbor_id"), col("codes"))).as("mat"))
         .localCheckpoint()
+    }
+    @transient private var matrixForced = false
+    private[sim] def builtMatrix: Option[DataFrame] =
+      if (matrixForced || seedMatrix != null) Some(cellMatrix) else None
   }
 
   /** Train quantizers and encode the corpus (see [[ivfPqTopK]] for
@@ -692,9 +737,21 @@ object Similarity {
           "cells/nprobe/shortlist/codebooks are now sized and trained " +
           "for a minority of the corpus; schedule a fresh pqBuild " +
           "(needsRebuild = true)")
+    // Incremental matrix maintenance — see [[ivfExtend]] / the
+    // [[IvfIndexModel.cellMatrix]] contract.
+    val seed = model.builtMatrix.map { om =>
+      val fg = freshIndexed.groupBy(col("cell"))
+        .agg(collect_list(struct(col("neighbor_id"), col("codes"))).as("fmat"))
+      om.join(fg, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          when(col("mat").isNull, col("fmat"))
+            .when(col("fmat").isNull, col("mat"))
+            .otherwise(concat(col("mat"), col("fmat"))).as("mat"))
+        .localCheckpoint()
+    }.orNull
     model.copy(
       corpus2 = model.corpus2.unionByName(fresh).localCheckpoint(),
-      indexed = indexed, extendedN = extended)
+      indexed = indexed, extendedN = extended, seedMatrix = seed)
   }
 
   /** Persist a built index to `path`: the compressed index and the

@@ -233,6 +233,53 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("incrementally merged cellMatrix across extends equals a fresh " +
+    "re-group: bulk searches identical, per-cell content identical") {
+    import org.apache.spark.sql.functions._
+    val base = vecs.filter("vec_id < 100")
+    val delta = vecs.filter("vec_id >= 100")
+    def bulk(m: Similarity.IvfIndexModel) =
+      Similarity.ivfSearch(m, vecs.filter("vec_id IN (1, 2, 101)"),
+        topK = 2, broadcastProbes = false)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    // Arm A: force the matrix BEFORE extending → extend merges it.
+    val mA0 = Similarity.ivfBuild(base, k = 3, nprobe = 3, dim = 8)
+    bulk(mA0) // forces mA0.cellMatrix
+    val mA = Similarity.ivfExtend(mA0, delta)
+    // Arm B: never force pre-extend → the extended model re-groups.
+    val mB = Similarity.ivfExtend(
+      Similarity.ivfBuild(base, k = 3, nprobe = 3, dim = 8), delta)
+    assert(bulk(mA) === bulk(mB))
+    // Matrix content equal as (cell → id multiset): the merge appends
+    // the delta per cell, never drops, duplicates, or re-cells a row.
+    def matIds(m: Similarity.IvfIndexModel) =
+      m.cellMatrix.select(col("cell"),
+          explode(col("mat.neighbor_id")).as("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(matIds(mA) === matIds(mB))
+    // Chained extends keep merging (second extend over the merged seed).
+    val mA2 = Similarity.ivfExtend(mA,
+      vecs.filter("vec_id >= 100")
+        .select((col("vec_id") + 500).as("vec_id"), col("embedding")))
+    assert(mA2.indexed.count() === mA.indexed.count() + 3)
+    assert(matIds(mA2).values.map(_.size).sum === mA2.indexed.count())
+    // PQ sibling: same contract through pqExtend.
+    val pA0 = Similarity.pqBuild(base, cells = 3, nprobe = 3, m = 4, k = 4,
+      shortlist = 10, dim = 8)
+    def pqBulk(m: Similarity.PqIndexModel) =
+      Similarity.pqSearch(m, vecs.filter("vec_id IN (1, 2)"), topK = 1,
+        broadcastProbes = false)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    pqBulk(pA0) // force
+    val pA = Similarity.pqExtend(pA0, delta)
+    val pB = Similarity.pqExtend(pA0.copy(), delta) // fresh lazy val, unforced
+    assert(pqBulk(pA) === pqBulk(pB))
+    assert(pqBulk(pA).contains(1L -> 100L)) // planted duplicate survives the merge
+  }
+
   test("needsRebuild flips once extends outgrow the build; a fresh " +
     "build re-derives geometry; builds dedupe ids; baseline survives " +
     "save/load") {
