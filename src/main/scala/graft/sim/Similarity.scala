@@ -468,10 +468,18 @@ object Similarity {
     * stays ∝ corpus × tables, never all-pairs. Few short hyperplane
     * tables beat one long one on weakly-clustered embeddings: collision
     * probability per table is pᵖˡᵃⁿᵉˢ, and OR-ing tables drives recall
-    * toward 1 without fattening any single bucket. */
+    * toward 1 without fattening any single bucket.
+    *
+    * `broadcastProbes` carries the same interactive-vs-bulk strategy
+    * split as [[ivfSearch]]/[[pqSearch]]: true replicates the bounded
+    * probe fan; false groups the bucketed corpus per (table, bucket)
+    * and scans each group inside the vectorized
+    * [[graft.functions.TopKCellCosExpr]] kernel — results identical
+    * (spec-pinned), BIGINT ids required in bulk. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               planes: Int = 4, tables: Int = 8, seed: Long = 42L, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              broadcastProbes: Boolean = true): DataFrame = {
     val hps = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       posexplode(array(hps.map(hp => bucketOf(col(vecCol), hp)): _*)))
@@ -486,13 +494,44 @@ object Similarity {
         col("b0").bitwiseXOR(col("flip")).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(probeBuckets), Seq("table", "bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("cos", cosine(col("pv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    if (broadcastProbes) {
+      c.join(broadcast(probeBuckets), Seq("table", "bucket"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .dropDuplicates("probe_id", "neighbor_id")
+        .withColumn("cos", cosine(col("pv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    } else {
+      // Bulk probes (same strategy split as ivfSearch/pqSearch): the
+      // corpus grouped per (table, bucket) feeds the same per-group
+      // top-k kernel as IVF's bulk path. Unlike IVF, a candidate can
+      // collide with a probe in SEVERAL tables, so the kernel output
+      // dedups on (probe, neighbor) BEFORE the merge window — at
+      // probes × tables × (planes+1) × k cardinality, not candidate
+      // cardinality. Per-group top-k + global dedup is EXACT: a
+      // globally top-k distinct candidate has < k distinct candidates
+      // beating it, so in every group that contains it at most k−1
+      // locals rank above it and it survives that group's top-k.
+      // Same bulk caveats as ivfSearch: BIGINT ids, zero-norm
+      // candidates omitted rather than ranked NULLS-LAST.
+      val width =
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val mat = c.groupBy(col("table"), col("bucket"))
+        .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("mat"))
+        .repartition(width, col("table"), col("bucket"))
+      val probeFan = probeBuckets.repartition(width, col("table"), col("bucket"))
+      probeFan.join(mat, Seq("table", "bucket"))
+        .select(col("probe_id"),
+          explode(graft.functions.TopKCellCosExpr(
+            col("probe_id"), col("pv"), col("mat"), k)).as("e"))
+        .select(col("probe_id"), col("e.neighbor_id").as("neighbor_id"),
+          col("e.cos").as("cos"))
+        .dropDuplicates("probe_id", "neighbor_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }
   }
 
   /** Argmin-L2 of a (sub)vector against `k` constant centroids via the

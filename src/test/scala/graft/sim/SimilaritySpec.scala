@@ -64,6 +64,21 @@ class SimilaritySpec extends SparkSuite {
     assert(out(2L) == 101L)
   }
 
+  test("bulk-probe (non-broadcast) LSH search returns identical results: " +
+    "per-group top-k + cross-table dedup = the window form") {
+    // Full corpus as probes and a k spanning multi-table collisions —
+    // the cross-table duplicate-candidate path is exercised for every
+    // probe (a planted duplicate collides with its twin in EVERY
+    // table).
+    def run(bc: Boolean) =
+      Similarity.lshTopK(vecs, vecs, k = 2, planes = 4, dim = 8,
+        broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"),
+          r.getAs[Int]("rank"))).toSet
+    assert(run(bc = false) === run(bc = true))
+  }
+
   test("LSH plan contains no CartesianProduct") {
     val plan = Similarity.lshTopK(vecs, vecs.filter("vec_id = 1"), k = 3,
       planes = 8, dim = 8).queryExecution.executedPlan
