@@ -150,6 +150,23 @@ class NativeTopKSpec extends SparkSuite {
     assert(adcKernel(df, 5) === Map(7L -> Seq(3L, 9L)))
   }
 
+  test("a dtable with null elements takes the element-checking path: " +
+    "candidates hitting the null index skip, others score") {
+    val df = spark.sql(
+      """SELECT CAST(7 AS BIGINT) AS probe_id,
+        |  array(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS dtable,
+        |  CAST(array(
+        |    named_struct('neighbor_id', 1, 'codes', array(0, 0)),
+        |    named_struct('neighbor_id', 2, 'codes', array(1, 0)),
+        |    named_struct('neighbor_id', 3, 'codes', array(0, 1))
+        |  ) AS array<struct<neighbor_id: bigint, codes: array<int>>>) AS cells
+        |""".stripMargin)
+    // id 2's code 1 in subspace 0 hits the NULL entry -> skipped; ids
+    // 1 (1+2=3) and 3 (1+3=4) score and rank by adc desc.
+    assert(adcKernel(df, 5) === Map(7L -> Seq(3L, 1L)))
+    assert(adcKernel(df, 5) === adcComposed(df, 5))
+  }
+
   test("MergeTopSExpr merges sorted per-cell arrays into the exact global top-s") {
     // Split one probe's candidates across 3 "cells", kernel per cell,
     // merge — must equal the single-cell kernel over the union.
