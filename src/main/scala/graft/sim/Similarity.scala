@@ -190,7 +190,7 @@ object Similarity {
       centroids: Array[Array[Double]],
       indexed: DataFrame, idCol: String, vecCol: String,
       builtN: Long = -1L, extendedN: Long = 0L,
-      private val seedMatrix: DataFrame = null) {
+      private val seedMatrix: (Int, DataFrame) = null) {
     /** Rebuild recommendation for the frozen-geometry extend lifecycle:
       * flips once no-retrain adds ([[ivfExtend]]) have grown the index
       * past its BUILD-time size (extended > built) — the point where
@@ -202,39 +202,100 @@ object Similarity {
       * degrades gradually as cells fill. */
     def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
 
-    /** Per-cell matrix view of the index — one row per cell carrying
-      * every (neighbor_id, cv) as an array-of-structs — the input the
-      * bulk search's [[graft.functions.TopKCellCosExpr]] kernel scans.
+    /** Chunked per-cell matrix view of the index — (chunk modulus,
+      * frame of one row per (cell, chunk) carrying its (neighbor_id,
+      * cv) entries as an array-of-structs) — the input the bulk
+      * search's [[graft.functions.TopKCellCosExpr]] kernel scans.
       * Lazily built and checkpointed once per model INSTANCE:
       * [[ivfExtend]]/[[ivfBuild]] return new instances, so the matrix
       * always reflects the index it belongs to and repeated bulk
       * batches reuse the materialized blocks instead of re-grouping
-      * the index per batch. Row width is bounded by cell occupancy
-      * (~n/cells ≈ 2·√n under derived geometry — the same √n bound
-      * that keeps the candidate scan sublinear).
+      * the index per batch.
+      *
+      * The chunk modulus is DATA-DERIVED from occupancy skew (see
+      * [[Similarity.chunkedCellMatrix]]): balanced corpora get 1 (one
+      * row per cell, ~n/cells ≈ 2·√n entries under derived geometry);
+      * clustered corpora split hot cells so no single row — the
+      * kernel's atomic work unit, which AQE's skew splitter cannot
+      * divide — exceeds ~2× the mean occupancy. Like cells/nprobe the
+      * modulus is FROZEN across extends and re-derived by a rebuild.
       *
       * [[ivfExtend]] maintains the matrix INCREMENTALLY: when the
       * pre-extend model had materialized it (a long-running ingest
       * loop bulk-searching every batch), the extended model is seeded
       * with a shuffle-free merge of the checkpointed matrix and the
-      * grouped delta (both sides already hash-partitioned by cell) —
-      * without this, every batch of the loop would pay a full
-      * O(index) re-group shuffle, re-introducing the linear-per-batch
-      * cost the rebuild trigger exists to prevent. */
-    @transient lazy val cellMatrix: DataFrame = {
+      * grouped delta (both sides already hash-partitioned by (cell,
+      * chunk)) — without this, every batch of the loop would pay a
+      * full O(index) re-group shuffle, re-introducing the
+      * linear-per-batch cost the rebuild trigger exists to prevent. */
+    @transient lazy val chunkedMatrix: (Int, DataFrame) = {
       matrixForced = true
       if (seedMatrix != null) seedMatrix
-      else indexed.groupBy(col("cell"))
-        .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("mat"))
-        .localCheckpoint()
+      else chunkedCellMatrix(indexed, "cv")
     }
     @transient private var matrixForced = false
     /** The matrix iff it is already materialized (forced or seeded) —
       * what [[ivfExtend]] consults so it never FORCES a matrix on
       * models whose callers use the broadcast path and would
       * otherwise never build one. */
-    private[sim] def builtMatrix: Option[DataFrame] =
-      if (matrixForced || seedMatrix != null) Some(cellMatrix) else None
+    private[sim] def builtMatrix: Option[(Int, DataFrame)] =
+      if (matrixForced || seedMatrix != null) Some(chunkedMatrix) else None
+  }
+
+  /** Chunked per-cell matrix shared by the three bulk kernels' build
+    * side: entries hash-partitioned into `nChunks` sub-cell chunks by
+    * id, grouped per (cell, chunk). The modulus derives from skew —
+    * ⌈max-occupancy / (2 × mean-occupancy)⌉, floor 1, cap 64 — so a
+    * balanced index keeps one row per cell (zero overhead, the plan
+    * the uniform-corpus measurements were taken on) while a clustered
+    * index (the REALISTIC regime) bounds the kernel's atomic work
+    * unit near 2× the mean: a dominant cluster's cell would otherwise
+    * ride one row to one task, and AQE's skew splitter cannot divide
+    * a single row. Chunks partition each cell disjointly, so per-chunk
+    * top-k/-s remains exact by the same subset argument as per-cell
+    * (a globally kept candidate has < k beaters in any chunk that
+    * contains it). Costs one small occupancy aggregation at first
+    * materialization; the probe fan explodes × nChunks (bounded by
+    * the cap). */
+  private[sim] def chunkedCellMatrix(indexed: DataFrame,
+                                     payload: String): (Int, DataFrame) = {
+    val occ = indexed.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), avg(col("c")).as("mean")).head()
+    // GRAFT_ANN_CHUNKS overrides the derived modulus (A/B and ops
+    // escape hatch, same precedent as GRAFT_REPLAY_PARTITIONS).
+    val nChunks = sys.env.get("GRAFT_ANN_CHUNKS").map(_.toInt).getOrElse {
+      if (occ.isNullAt(0)) 1
+      else math.min(64, math.max(1,
+        math.ceil(occ.getLong(0) / (2.0 * occ.getDouble(1))).toInt))
+    }
+    val df = indexed
+      .withColumn("chunk",
+        pmod(xxhash64(col("neighbor_id")), lit(nChunks.toLong)).cast("int"))
+      .groupBy(col("cell"), col("chunk"))
+      .agg(collect_list(struct(col("neighbor_id"), col(payload))).as("mat"))
+      .localCheckpoint()
+    (nChunks, df)
+  }
+
+  /** Delta-bound incremental maintenance of a [[chunkedCellMatrix]]:
+    * the admitted delta is chunked under the FROZEN modulus and merged
+    * into the checkpointed matrix with a shuffle-free full-outer
+    * concat (both sides hash-partitioned by (cell, chunk)). */
+  private[sim] def mergeCellMatrix(old: (Int, DataFrame), fresh: DataFrame,
+                                   payload: String): (Int, DataFrame) = {
+    val (nChunks, om) = old
+    val fg = fresh
+      .withColumn("chunk",
+        pmod(xxhash64(col("neighbor_id")), lit(nChunks.toLong)).cast("int"))
+      .groupBy(col("cell"), col("chunk"))
+      .agg(collect_list(struct(col("neighbor_id"), col(payload))).as("fmat"))
+    val df = om.join(fg, Seq("cell", "chunk"), "full_outer")
+      .select(col("cell"), col("chunk"),
+        when(col("mat").isNull, col("fmat"))
+          .when(col("fmat").isNull, col("mat"))
+          .otherwise(concat(col("mat"), col("fmat"))).as("mat"))
+      .localCheckpoint()
+    (nChunks, df)
   }
 
   /** Train the coarse quantizer and cell-index the corpus (see
@@ -290,9 +351,12 @@ object Similarity {
     // centroids.
     val probeSims = graft.functions.MatVecDotsExpr(col("pv"), unitRows(model.centroids))
     // pv rides the (probe_id, cell) fan INTO the cell join (≤ nprobe
-    // copies per probe — bounded), so the cosine is computed inside
-    // the join stage itself and candidate-cardinality rows shuffle
-    // NARROW (probe_id, neighbor_id, cos) to the top-k window. Unlike
+    // copies per probe — bounded). In the BROADCAST branch that means
+    // the cosine is computed inside the join stage itself and
+    // candidate-cardinality rows shuffle NARROW (probe_id,
+    // neighbor_id, cos) to the top-k window; in the bulk branch the
+    // same fan feeds the per-cell kernel, which needs pv once per
+    // (probe, cell) row anyway. Unlike
     // pqSearch there is no cheap ADC prune between the cell join and
     // the exact scores, so a join-back of pv at candidate cardinality
     // would re-shuffle |probes| × nprobe × occupancy rows carrying the
@@ -338,15 +402,21 @@ object Similarity {
       // fused cosine — values bit-identical, and global top-k is
       // preserved because each vector lives in exactly one cell), so
       // only probes × nprobe × topK rows reach the merge window.
-      // Both sides pin width by repartitioning on the JOIN KEY
-      // (HashPartitioning(cell) satisfies the requirement directly;
-      // REPARTITION_BY_NUM is not AQE-coalescible). Bulk requires a
+      // Both sides pin width by repartitioning on the JOIN KEYS
+      // (HashPartitioning(cell, chunk) satisfies the requirement
+      // directly; REPARTITION_BY_NUM is not AQE-coalescible). The
+      // chunk key spreads skew-split hot cells across tasks — see
+      // [[chunkedCellMatrix]]; modulus 1 (balanced corpora) makes it
+      // a constant column, same plan as unchunked. Bulk requires a
       // LONG id column (the kernel's self-exclusion compares longs);
       // degenerate zero-norm vectors are skipped rather than ranked
       // NULLS-LAST — see the kernel scaladoc.
-      val probeFan = probeCells.repartition(width, col("cell"))
-      val mat = model.cellMatrix.repartition(width, col("cell"))
-      probeFan.join(mat, Seq("cell"))
+      val (nChunks, mat0) = model.chunkedMatrix
+      val probeFan = probeCells
+        .withColumn("chunk", explode(array((0 until nChunks).map(lit): _*)))
+        .repartition(width, col("cell"), col("chunk"))
+      val mat = mat0.repartition(width, col("cell"), col("chunk"))
+      probeFan.join(mat, Seq("cell", "chunk"))
         .select(col("probe_id"),
           explode(graft.functions.TopKCellCosExpr(
             col("probe_id"), col("pv"), col("mat"), topK)).as("e"))
@@ -398,23 +468,13 @@ object Similarity {
           s"($extended extended vs ${model.builtN} built) — frozen " +
           "cells/nprobe/centroids are now sized for a minority of the " +
           "corpus; schedule a fresh ivfBuild (needsRebuild = true)")
-    // Incremental matrix maintenance (see [[IvfIndexModel.cellMatrix]]):
-    // merge the delta into an already-materialized per-cell matrix
-    // instead of letting the next bulk search re-group the whole
-    // index. Both sides are hash-partitioned by cell (groupBy output,
-    // preserved through the checkpoint), so the merge is a
-    // shuffle-free full-outer zip: delta-bound shuffle, O(index)
-    // local read — the same posture as the union checkpoint above.
-    val seed = model.builtMatrix.map { om =>
-      val fg = fresh.groupBy(col("cell"))
-        .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("fmat"))
-      om.join(fg, Seq("cell"), "full_outer")
-        .select(col("cell"),
-          when(col("mat").isNull, col("fmat"))
-            .when(col("fmat").isNull, col("mat"))
-            .otherwise(concat(col("mat"), col("fmat"))).as("mat"))
-        .localCheckpoint()
-    }.orNull
+    // Incremental matrix maintenance (see
+    // [[IvfIndexModel.chunkedMatrix]] / [[mergeCellMatrix]]): merge
+    // the delta into an already-materialized matrix instead of
+    // letting the next bulk search re-group the whole index —
+    // delta-bound shuffle, O(index) local read, the same posture as
+    // the union checkpoint above.
+    val seed = model.builtMatrix.map(mergeCellMatrix(_, fresh, "cv")).orNull
     model.copy(indexed = indexed, extendedN = extended, seedMatrix = seed)
   }
 
@@ -639,7 +699,7 @@ object Similarity {
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
       corpus2: DataFrame, indexed: DataFrame, idCol: String, vecCol: String,
       builtN: Long = -1L, extendedN: Long = 0L,
-      private val seedMatrix: DataFrame = null) {
+      private val seedMatrix: (Int, DataFrame) = null) {
     /** Rebuild recommendation — same contract as
       * [[IvfIndexModel.needsRebuild]], with a sharper bite here: the
       * frozen shortlist stays ~1% of the BUILD corpus (a halved
@@ -649,24 +709,21 @@ object Similarity {
       * cells/nprobe/shortlist and retrains both quantizer levels. */
     def needsRebuild: Boolean = builtN >= 0 && extendedN > builtN
 
-    /** Per-cell matrix view of the compressed index — one row per
-      * cell carrying every (neighbor_id, codes) — the input to the
-      * bulk search's [[graft.functions.AdcTopSExpr]] kernel. Same
-      * lifecycle contract as [[IvfIndexModel.cellMatrix]]: lazily
-      * built and checkpointed once per model instance, maintained
-      * incrementally across [[pqExtend]]s when already materialized,
-      * and per-row width is cell occupancy × (8 + m) bytes — the
-      * compressed codes, NOT full vectors. */
-    @transient lazy val cellMatrix: DataFrame = {
+    /** Chunked per-cell matrix view of the compressed index — the
+      * input to the bulk search's [[graft.functions.AdcTopSExpr]]
+      * kernel. Same lifecycle and skew contract as
+      * [[IvfIndexModel.chunkedMatrix]] (data-derived chunk modulus,
+      * frozen across extends, incrementally maintained when already
+      * materialized); per-entry width is 8 + m bytes — the compressed
+      * codes, NOT full vectors. */
+    @transient lazy val chunkedMatrix: (Int, DataFrame) = {
       matrixForced = true
       if (seedMatrix != null) seedMatrix
-      else indexed.groupBy(col("cell"))
-        .agg(collect_list(struct(col("neighbor_id"), col("codes"))).as("mat"))
-        .localCheckpoint()
+      else chunkedCellMatrix(indexed, "codes")
     }
     @transient private var matrixForced = false
-    private[sim] def builtMatrix: Option[DataFrame] =
-      if (matrixForced || seedMatrix != null) Some(cellMatrix) else None
+    private[sim] def builtMatrix: Option[(Int, DataFrame)] =
+      if (matrixForced || seedMatrix != null) Some(chunkedMatrix) else None
   }
 
   /** Train quantizers and encode the corpus (see [[ivfPqTopK]] for
@@ -777,17 +834,9 @@ object Similarity {
           "for a minority of the corpus; schedule a fresh pqBuild " +
           "(needsRebuild = true)")
     // Incremental matrix maintenance — see [[ivfExtend]] / the
-    // [[IvfIndexModel.cellMatrix]] contract.
-    val seed = model.builtMatrix.map { om =>
-      val fg = freshIndexed.groupBy(col("cell"))
-        .agg(collect_list(struct(col("neighbor_id"), col("codes"))).as("fmat"))
-      om.join(fg, Seq("cell"), "full_outer")
-        .select(col("cell"),
-          when(col("mat").isNull, col("fmat"))
-            .when(col("fmat").isNull, col("mat"))
-            .otherwise(concat(col("mat"), col("fmat"))).as("mat"))
-        .localCheckpoint()
-    }.orNull
+    // [[IvfIndexModel.chunkedMatrix]] contract.
+    val seed = model.builtMatrix
+      .map(mergeCellMatrix(_, freshIndexed, "codes")).orNull
     model.copy(
       corpus2 = model.corpus2.unionByName(fresh).localCheckpoint(),
       indexed = indexed, extendedN = extended, seedMatrix = seed)
@@ -946,16 +995,21 @@ object Similarity {
       // sorted arrays into the global shortlist — exact by the
       // one-cell-per-vector argument, ties matching the window's
       // (adc desc, neighbor_id asc). Both cell-join inputs pin width
-      // by repartitioning on the JOIN KEY (HashPartitioning(cell)
-      // satisfies the join's clustering requirement directly — the
-      // old (cell, id) repartition did not, stacking a second
+      // by repartitioning on the JOIN KEYS (HashPartitioning(cell,
+      // chunk) satisfies the join's clustering requirement directly —
+      // the old (cell, id) repartition did not, stacking a second
       // AQE-coalescible exchange; REPARTITION_BY_NUM is not
-      // coalescible). Bulk requires a BIGINT id (analysis fails
-      // loudly otherwise); malformed-code NULL-ADC entries are
-      // omitted rather than ranked NULLS-LAST — kernel scaladoc.
-      val probeFan = probeFan0.repartition(width, col("cell"))
-      val mat = model.cellMatrix.repartition(width, col("cell"))
-      probeFan.join(mat, Seq("cell"))
+      // coalescible). The chunk key spreads skew-split hot cells
+      // across tasks — see [[chunkedCellMatrix]]. Bulk requires a
+      // BIGINT id (analysis fails loudly otherwise); malformed-code
+      // NULL-ADC entries are omitted rather than ranked NULLS-LAST —
+      // kernel scaladoc.
+      val (nChunks, mat0) = model.chunkedMatrix
+      val probeFan = probeFan0
+        .withColumn("chunk", explode(array((0 until nChunks).map(lit): _*)))
+        .repartition(width, col("cell"), col("chunk"))
+      val mat = mat0.repartition(width, col("cell"), col("chunk"))
+      probeFan.join(mat, Seq("cell", "chunk"))
         .select(col("probe_id"),
           graft.functions.AdcTopSExpr(
             col("probe_id"), col("dtable"), col("mat"),

@@ -269,7 +269,7 @@ class SimilaritySpec extends SparkSuite {
     // Matrix content equal as (cell → id multiset): the merge appends
     // the delta per cell, never drops, duplicates, or re-cells a row.
     def matIds(m: Similarity.IvfIndexModel) =
-      m.cellMatrix.select(col("cell"),
+      m.chunkedMatrix._2.select(col("cell"),
           explode(col("mat.neighbor_id")).as("id"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
@@ -293,6 +293,39 @@ class SimilaritySpec extends SparkSuite {
     val pB = Similarity.pqExtend(pA0.copy(), delta) // fresh lazy val, unforced
     assert(pqBulk(pA) === pqBulk(pB))
     assert(pqBulk(pA).contains(1L -> 100L)) // planted duplicate survives the merge
+  }
+
+  test("skewed cell occupancy derives a chunk modulus > 1 and bulk " +
+    "results stay identical to broadcast; balanced stays at 1") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 60 vectors packed around one direction (one hot cell) + 12
+    // spread across others: max occupancy far above 2x mean.
+    val r = new scala.util.Random(7)
+    val skewed = (Seq.tabulate(60) { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == 0) 10f else 0f) + r.nextFloat() * 0.1f))
+    } ++ Seq.tabulate(12) { i =>
+      (1000L + i, Array.tabulate(8)(d =>
+        if (d == i % 8) -5f else r.nextFloat()))
+    }).toDF("vec_id", "embedding")
+    val m = Similarity.ivfBuild(skewed, k = 6, nprobe = 6, dim = 8)
+    def run(bc: Boolean) =
+      Similarity.ivfSearch(m, skewed.filter("vec_id IN (0, 1, 1000)"),
+        topK = 3, broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val bulk = run(bc = false) // forces the chunked matrix
+    assert(m.chunkedMatrix._1 > 1, "hot cell must split into chunks")
+    assert(bulk === run(bc = true))
+    // Chunks partition the index: per-(cell,chunk) sizes sum to n.
+    assert(m.chunkedMatrix._2.select(explode(col("mat"))).count() ===
+      skewed.count())
+    // The balanced fixture derives modulus 1 (zero chunk overhead).
+    val balanced = Similarity.ivfBuild(vecs, k = 3, nprobe = 3, dim = 8)
+    balanced.chunkedMatrix
+    assert(balanced.chunkedMatrix._1 === 1)
   }
 
   test("needsRebuild flips once extends outgrow the build; a fresh " +
