@@ -157,8 +157,14 @@ object Bench {
     * scanner + native token_run_count replacing the regex n_tok,
     * exact cross-collision exclusion in both ingest truths,
     * delta-bound extend bookkeeping in ivfExtend/pqExtend.
+    *
+    * v7 (round 17, late): + q_neardup_minhash_spanning (133 queries;
+    * duplicate-group-collapsed near-dup under a closure-equality
+    * oracle) and the round's bulk-ANN kernelization — the ANN bulk
+    * gates' implementations changed (per-cell kernels, skew chunking),
+    * so their mins are not v6-comparable either.
     */
-  private val WorkloadVersion = 6
+  private val WorkloadVersion = 7
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

@@ -110,6 +110,14 @@ object Dedup {
     val withSig = graft.view.Patterns.ensurePersisted(
       sigProjection(df, idCol, textCol, numHashes, shingleK),
       graft.view.Patterns.TextInflation)
+    nearDupFromSig(withSig, numHashes, bands, minJaccard)
+  }
+
+  /** Banding + exact-verify pipeline over a MATERIALIZED (id, hs, sig)
+    * frame — the shared core of [[minhashNearDup]] and
+    * [[minhashNearDupSpanning]]. */
+  private def nearDupFromSig(withSig: DataFrame, numHashes: Int,
+                             bands: Int, minJaccard: Double): DataFrame = {
     val banded = bandBuckets(withSig, numHashes, bands)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -132,6 +140,61 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Duplicate-group-collapsed ("spanning") variant of
+    * [[minhashNearDup]] for duplicate-heavy corpora — boilerplate,
+    * empty, and template documents, the common case in web-scale
+    * training data. The full variant's contract (every qualifying
+    * pair) is inherently quadratic in a duplicate group's size: d
+    * byte-identical docs share every band bucket, so candidates,
+    * verify rows, and the OUTPUT itself are d²/2 — at d = 1M that is
+    * 5·10¹¹ pairs, and no partitioning trick saves the job because
+    * the answer itself is the explosion (AQE can split the bucket
+    * join, not shrink its product). Dedup pipelines never need every
+    * literal pair: clustering consumers
+    * ([[graft.graph.ConnectedComponents]] → keep-best, B7–B9) only
+    * need a pair set with the same TRANSITIVE CLOSURE.
+    *
+    * This variant groups docs by their sorted distinct shingle-hash
+    * set (array equality — exact, no hash-collision false grouping),
+    * emits min-id STAR pairs inside each group at jaccard = 1.0
+    * (identical sets — provably 1.0, no verification join needed),
+    * and runs banding + verification over ONE representative per
+    * group. Candidate volume drops from Σᵢ dᵢ² to Σᵢ dᵢ + the pairs
+    * among distinct contents.
+    *
+    * Closure equality with [[minhashNearDup]] (spec-pinned and gated
+    * via component-label comparison): an in-group pair connects
+    * through its stars; a cross-group pair (x, y) has J(x, y) =
+    * J(rep_x, rep_y) because members carry identical sets, so the rep
+    * pair survives the same banding-and-verify and x–rep_x–rep_y–y
+    * connects; conversely every emitted pair is a true ≥-threshold
+    * pair. Literal pair consumers (audit trails) should use the full
+    * variant — on corpora where it is feasible, which is exactly the
+    * corpora without giant duplicate groups. */
+  def minhashNearDupSpanning(df: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 64, bands: Int = 16,
+                             shingleK: Int = 3,
+                             minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.expressions.Window
+    // One shuffle keys the corpus by its exact content fingerprint
+    // (the sorted shingle-hash set); the window's min-id is the
+    // group's representative. Materialized once — consumers are the
+    // star emission, the rep band side, and both rep verify sides.
+    val keyed = graft.view.Patterns.ensurePersisted(
+      sigProjection(df, idCol, textCol, numHashes, shingleK)
+        .withColumn("rep",
+          min(col("id")).over(Window.partitionBy(array_sort(col("hs"))))),
+      graft.view.Patterns.TextInflation)
+    val stars = keyed.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val reps = keyed.filter(col("id") === col("rep"))
+      .select(col("id"), col("hs"), col("sig"))
+    nearDupFromSig(reps, numHashes, bands, minJaccard)
+      .unionByName(stars)
   }
 
   /** A built MinHash-LSH dedup index: the banded bucket table (one row

@@ -178,6 +178,50 @@ object TextBattery {
     }
   )
 
+  /** Duplicate-group-collapsed near-dup
+    * ([[graft.dedup.Dedup.minhashNearDupSpanning]]): on a fixture
+    * where every document exists twice (an exact copy band) plus a
+    * mutated copy — the duplicate-heavy shape whose full pair
+    * contract is quadratic-per-group — the spanning variant must
+    * produce a pair set whose TRANSITIVE CLOSURE equals the full
+    * variant's. The gate checks the strongest consumer-visible form
+    * of that claim: both pair sets run through
+    * [[graft.graph.ConnectedComponents]] and every document's
+    * component label must agree (component = min reachable id, so
+    * equal closures ⟺ equal label maps); the oracle pins all-true.
+    * The copy–mutation connection exists only TRANSITIVELY in the
+    * spanning output (copy → rep → mutation), so a dropped star or
+    * lost rep pair flips a label; exact star/rep shape is spec-pinned
+    * on a d = 4 group in DedupSpec (CC labels are insensitive to rep
+    * choice by design, so the gate gates closure, the spec gates
+    * shape). */
+  val neardupMinhashSpanning = Q(
+    "q_neardup_minhash_spanning",
+    Some(
+      "SELECT doc_id, true AS closure_ok FROM (" +
+        "SELECT doc_id FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 FROM documents UNION ALL " +
+        "SELECT doc_id + 2000000 FROM documents) ORDER BY 1"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val f = withPlantedDups(s, dir).unionByName(
+        docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      def comps(pairs: org.apache.spark.sql.DataFrame) =
+        graft.graph.ConnectedComponents.run(
+          f.select(col("doc_id").as("id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val full = comps(Dedup.minhashNearDup(f, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
+      val span = comps(Dedup.minhashNearDupSpanning(f, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
+      full.select(col("id"), col("component").as("c_full"))
+        .join(span.select(col("id"), col("component").as("c_span")), Seq("id"))
+        .select(col("id").as("doc_id"),
+          (col("c_full") === col("c_span")).as("closure_ok"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Incremental MinHash dedup ([[graft.dedup.Dedup.minhashBuild]] /
     * [[graft.dedup.Dedup.minhashDeltaPairs]]): the index is built ONCE
     * over the base corpus, then the mutated batch dedups against it
@@ -962,7 +1006,7 @@ object TextBattery {
 
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
-    neardupMinhashDelta, minhashPersist,
+    neardupMinhashSpanning, neardupMinhashDelta, minhashPersist,
     neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,

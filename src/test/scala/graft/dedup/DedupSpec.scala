@@ -61,6 +61,44 @@ class DedupSpec extends SparkSuite {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
   }
 
+  test("spanning near-dup: duplicate groups collapse to min-id stars at " +
+    "J=1.0, candidate work shrinks to one rep per group, and the " +
+    "transitive closure equals the full variant's") {
+    // Three exact copies of doc 1 (a duplicate group of 4), a near-dup
+    // of the group, and the usual distinct docs: the group's 6 full
+    // pairs must become 3 star pairs, the near-dup must connect
+    // through the representative, and the component labels must match
+    // the full variant's exactly.
+    val f = fixture.unionByName(docs(
+      6L -> base, // exact duplicate of 1 and 2
+      7L -> base, // exact duplicate of 1, 2, 6
+      8L -> (base + " almost")))
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = pairs(Dedup.minhashNearDup(f, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
+    val span = pairs(Dedup.minhashNearDupSpanning(f, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
+    // Stars: {1-2, 1-6, 1-7} at exactly 1.0; the full variant has all
+    // 6 in-group pairs.
+    assert(span.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (1L, 7L)))
+    assert(full.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (1L, 7L), (2L, 6L), (2L, 7L), (6L, 7L)))
+    // Every spanning pair is a true full pair (subset, same jaccards).
+    assert(span.subsetOf(full))
+    // Transitive closures agree: identical component labels.
+    val s = spark
+    import s.implicits._
+    def comps(ps: Set[(Long, Long, Double)]) =
+      graft.graph.ConnectedComponents.run(
+        f.select(col("doc_id").as("id")),
+        ps.toSeq.map(p => (p._1, p._2)).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(span) === comps(full))
+  }
+
   test("no CartesianProduct in the LSH plan") {
     val plan = Dedup.minhashNearDup(fixture, "doc_id", "text")
       .queryExecution.executedPlan
