@@ -774,6 +774,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Duplicate-group-collapsed variant of [[embeddingNearDup]] — the
+    * embedding-space sibling of [[minhashNearDupSpanning]], for the
+    * same reason: d byte-identical vectors (default embeddings for
+    * empty/boilerplate docs are routine) co-bucket under EVERY plane
+    * count, so candidates, verify rows, and the pair output are d²/2
+    * and no plane tuning helps. Groups rows by exact vector equality,
+    * emits min-id star pairs at cos = 1.0 (identical vectors — by
+    * definition; note the full variant computes cos(v, v) in floating
+    * point, so star values are the exact 1.0 the semantic claim
+    * means, not the kernel's last-ulp), and runs the bucket join over
+    * one representative per group — the derived plane count then
+    * sizes itself to the COLLAPSED corpus, as it should. Transitive
+    * closure equals the full variant's by the same argument as the
+    * MinHash sibling (spec-pinned); clustering consumers
+    * (`q_semantic_dedup`'s components → keepers) get identical
+    * results. */
+  def embeddingNearDupSpanning(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, minCosine: Double = 0.95,
+                               planes: Int = -1, seed: Long = 42L,
+                               multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One shuffle keys the corpus by the raw vector; min-id is the
+    // representative. Checkpointed: consumers are the star emission
+    // and the rep-side near-dup (which re-checkpoints its own
+    // projection for the derived-plane count).
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
+      .localCheckpoint()
+    val stars = keyed.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("cos"))
+    embeddingNearDup(keyed.filter(col("id") === col("rep")),
+        "id", "v", dim, minCosine, planes, seed, multiProbe)
+      .unionByName(stars)
+  }
+
   /** 64-bit SimHash: explode tokens, hash each, and for every bit sum
     * +1/-1 across the doc; bit j of the result is 1 iff the sum is
     * positive. Single explode + one groupBy shuffle, 64 cheap aggs. */

@@ -236,6 +236,39 @@ class DedupSpec extends SparkSuite {
       "multi-probe must recover a 1-bit-apart pair")
   }
 
+  test("embedding spanning near-dup: identical vectors collapse to " +
+    "stars, closure equals the full variant's") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11L)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val near = v1.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    // ids 1-3 identical (a group of 3), 4 a near-dup of the group,
+    // 5-8 unrelated.
+    val rows = Seq(1L -> v1, 2L -> v1, 3L -> v1, 4L -> near) ++
+      (5L to 8L).map(_ -> vec())
+    val df = rows.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    def pairs(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val full = pairs(Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      dim = dim, minCosine = 0.99, planes = 8))
+    val span = pairs(Dedup.embeddingNearDupSpanning(df, "vec_id", "embedding",
+      dim = dim, minCosine = 0.99, planes = 8))
+    // Stars replace the group's 3 in-group pairs; the near-dup
+    // connects via the representative only.
+    assert(span.contains((1L, 2L)) && span.contains((1L, 3L)))
+    assert(!span.contains((2L, 3L)) && full.contains((2L, 3L)))
+    assert(span.contains((1L, 4L)) && !span.contains((2L, 4L)))
+    def comps(ps: Set[(Long, Long)]) =
+      graft.graph.ConnectedComponents.run(
+        df.select(col("vec_id").as("id")),
+        ps.toSeq.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(span) === comps(full))
+  }
+
   test("crossJaccardJoin matches brute-force pairs and jaccards exactly") {
     val s = spark
     import s.implicits._
