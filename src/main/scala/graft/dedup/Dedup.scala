@@ -70,6 +70,13 @@ object Dedup {
     * candidates are verified with exact Jaccard over distinct shingle
     * sets and filtered at `minJaccard`. Returns (id_a, id_b, jaccard)
     * with id_a < id_b.
+    *
+    * SCALE CAVEAT — duplicate groups: the every-pair contract is
+    * quadratic in a duplicate group's size (d byte-identical docs ⇒
+    * d²/2 output pairs — measured in BENCH_NOTES r17), and no
+    * partitioning fix shrinks a join's product. Clustering consumers
+    * should use [[minhashNearDupSpanning]], whose output is
+    * transitive-closure-equal and linear in group size.
     */
   /** (id, hs, sig) projection — the shared scan-side kernel chain of
     * [[minhashNearDup]] and [[minhashBuild]]: normalize (codegen'd
@@ -830,7 +837,12 @@ object Dedup {
     * the pigeonhole chunk trick — split the 64-bit hash into 4 16-bit
     * chunks; any pair within hamming ≤ 3 shares at least one exact
     * chunk, so the candidate join is an equi-join on (chunk idx, chunk
-    * value), never a cross product. */
+    * value), never a cross product. Same duplicate-group scale caveat
+    * as [[minhashNearDup]]: identical docs share the whole hash, so
+    * the every-pair output is d²/2 per group — clustering consumers on
+    * duplicate-heavy corpora should collapse exact groups first (the
+    * [[minhashNearDupSpanning]] pattern; [[exact]] provides the
+    * grouping). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     // The signature aggregation feeds both sides of the chunk join —
