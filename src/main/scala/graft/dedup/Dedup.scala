@@ -816,6 +816,31 @@ object Dedup {
       .unionByName(stars)
   }
 
+  /** One-call SemDeDup-shaped semantic dedup: spanning embedding
+    * near-dup → connected components → quality-keyed keeper per
+    * cluster. Returns one row per CLUSTER: (idCol = the keeper,
+    * "component" = the cluster's min id, scoreCol = the keeper's
+    * score); singleton docs are their own keeper. The composition a
+    * 100 TB dedup run should copy, packaged: the spanning collapse
+    * keeps duplicate groups linear, the components see a
+    * closure-equal graph (provably the same clusters as the full
+    * pair contract), and the keeper window depends only on clusters.
+    * Gated end-to-end against a DuckDB recursive-closure oracle as
+    * `q_semantic_dedup`. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    scores: DataFrame, scoreCol: String, dim: Int,
+                    minCosine: Double = 0.95, planes: Int = -1,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDupSpanning(df, idCol, vecCol, dim,
+      minCosine, planes, seed)
+    val comps = graft.graph.ConnectedComponents.run(
+      df.select(col(idCol).as("id")), pairs, srcCol = "id_a", dstCol = "id_b")
+    graft.graph.ConnectedComponents.keepersBy(
+      comps, scores.select(col(idCol).as("id"), col(scoreCol).as("score")))
+      .select(col("id").as(idCol), col("component"),
+        col("score").as(scoreCol))
+  }
+
   /** 64-bit SimHash: explode tokens, hash each, and for every bit sum
     * +1/-1 across the doc; bit j of the result is 1 iff the sum is
     * positive. Single explode + one groupBy shuffle, 64 cheap aggs. */

@@ -345,23 +345,16 @@ object SimBattery {
       val planted = emb.unionByName(
         emb.filter(col("vec_id") < 50)
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      // The SPANNING near-dup feeds the clustering: its pair set is
-      // transitive-closure-equal to the full variant's (spec-pinned),
-      // so components — and therefore keepers — are identical, while
-      // duplicate groups cost Σd instead of Σd² pairs. This is the
-      // composition a 100 TB semantic-dedup run should copy: the
-      // full pair contract is only for consumers that need every
-      // literal pair.
-      val pairs = graft.dedup.Dedup.embeddingNearDupSpanning(
-        planted, "vec_id", "embedding", dim = 64, minCosine = 0.99)
-      val comps = graft.graph.ConnectedComponents.run(
-        planted.select(col("vec_id").as("id")),
-        pairs, srcCol = "id_a", dstCol = "id_b")
-      graft.graph.ConnectedComponents.keepersBy(comps,
-        planted.select(col("vec_id").as("id"), (col("vec_id") % 97).as("score")),
-        scoreCol = "score")
-        .select(col("id").as("vec_id"), col("component"),
-          col("score").as("quality"))
+      // The packaged library composition (spanning near-dup → CC →
+      // keepers): its pair graph is transitive-closure-equal to the
+      // full contract's (spec-pinned), so clusters — and therefore
+      // keepers — are identical, while duplicate groups cost Σd
+      // instead of Σd² pairs.
+      graft.dedup.Dedup.semanticDedup(planted, "vec_id", "embedding",
+          scores = planted.select(col("vec_id"),
+            (col("vec_id") % 97).as("quality")),
+          scoreCol = "quality", dim = 64, minCosine = 0.99)
+        .select(col("vec_id"), col("component"), col("quality"))
         .orderBy(col("vec_id"))
     }
   )
