@@ -295,6 +295,30 @@ class SimilaritySpec extends SparkSuite {
     assert(pqBulk(pA).contains(1L -> 100L)) // planted duplicate survives the merge
   }
 
+  test("mergeCellMatrix fills previously-empty (cell, chunk) slots and " +
+    "leaves untouched cells intact") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // Old matrix: cell 0 only. Delta: one entry re-hitting cell 0 and
+    // one landing in brand-new cell 5 — the full-outer's fmat-only
+    // branch.
+    val om = Seq((0, 0, Seq((1L, Seq(1.0f, 0f)))))
+      .toDF("cell", "chunk", "mat")
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<float>>>"))
+    val fresh = Seq((2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0f, 1f), 5))
+      .toDF("neighbor_id", "cv", "cell")
+      .withColumn("cv", col("cv").cast("array<float>"))
+    val (n, merged) = Similarity.mergeCellMatrix((1, om), fresh, "cv")
+    assert(n === 1) // modulus frozen, not re-derived
+    val byCell = merged.select(col("cell"), col("mat.neighbor_id").as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(byCell(0).sorted === Seq(1L, 2L)) // concat branch
+    assert(byCell(5) === Seq(3L)) // fmat-only branch
+    assert(byCell.size === 2)
+  }
+
   test("skewed cell occupancy derives a chunk modulus > 1 and bulk " +
     "results stay identical to broadcast; balanced stays at 1") {
     import org.apache.spark.sql.functions._
