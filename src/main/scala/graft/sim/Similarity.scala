@@ -257,17 +257,23 @@ object Similarity {
     * contains it). Costs one small occupancy aggregation at first
     * materialization; the probe fan explodes × nChunks (bounded by
     * the cap). */
-  private[sim] def chunkedCellMatrix(indexed: DataFrame,
-                                     payload: String): (Int, DataFrame) = {
-    val occ = indexed.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+  /** Skew-derived sub-group chunk modulus for a bucketed index:
+    * ⌈max-occupancy / (2 × mean)⌉ over `keys` groups, floor 1, cap 64.
+    * GRAFT_ANN_CHUNKS overrides (A/B and ops escape hatch, same
+    * precedent as GRAFT_REPLAY_PARTITIONS). */
+  private[sim] def chunkModulus(df: DataFrame, keys: Seq[String]): Int = {
+    val occ = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), avg(col("c")).as("mean")).head()
-    // GRAFT_ANN_CHUNKS overrides the derived modulus (A/B and ops
-    // escape hatch, same precedent as GRAFT_REPLAY_PARTITIONS).
-    val nChunks = sys.env.get("GRAFT_ANN_CHUNKS").map(_.toInt).getOrElse {
+    sys.env.get("GRAFT_ANN_CHUNKS").map(_.toInt).getOrElse {
       if (occ.isNullAt(0)) 1
       else math.min(64, math.max(1,
         math.ceil(occ.getLong(0) / (2.0 * occ.getDouble(1))).toInt))
     }
+  }
+
+  private[sim] def chunkedCellMatrix(indexed: DataFrame,
+                                     payload: String): (Int, DataFrame) = {
+    val nChunks = chunkModulus(indexed, Seq("cell"))
     val df = indexed
       .withColumn("chunk",
         pmod(xxhash64(col("neighbor_id")), lit(nChunks.toLong)).cast("int"))
@@ -564,24 +570,38 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
     } else {
       // Bulk probes (same strategy split as ivfSearch/pqSearch): the
-      // corpus grouped per (table, bucket) feeds the same per-group
-      // top-k kernel as IVF's bulk path. Unlike IVF, a candidate can
-      // collide with a probe in SEVERAL tables, so the kernel output
-      // dedups on (probe, neighbor) BEFORE the merge window — at
-      // probes × tables × (planes+1) × k cardinality, not candidate
-      // cardinality. Per-group top-k + global dedup is EXACT: a
-      // globally top-k distinct candidate has < k distinct candidates
-      // beating it, so in every group that contains it at most k−1
-      // locals rank above it and it survives that group's top-k.
-      // Same bulk caveats as ivfSearch: BIGINT ids, zero-norm
+      // corpus grouped per (table, bucket, chunk) feeds the same
+      // per-group top-k kernel as IVF's bulk path, with the same
+      // skew-derived sub-group chunking — identical docs share every
+      // bucket, so a duplicate-heavy corpus would otherwise ride one
+      // atomic hot-bucket row to one task (the measured IVF failure,
+      // BENCH_NOTES r17). Unlike IVF, a candidate can collide with a
+      // probe in SEVERAL tables (and now chunks), so the kernel
+      // output dedups on (probe, neighbor) BEFORE the merge window —
+      // at probes × tables × (planes+1) × chunks × k cardinality, not
+      // candidate cardinality. Per-group top-k + global dedup is
+      // EXACT: a globally top-k distinct candidate has < k distinct
+      // candidates beating it, so in every group that contains it at
+      // most k−1 locals rank above it and it survives that group's
+      // top-k. Same bulk caveats as ivfSearch: BIGINT ids, zero-norm
       // candidates omitted rather than ranked NULLS-LAST.
       val width =
         corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      val mat = c.groupBy(col("table"), col("bucket"))
+      // Two consumers of the bucketed corpus in bulk mode (the
+      // modulus derivation and the matrix group-by) — materialize it
+      // once; the broadcast branch keeps its single-consumer lazy plan.
+      val cc = c.localCheckpoint()
+      val nChunks = chunkModulus(cc, Seq("table", "bucket"))
+      val mat = cc
+        .withColumn("chunk",
+          pmod(xxhash64(col("neighbor_id")), lit(nChunks.toLong)).cast("int"))
+        .groupBy(col("table"), col("bucket"), col("chunk"))
         .agg(collect_list(struct(col("neighbor_id"), col("cv"))).as("mat"))
-        .repartition(width, col("table"), col("bucket"))
-      val probeFan = probeBuckets.repartition(width, col("table"), col("bucket"))
-      probeFan.join(mat, Seq("table", "bucket"))
+        .repartition(width, col("table"), col("bucket"), col("chunk"))
+      val probeFan = probeBuckets
+        .withColumn("chunk", explode(array((0 until nChunks).map(lit): _*)))
+        .repartition(width, col("table"), col("bucket"), col("chunk"))
+      probeFan.join(mat, Seq("table", "bucket", "chunk"))
         .select(col("probe_id"),
           explode(graft.functions.TopKCellCosExpr(
             col("probe_id"), col("pv"), col("mat"), k)).as("e"))

@@ -79,6 +79,23 @@ class SimilaritySpec extends SparkSuite {
     assert(run(bc = false) === run(bc = true))
   }
 
+  test("bulk LSH on a duplicate-heavy corpus: hot buckets chunk, " +
+    "results stay identical to broadcast") {
+    val s = spark
+    import s.implicits._
+    // 40 exact copies of one vector (they share EVERY table's bucket
+    // — the atomic-hot-bucket shape) + the regular fixture.
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val dups = (200L until 240L).map(i => (i, v.toSeq)).toDF("vec_id", "embedding")
+    val f = vecs.unionByName(dups)
+    def run(bc: Boolean) =
+      Similarity.lshTopK(f, f, k = 2, planes = 4, dim = 8,
+        broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(run(bc = false) === run(bc = true))
+  }
+
   test("LSH plan contains no CartesianProduct") {
     val plan = Similarity.lshTopK(vecs, vecs.filter("vec_id = 1"), k = 3,
       planes = 8, dim = 8).queryExecution.executedPlan
