@@ -190,8 +190,23 @@ object Dedup {
     // (the sorted shingle-hash set); the window's min-id is the
     // group's representative. Materialized once — consumers are the
     // star emission, the rep band side, and both rep verify sides.
+    //
+    // NULL-text docs have a NULL shingle set (ShingleHashesExpr
+    // null-propagates). The full variant emits NO pairs for them —
+    // its verify jaccard is NULL and fails the >= threshold filter —
+    // but the WINDOW groups all NULLs into one partition, so without
+    // the guard below every null-text doc would collapse into ONE
+    // star component at J=1.0, a closure the full variant does not
+    // have. `size(NULL) > 0` is NULL → filtered: they pass through as
+    // pairless singletons. (Short docs are NOT a degenerate case
+    // here: NativeShingle falls back to one whole-text shingle below
+    // k tokens, so distinct short docs carry distinct singleton sets,
+    // and empty-normalized docs share {hash("")} — a group the full
+    // variant also pairs at exactly 1/1 = 1.0. Verified empirically;
+    // see the short-doc/null fixture in DedupSpec.)
     val keyed = graft.view.Patterns.ensurePersisted(
       sigProjection(df, idCol, textCol, numHashes, shingleK)
+        .filter(size(col("hs")) > 0)
         .withColumn("rep",
           min(col("id")).over(Window.partitionBy(array_sort(col("hs"))))),
       graft.view.Patterns.TextInflation)
@@ -806,7 +821,22 @@ object Dedup {
     // representative. Checkpointed: consumers are the star emission
     // and the rep-side near-dup (which re-checkpoints its own
     // projection for the derived-plane count).
+    //
+    // Degenerate vectors are excluded up front, matching the full
+    // variant's no-pair behavior (the MinHash sibling's empty-set
+    // rule, in embedding space): a zero-norm vector's cosine is NULL
+    // (kernel contract), a NaN-component vector's cosine is NaN, and
+    // a NULL vector never survives the bucket equi-join — the full
+    // variant emits no pairs for any of them, so grouping them here
+    // (byte-identical zero/NULL vectors compare equal) would mint
+    // cos=1.0 star pairs the full closure does not have. The filter
+    // below is NULL for a NULL vector, 0 for zero-norm, NaN for
+    // NaN-component — all three fail `> 0` and pass through as
+    // pairless singletons.
+    val sq = aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(sq > 0)
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
       .localCheckpoint()
     val stars = keyed.filter(col("id") =!= col("rep"))

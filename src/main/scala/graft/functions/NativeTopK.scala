@@ -35,6 +35,13 @@ import org.apache.spark.sql.types._
   * after every finite candidate (`NULLS LAST`), so results differ
   * only for probes with fewer than k finite candidates in a cell, in
   * which case this path simply omits the degenerate filler rows.
+  * Entries whose cosine is NaN (a NaN vector component) are likewise
+  * skipped — a documented DIVERGENCE from the window form, which
+  * ranks NaN ABOVE every finite value (Spark's NaN ordering) and so
+  * returns NaN filler rows at the head; admitting NaN here would
+  * poison the insertion buffer (every comparison against NaN is
+  * false) and silently drop finite candidates, the one behavior
+  * neither form should have.
   * Entries whose id equals `probeId` are skipped (the
   * `probe_id =!= neighbor_id` filter, applied pre-rank as before). */
 object NativeTopK {
@@ -54,7 +61,13 @@ object NativeTopK {
       val id = s.getLong(0)
       if (id != probeId) {
         val c = NativeVector.cosine(pv, s.getArray(1), pF, cF)
-        if (c != null) {
+        // NaN cosines (a NaN vector component) are skipped alongside
+        // the NULL zero-norm skip: a NaN admitted while the buffer is
+        // not yet full would park at the tail, and once size == k
+        // every later candidate compares against NaN (all comparisons
+        // false) and is rejected — poisoning the heap and dropping
+        // finite candidates. See the divergence contract above.
+        if (c != null && !java.lang.Double.isNaN(c.doubleValue())) {
           val cos = c.doubleValue()
           // admit iff better than the current k-th (or heap not full);
           // "better" = (cos, -id) lexicographically larger

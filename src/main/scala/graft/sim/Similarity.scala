@@ -261,15 +261,22 @@ object Similarity {
     * ⌈max-occupancy / (2 × mean)⌉ over `keys` groups, floor 1, cap 64.
     * GRAFT_ANN_CHUNKS overrides (A/B and ops escape hatch, same
     * precedent as GRAFT_REPLAY_PARTITIONS). */
-  private[sim] def chunkModulus(df: DataFrame, keys: Seq[String]): Int = {
-    val occ = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("mx"), avg(col("c")).as("mean")).head()
-    sys.env.get("GRAFT_ANN_CHUNKS").map(_.toInt).getOrElse {
+  private[sim] def chunkModulus(df: DataFrame, keys: Seq[String]): Int =
+    chunkModulus(df, keys, sys.env.get("GRAFT_ANN_CHUNKS").map(_.toInt))
+
+  /** Override-injectable body: the env escape hatch must be consulted
+    * BEFORE the occupancy aggregation so it also skips the Spark job
+    * it exists to bypass (the `.head()` forces a full group-by over
+    * the index table). */
+  private[sim] def chunkModulus(df: DataFrame, keys: Seq[String],
+                                overrideChunks: Option[Int]): Int =
+    overrideChunks.getOrElse {
+      val occ = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mx"), avg(col("c")).as("mean")).head()
       if (occ.isNullAt(0)) 1
       else math.min(64, math.max(1,
         math.ceil(occ.getLong(0) / (2.0 * occ.getDouble(1))).toInt))
     }
-  }
 
   private[sim] def chunkedCellMatrix(indexed: DataFrame,
                                      payload: String): (Int, DataFrame) = {

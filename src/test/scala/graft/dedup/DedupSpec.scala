@@ -69,10 +69,28 @@ class DedupSpec extends SparkSuite {
     // pairs must become 3 star pairs, the near-dup must connect
     // through the representative, and the component labels must match
     // the full variant's exactly.
+    // Degenerate-text coverage (premises verified against
+    // NativeShingle.compute):
+    //  - 9, 10: DISTINCT short docs (< shingleK tokens). The kernel's
+    //    whole-text fallback gives each its OWN singleton shingle set,
+    //    so they must stay pairless singletons in both variants — the
+    //    empty-set collapse does not exist for short docs.
+    //  - 11, 12: NULL-text docs (NULL shingle set). The full variant's
+    //    NULL jaccard emits no pairs, but the rep window groups NULLs —
+    //    the guard must keep them out of the star emission.
+    //  - 13, 14: punct-only docs. Both normalize to "" and share the
+    //    {hash("")} set, a REAL duplicate group: the full variant pairs
+    //    them at exactly 1/1 = 1.0 and the spanning variant must too.
     val f = fixture.unionByName(docs(
       6L -> base, // exact duplicate of 1 and 2
       7L -> base, // exact duplicate of 1, 2, 6
-      8L -> (base + " almost")))
+      8L -> (base + " almost"),
+      9L -> "too short",
+      10L -> "tiny",
+      11L -> null,
+      12L -> null,
+      13L -> "!!!",
+      14L -> "???"))
     def pairs(df: DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Double]("jaccard"))).toSet
@@ -80,14 +98,21 @@ class DedupSpec extends SparkSuite {
       numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
     val span = pairs(Dedup.minhashNearDupSpanning(f, "doc_id", "text",
       numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
-    // Stars: {1-2, 1-6, 1-7} at exactly 1.0; the full variant has all
-    // 6 in-group pairs.
+    // Stars: {1-2, 1-6, 1-7} plus the punct-only group's 13-14, at
+    // exactly 1.0; the full variant has all 6 in-group pairs (+13-14).
     assert(span.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
-      Set((1L, 2L), (1L, 6L), (1L, 7L)))
+      Set((1L, 2L), (1L, 6L), (1L, 7L), (13L, 14L)))
     assert(full.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
-      Set((1L, 2L), (1L, 6L), (1L, 7L), (2L, 6L), (2L, 7L), (6L, 7L)))
+      Set((1L, 2L), (1L, 6L), (1L, 7L), (2L, 6L), (2L, 7L), (6L, 7L),
+        (13L, 14L)))
     // Every spanning pair is a true full pair (subset, same jaccards).
     assert(span.subsetOf(full))
+    // Short and null docs stay pairless singletons in BOTH variants.
+    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
+    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
+    // Punct-only docs share the empty normalized text — a true
+    // duplicate group in both variants, at exactly 1.0.
+    assert(full.contains((13L, 14L, 1.0)) && span.contains((13L, 14L, 1.0)))
     // Transitive closures agree: identical component labels.
     val s = spark
     import s.implicits._
@@ -246,9 +271,12 @@ class DedupSpec extends SparkSuite {
     val v1 = vec()
     val near = v1.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
     // ids 1-3 identical (a group of 3), 4 a near-dup of the group,
-    // 5-8 unrelated.
+    // 5-8 unrelated, 9-10 byte-identical ZERO vectors: the full
+    // variant's cosine is NULL for them (no pairs), so the spanning
+    // variant must not mint a cos=1.0 star between them.
+    val zero = Array.fill(dim)(0f)
     val rows = Seq(1L -> v1, 2L -> v1, 3L -> v1, 4L -> near) ++
-      (5L to 8L).map(_ -> vec())
+      (5L to 8L).map(_ -> vec()) ++ Seq(9L -> zero, 10L -> zero)
     val df = rows.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
     def pairs(f: => org.apache.spark.sql.DataFrame) = f.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -261,6 +289,9 @@ class DedupSpec extends SparkSuite {
     assert(span.contains((1L, 2L)) && span.contains((1L, 3L)))
     assert(!span.contains((2L, 3L)) && full.contains((2L, 3L)))
     assert(span.contains((1L, 4L)) && !span.contains((2L, 4L)))
+    // Zero-norm vectors stay pairless singletons in BOTH variants.
+    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
+    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
     def comps(ps: Set[(Long, Long)]) =
       graft.graph.ConnectedComponents.run(
         df.select(col("vec_id").as("id")),

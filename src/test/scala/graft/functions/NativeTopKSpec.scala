@@ -86,6 +86,28 @@ class NativeTopKSpec extends SparkSuite {
     assert(kernel(df, 3).map(_._2) === Set(2L))
   }
 
+  test("NaN cosines are skipped, never poison the insertion buffer") {
+    val v = Array.tabulate(dim)(_.toFloat + 1f)
+    val nan = v.updated(0, Float.NaN)
+    // Storage order plants the poison scenario the fix exists for:
+    // a weak finite candidate (id 1), then the NaN entry (id 2) —
+    // pre-fix it parked at the buffer tail while size < k, and once
+    // size == k every later candidate compared against NaN (all
+    // comparisons false) and was REJECTED, dropping the true top-2
+    // (ids 3 and 4).
+    val w = Array.tabulate(dim)(i => if (i == 0) 1f else -0.1f * i)
+    val df = Seq((0L, v, Seq((1L, w), (2L, nan), (3L, v), (4L, v.map(_ * 2f)))))
+      .toDF("probe_id", "pv", "mat")
+      .withColumn("mat", col("mat").cast(
+        "array<struct<neighbor_id: bigint, cv: array<float>>>"))
+    val got = kernel(df, 2)
+    assert(got.map(_._2) === Set(3L, 4L), s"finite top-2 dropped: $got")
+    assert(got.forall(e => !e._3.isNaN))
+    // Documented DIVERGENCE from the window form, which ranks NaN
+    // ABOVE every finite cosine (Spark NaN ordering) and keeps it.
+    assert(composed(df, 2).map(_._2) === Set(2L, 3L))
+  }
+
   test("returns fewer than k when the cell is small, never more than k") {
     val df = rows(nProbes = 5, cellN = 4, seed = 2).localCheckpoint()
     val perProbe = df.select(col("probe_id"),
