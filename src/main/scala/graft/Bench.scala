@@ -164,7 +164,10 @@ object Bench {
     * gates' implementations changed (per-cell kernels, skew chunking),
     * so their mins are not v6-comparable either.
     */
-  private val WorkloadVersion = 7
+  // v8 (r18): + q_neardup_simhash_spanning, q_neardup_ngram_spanning;
+  // degenerate-group guards in the spanning variants (NULL-text /
+  // zero-norm singletons) and the NaN skip in the bulk top-k kernel.
+  private val WorkloadVersion = 8
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

@@ -457,6 +457,20 @@ object Dedup {
         graft.functions.ShingleHashesExpr(
           TextFunctions.normalize(col(textCol)), shingleK).as("hs")),
       graft.view.Patterns.TextInflation)
+    ngramNearDupFromShingles(docs, minJaccard, rareFirst,
+      maxPosting, maxCandidates)
+  }
+
+  /** SSJoin core over an already-materialized (id, hs) shingle frame —
+    * the prefix-filter/positional-filter/exact-verify machinery of
+    * [[ngramJaccardNearDup]], factored so the spanning variant can run
+    * it over group representatives without re-shingling (the
+    * [[nearDupFromSig]] pattern). `docs` must be persisted by the
+    * caller: it feeds the dfreq pass, the prefix rebuild, and both
+    * verify sides. */
+  private def ngramNearDupFromShingles(docs: DataFrame, minJaccard: Double,
+                                       rareFirst: Boolean, maxPosting: Int,
+                                       maxCandidates: Long): DataFrame = {
     // ceil(t·n) in doubles can overshoot the exact integer grid
     // (t=0.84, n=50: 42.000000000000004 → ceil 43), shortening the
     // prefix by one token and silently losing an at-threshold pair —
@@ -591,6 +605,54 @@ object Dedup {
         col("o").cast("double") / (col("na") + col("nb") - col("o")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Duplicate-group-collapsed variant of [[ngramJaccardNearDup]] —
+    * the exact-SSJoin sibling of [[minhashNearDupSpanning]], and the
+    * variant that matters MOST at scale for this engine: duplicate
+    * groups hurt the SSJoin twice. The output is d²/2 per group (the
+    * shared quadratic-pair contract), AND d identical docs put d
+    * entries into EVERY posting of their shingles, inflating the
+    * candidate join's Σ|posting|² — the measured 90× host-OOM driver
+    * (BENCH_NOTES r10) — before a single pair is emitted. Collapsing
+    * exact groups first shrinks both at once, so the posting cap /
+    * candidate budget (`maxPosting`/`maxCandidates`) then derives from
+    * the collapsed corpus — the corpus whose volume actually hits the
+    * join.
+    *
+    * Grouping key: the sorted shingle-hash array (multiset equality —
+    * exact, no hash-collision false grouping). Set-equal docs have
+    * J = n/(2n−n) = 1.0 exactly, so stars are emitted at 1.0 without a
+    * verify; cross-group pairs have J(x, y) = J(rep_x, rep_y) and the
+    * rep pair is found by the full engine (which is 100%-recall at
+    * threshold when uncapped), so the transitive closure equals the
+    * full variant's — with caps engaged, both variants lose exactly
+    * the pairs whose prefixes share only capped tokens. NULL-text docs
+    * (NULL shingle set) pass through as pairless singletons, matching
+    * the full variant's no-pair behavior (same guard as the MinHash
+    * sibling). */
+  def ngramJaccardNearDupSpanning(df: DataFrame, idCol: String,
+                                  textCol: String, shingleK: Int = 3,
+                                  minJaccard: Double = 0.8,
+                                  rareFirst: Boolean = true,
+                                  maxPosting: Int = Int.MaxValue,
+                                  maxCandidates: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.view.Patterns.ensurePersisted(
+      df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashesExpr(
+          TextFunctions.normalize(col(textCol)), shingleK).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("rep",
+          min(col("id")).over(Window.partitionBy(array_sort(col("hs"))))),
+      graft.view.Patterns.TextInflation)
+    val stars = keyed.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    ngramNearDupFromShingles(
+      keyed.filter(col("id") === col("rep")).select(col("id"), col("hs")),
+      minJaccard, rareFirst, maxPosting, maxCandidates)
+      .unionByName(stars)
   }
 
   /** Cross-table fuzzy join (record linkage): every (left, right) pair
@@ -895,9 +957,8 @@ object Dedup {
     * value), never a cross product. Same duplicate-group scale caveat
     * as [[minhashNearDup]]: identical docs share the whole hash, so
     * the every-pair output is d²/2 per group — clustering consumers on
-    * duplicate-heavy corpora should collapse exact groups first (the
-    * [[minhashNearDupSpanning]] pattern; [[exact]] provides the
-    * grouping). */
+    * duplicate-heavy corpora should use [[simhashNearDupSpanning]],
+    * which collapses exact groups first. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     // The signature aggregation feeds both sides of the chunk join —
@@ -919,6 +980,50 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Duplicate-group-collapsed variant of [[simhashNearDup]] — the
+    * SimHash sibling of [[minhashNearDupSpanning]], same contract:
+    * stars replace each exact-duplicate group's d²/2 in-group pairs,
+    * the full engine runs over one representative per group, and the
+    * transitive closure equals the full variant's.
+    *
+    * Grouping key: the NORMALIZED TEXT itself (exact equality, no
+    * hash-collision false grouping). SimHash is a pure function of
+    * the normalized token sequence — unlike the set-keyed MinHash/
+    * ngram siblings it weights token MULTIPLICITY, so two docs with
+    * equal shingle SETS can hash apart and only full text equality
+    * guarantees hamming(x, ·) ≡ hamming(rep_x, ·). In-group pairs get
+    * hamming = 0 (identical text ⇒ identical hash — the full variant
+    * emits exactly these rows); cross-group pairs survive through
+    * their reps by the pigeonhole guarantee unchanged. NULL-text docs
+    * pass through as pairless singletons (the full variant's token
+    * explode drops them before the signature aggregation, so it emits
+    * no pairs for them; the rep window would otherwise collapse all
+    * NULLs into one hamming-0 star component). Empty-normalized docs
+    * (punct-only text) are NOT degenerate here: they tokenize to [""]
+    * and carry the signature of the empty token, so both variants
+    * pair them at hamming 0 — one group like any other. */
+  def simhashNearDupSpanning(df: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // normalize() is idempotent, so the rep side feeds the normalized
+    // text back through the full engine without a second regex pass
+    // changing anything; keyed is materialized once for the star
+    // emission and the rep filter.
+    val keyed = graft.view.Patterns.ensurePersisted(
+      df.select(col(idCol).as("id"),
+        TextFunctions.normalize(col(textCol)).as("ntext"))
+        .filter(col("ntext").isNotNull)
+        .withColumn("rep",
+          min(col("id")).over(Window.partitionBy(col("ntext")))),
+      graft.view.Patterns.TextInflation)
+    val stars = keyed.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    simhashNearDup(keyed.filter(col("id") === col("rep")),
+        "id", "ntext", maxHamming)
+      .unionByName(stars)
   }
 
   /** Cross-document repeated-span detection — substring-level dedup in

@@ -314,6 +314,106 @@ object TextBattery {
     * `rareFirst = false` is the documented flat-distribution fast path:
     * this corpus has no hot shingles (max df 25 at sf0.1), and
     * `DedupSpec` asserts both orderings return identical pairs. */
+  /** Tripled duplicate-heavy fixture shared by the spanning gates:
+    * every selected doc appears as itself, a mutated copy, and an
+    * exact copy — groups of 2 with near-dup satellites. A quarter of
+    * the corpus (doc_id % 4 = 0): closure equality is a per-group
+    * property, not a volume one, and the full variants' quadratic
+    * sides stay bounded in the battery. */
+  private def spanningFixture(s: org.apache.spark.sql.SparkSession,
+                              dir: String) = {
+    val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+    docs
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 12, 1000000).as("text")))
+      .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+        col("text")))
+  }
+
+  private val spanningOracleSql: String =
+    "SELECT doc_id, true AS closure_ok FROM (" +
+      "SELECT doc_id FROM documents WHERE doc_id % 4 = 0 UNION ALL " +
+      "SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 0 UNION ALL " +
+      "SELECT doc_id + 2000000 FROM documents WHERE doc_id % 4 = 0) ORDER BY 1"
+
+  /** One-CC closure-equality check, the cheaper sibling of
+    * q_neardup_minhash_spanning's two-label compare: label ONLY the
+    * spanning graph, then closure equality ⟺ (1) every spanning pair
+    * is a full pair (closure(span) ⊆ closure(full), since pair sets
+    * order closures monotonically) AND (2) every full pair's endpoints
+    * share a spanning component (closure(full) ⊆ closure(span)). A
+    * violation of either flips closure_ok on the offending endpoints;
+    * the oracle pins all-true. Halves the gate's ConnectedComponents
+    * cost — at battery scale the CC rounds' fixed per-stage overhead,
+    * not data volume, dominates these gates (measured: quartering the
+    * corpus moved q_neardup_simhash_spanning only 8.8 → 7.4 s). */
+  private def spanningClosureOk(f: org.apache.spark.sql.DataFrame,
+                                full: org.apache.spark.sql.DataFrame,
+                                span: org.apache.spark.sql.DataFrame) = {
+    val fullP = full.select(col("id_a"), col("id_b"))
+    val spanP = span.select(col("id_a"), col("id_b"))
+    val lbl = graft.graph.ConnectedComponents.run(
+      f.select(col("doc_id").as("id")),
+      spanP.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val extra = spanP.except(fullP)
+    val split = fullP
+      .join(lbl.select(col("id").as("id_a"), col("component").as("ca")),
+        Seq("id_a"))
+      .join(lbl.select(col("id").as("id_b"), col("component").as("cb")),
+        Seq("id_b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("id_a"), col("id_b"))
+    val bad = extra.unionByName(split)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("bad", lit(true))
+    f.select(col("doc_id"))
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bad").isNull.as("closure_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-group-collapsed SimHash near-dup
+    * ([[graft.dedup.Dedup.simhashNearDupSpanning]]): the SimHash
+    * sibling of q_neardup_minhash_spanning under the one-CC
+    * [[spanningClosureOk]] equivalence — on the duplicate-heavy
+    * fixture the spanning pair set must be a subset of the full
+    * variant's with an identical transitive closure; the oracle pins
+    * all-true. Star/rep shape is spec-pinned in DedupSpec. */
+  val neardupSimhashSpanning = Q(
+    "q_neardup_simhash_spanning",
+    Some(spanningOracleSql),
+    (s, dir) => {
+      val f = spanningFixture(s, dir)
+      spanningClosureOk(f,
+        Dedup.simhashNearDup(f, "doc_id", "text", maxHamming = 3),
+        Dedup.simhashNearDupSpanning(f, "doc_id", "text", maxHamming = 3))
+    }
+  )
+
+  /** Duplicate-group-collapsed exact SSJoin
+    * ([[graft.dedup.Dedup.ngramJaccardNearDupSpanning]]): the variant
+    * that matters most at scale — exact duplicates inflate BOTH the
+    * SSJoin's output (d²/2 per group) and its candidate volume
+    * (Σ|posting|², the measured 90× host-OOM driver), and the
+    * spanning collapse shrinks both before the prefix join runs. Gate:
+    * closure-label agreement with the full (100%-recall, uncapped)
+    * variant on the duplicate-heavy fixture under the one-CC
+    * [[spanningClosureOk]] equivalence; the oracle pins all-true. */
+  val neardupNgramSpanning = Q(
+    "q_neardup_ngram_spanning",
+    Some(spanningOracleSql),
+    (s, dir) => {
+      val f = spanningFixture(s, dir)
+      spanningClosureOk(f,
+        Dedup.ngramJaccardNearDup(f, "doc_id", "text",
+          shingleK = 3, minJaccard = 0.7),
+        Dedup.ngramJaccardNearDupSpanning(f, "doc_id", "text",
+          shingleK = 3, minJaccard = 0.7))
+    }
+  )
+
   val neardupNgram = Q(
     "q_neardup_ngram",
     Some(
@@ -1007,7 +1107,8 @@ object TextBattery {
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupMinhashSpanning, neardupMinhashDelta, minhashPersist,
-    neardupSimhash, neardupNgram, decontaminateQ, decontaminateBloomQ,
+    neardupSimhash, neardupSimhashSpanning, neardupNgram,
+    neardupNgramSpanning, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,

@@ -150,6 +150,82 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (x, y) => Set(x, y).contains(4L) })
   }
 
+  test("simhash spanning: exact groups collapse to hamming-0 stars, " +
+    "closure equals the full variant's, degenerate texts behave") {
+    // Group of 3 exact copies (1, 2, 6) + a token-level near-dup (3,
+    // within hamming of the group) + null texts (7, 8: the full
+    // variant's token explode drops them — no pairs, no star group)
+    // + punct-only texts (9, 10: both normalize to "", a TRUE
+    // duplicate group both variants pair at hamming 0).
+    val f = docs(
+      1L -> base, 2L -> base, 6L -> base,
+      3L -> base.replace("morning", "evening"),
+      4L -> "completely different content about distributed query engines and shuffle partitioning strategies at scale",
+      7L -> null, 8L -> null,
+      9L -> "!!!", 10L -> "???")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val full = pairs(Dedup.simhashNearDup(f, "doc_id", "text", maxHamming = 8))
+    val span = pairs(Dedup.simhashNearDupSpanning(f, "doc_id", "text",
+      maxHamming = 8))
+    // Stars: the group's 3 in-group pairs become 2; punct group 1.
+    assert(span.filter(_._3 == 0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (9L, 10L)))
+    assert(full.filter(_._3 == 0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (2L, 6L), (9L, 10L)))
+    assert(span.subsetOf(full))
+    // Null texts: pairless singletons in BOTH variants.
+    assert(!full.exists(p => Set(p._1, p._2).exists(Set(7L, 8L))))
+    assert(!span.exists(p => Set(p._1, p._2).exists(Set(7L, 8L))))
+    // Above hamming 3 the 4-chunk pigeonhole is heuristic: the
+    // spanning variant recovers the near-dup (via its rep) EXACTLY
+    // when the full variant does, and never through a non-rep member.
+    assert(span.exists(p => (p._1, p._2) == (1L, 3L)) ===
+      full.exists(p => (p._1, p._2) == (1L, 3L)))
+    assert(!span.exists(p => (p._1, p._2) == (2L, 3L)))
+    val s = spark
+    import s.implicits._
+    def comps(ps: Set[(Long, Long, Int)]) =
+      graft.graph.ConnectedComponents.run(
+        f.select(col("doc_id").as("id")),
+        ps.toSeq.map(p => (p._1, p._2)).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(span) === comps(full))
+  }
+
+  test("ngram spanning: exact groups collapse to J=1.0 stars, closure " +
+    "equals the full (100%-recall) variant's") {
+    val f = fixture.unionByName(docs(
+      6L -> base, 7L -> base, // group of 4 with 1, 2
+      8L -> (base + " almost"),
+      9L -> null, 10L -> null, // NULL shingle sets: no pairs anywhere
+      11L -> "!!!", 12L -> "???")) // shared {hash("")}: true dup group
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = pairs(Dedup.ngramJaccardNearDup(f, "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5))
+    val span = pairs(Dedup.ngramJaccardNearDupSpanning(f, "doc_id", "text",
+      shingleK = 3, minJaccard = 0.5))
+    assert(span.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (1L, 7L), (11L, 12L)))
+    assert(full.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 6L), (1L, 7L), (2L, 6L), (2L, 7L), (6L, 7L),
+        (11L, 12L)))
+    assert(span.subsetOf(full))
+    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
+    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
+    val s = spark
+    import s.implicits._
+    def comps(ps: Set[(Long, Long, Double)]) =
+      graft.graph.ConnectedComponents.run(
+        f.select(col("doc_id").as("id")),
+        ps.toSeq.map(p => (p._1, p._2)).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(span) === comps(full))
+  }
+
   test("ngram-jaccard prefix filter finds EVERY pair at threshold, " +
     "verifies exactly, and never cross-products") {
     val out = Dedup.ngramJaccardNearDup(fixture, "doc_id", "text",
