@@ -167,7 +167,9 @@ object Bench {
   // v8 (r18): + q_neardup_simhash_spanning, q_neardup_ngram_spanning;
   // degenerate-group guards in the spanning variants (NULL-text /
   // zero-norm singletons) and the NaN skip in the bulk top-k kernel.
-  private val WorkloadVersion = 8
+  // v9 (r18): + q_text_dedup (packaged textDedup API); the minhash
+  // spanning gate swapped to the one-CC closure check.
+  private val WorkloadVersion = 9
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

@@ -933,6 +933,37 @@ object Dedup {
         col("score").as(scoreCol))
   }
 
+  /** One-call TEXT near-dedup with quality keepers — the MinHash-LSH
+    * sibling of [[semanticDedup]], and the composition a 100 TB text
+    * dedup run should copy: spanning near-dup
+    * ([[minhashNearDupSpanning]], so duplicate groups cost Σd not Σd²
+    * pairs) → [[graft.graph.ConnectedComponents]] → highest-score
+    * keeper per cluster. Returns one row per CLUSTER (idCol = the
+    * keeper, "component" = the cluster's min id, scoreCol = the
+    * keeper's score); singleton docs — including NULL-text docs, the
+    * pairless singletons of the spanning contract — keep themselves.
+    *
+    * Threshold guidance: keep `minJaccard` well above the banding
+    * curve's waterline for the geometry (default 16 bands × 4 rows:
+    * per-pair recall 1−(1−J⁴)¹⁶ is ≥ 1−4·10⁻⁸ at J ≥ 0.9 but only
+    * ~0.65 at J = 0.5), or widen the banding — LSH recall, not the
+    * closure algebra, is what bounds this composition's completeness.
+    * Gated end-to-end against a DuckDB recursive-closure oracle over
+    * exact shingle-set Jaccard as `q_text_dedup`. */
+  def textDedup(df: DataFrame, idCol: String, textCol: String,
+                scores: DataFrame, scoreCol: String,
+                numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                minJaccard: Double = 0.9): DataFrame = {
+    val pairs = minhashNearDupSpanning(df, idCol, textCol,
+      numHashes, bands, shingleK, minJaccard)
+    val comps = graft.graph.ConnectedComponents.run(
+      df.select(col(idCol).as("id")), pairs, srcCol = "id_a", dstCol = "id_b")
+    graft.graph.ConnectedComponents.keepersBy(
+      comps, scores.select(col(idCol).as("id"), col(scoreCol).as("score")))
+      .select(col("id").as(idCol), col("component"),
+        col("score").as(scoreCol))
+  }
+
   /** 64-bit SimHash: explode tokens, hash each, and for every bit sum
     * +1/-1 across the doc; bit j of the result is 1 iff the sum is
     * positive. Single explode + one groupBy shuffle, 64 cheap aggs. */

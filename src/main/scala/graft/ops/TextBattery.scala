@@ -184,12 +184,13 @@ object TextBattery {
     * mutated copy — the duplicate-heavy shape whose full pair
     * contract is quadratic-per-group — the spanning variant must
     * produce a pair set whose TRANSITIVE CLOSURE equals the full
-    * variant's. The gate checks the strongest consumer-visible form
-    * of that claim: both pair sets run through
-    * [[graft.graph.ConnectedComponents]] and every document's
-    * component label must agree (component = min reachable id, so
-    * equal closures ⟺ equal label maps); the oracle pins all-true.
-    * The copy–mutation connection exists only TRANSITIVELY in the
+    * variant's. The gate checks that claim via the one-CC
+    * [[spanningClosureOk]] equivalence (r18: swapped from the two-label
+    * compare — same deterministic guarantee, since both directions of
+    * the check are exact even under LSH: a rep pair's band signature
+    * is identical to its members', so span ⊆ full and every full pair
+    * connects through stars; measured ~1.4 s cheaper). The
+    * copy–mutation connection exists only TRANSITIVELY in the
     * spanning output (copy → rep → mutation), so a dropped star or
     * lost rep pair flips a label; exact star/rep shape is spec-pinned
     * on a d = 4 group in DedupSpec (CC labels are insensitive to rep
@@ -206,19 +207,11 @@ object TextBattery {
       val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
       val f = withPlantedDups(s, dir).unionByName(
         docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      def comps(pairs: org.apache.spark.sql.DataFrame) =
-        graft.graph.ConnectedComponents.run(
-          f.select(col("doc_id").as("id")),
-          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      val full = comps(Dedup.minhashNearDup(f, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
-      val span = comps(Dedup.minhashNearDupSpanning(f, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
-      full.select(col("id"), col("component").as("c_full"))
-        .join(span.select(col("id"), col("component").as("c_span")), Seq("id"))
-        .select(col("id").as("doc_id"),
-          (col("c_full") === col("c_span")).as("closure_ok"))
-        .orderBy(col("doc_id"))
+      spanningClosureOk(f,
+        Dedup.minhashNearDup(f, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5),
+        Dedup.minhashNearDupSpanning(f, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
     }
   )
 
@@ -373,6 +366,56 @@ object TextBattery {
       .select(col("doc_id"), col("bad").isNull.as("closure_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** One-call text near-dedup ([[graft.dedup.Dedup.textDedup]]): the
+    * MinHash sibling of q_semantic_dedup, gated the same way — the
+    * DuckDB oracle recomputes the TRUE pair graph (exact shingle-set
+    * Jaccard ≥ 0.9, all pairs, no LSH) and its recursive transitive
+    * closure, then picks the same quality keeper per cluster; the
+    * Spark side must match labels AND keepers exactly. That equality
+    * holds because (a) the spanning pair graph is closure-equal to
+    * the full contract (spec-pinned) and (b) at J ≥ 0.9 the default
+    * 16×4 banding's per-pair recall is ≥ 1−4·10⁻⁸ — the gate fixture
+    * (exact copies + substring-12 mutations of ≥0.9 Jaccard) keeps
+    * truth pairs above that waterline, which is exactly the operating
+    * guidance the API's scaladoc states. */
+  val textDedupQ = Q(
+    "q_text_dedup",
+    Some(
+      "WITH RECURSIVE fx AS (" +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 2000000, text[12:] FROM documents WHERE doc_id % 5 = 0), " +
+        s"sh AS (SELECT doc_id, ${shinglesSqlOf("text")} AS s FROM fx), " +
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b " +
+        "ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9), " +
+        "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+        "reach(a, b) AS (SELECT a, b FROM und " +
+        "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+        "comp AS (SELECT f.doc_id, " +
+        "least(f.doc_id, coalesce(min(r.b), f.doc_id)) AS component " +
+        "FROM fx f LEFT JOIN reach r ON r.a = f.doc_id GROUP BY f.doc_id), " +
+        "rk AS (SELECT doc_id, component, doc_id % 97 AS quality, " +
+        "row_number() OVER (PARTITION BY component " +
+        "ORDER BY doc_id % 97 DESC, doc_id) AS rn FROM comp) " +
+        "SELECT doc_id, component, quality FROM rk WHERE rn = 1 ORDER BY 1"),
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val f = docs
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          substring(col("text"), 12, 1000000).as("text")))
+      Dedup.textDedup(f, "doc_id", "text",
+          scores = f.select(col("doc_id"), (col("doc_id") % 97).as("quality")),
+          scoreCol = "quality", minJaccard = 0.9)
+        .select(col("doc_id"), col("component"), col("quality"))
+        .orderBy(col("doc_id"))
+    }
+  )
 
   /** Duplicate-group-collapsed SimHash near-dup
     * ([[graft.dedup.Dedup.simhashNearDupSpanning]]): the SimHash
@@ -1107,7 +1150,7 @@ object TextBattery {
   val all: Seq[Q] = Seq(
     dedupExact, textStats, langIdQ, fingerprintQ, neardupMinhash,
     neardupMinhashSpanning, neardupMinhashDelta, minhashPersist,
-    neardupSimhash, neardupSimhashSpanning, neardupNgram,
+    textDedupQ, neardupSimhash, neardupSimhashSpanning, neardupNgram,
     neardupNgramSpanning, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
     packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,

@@ -194,6 +194,27 @@ class DedupSpec extends SparkSuite {
     assert(comps(span) === comps(full))
   }
 
+  test("textDedup: one row per cluster, highest-score keeper, " +
+    "singletons (including null-text) keep themselves") {
+    val s = spark
+    import s.implicits._
+    // Group {1, 2, 3} (exact copies; 2 has the top score), near-dup 4
+    // joins the cluster; 5 unrelated; 6 null text.
+    val f = docs(1L -> base, 2L -> base, 3L -> base,
+      4L -> base.replace("morning", "evening"),
+      5L -> "completely different content about distributed query engines",
+      6L -> null)
+    val scores = Seq(1L -> 10, 2L -> 99, 3L -> 10, 4L -> 50, 5L -> 7,
+      6L -> 1).toDF("doc_id", "quality")
+    val out = Dedup.textDedup(f, "doc_id", "text", scores, "quality",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("component"), r.getAs[Int]("quality"))).toSet
+    // Cluster {1,2,3,4} labeled by min id 1, keeper = 2 (score 99);
+    // 5 and 6 are their own keepers.
+    assert(out === Set((2L, 1L, 99), (5L, 5L, 7), (6L, 6L, 1)))
+  }
+
   test("ngram spanning: exact groups collapse to J=1.0 stars, closure " +
     "equals the full (100%-recall) variant's") {
     val f = fixture.unionByName(docs(
