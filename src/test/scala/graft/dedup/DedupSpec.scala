@@ -194,6 +194,56 @@ class DedupSpec extends SparkSuite {
     assert(comps(span) === comps(full))
   }
 
+  test("spanning closure equality holds on a seeded random corpus with " +
+    "planted groups, short docs, empty docs, and nulls — all 3 engines") {
+    val s = spark
+    import s.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "the", "of", "and")
+    val rnd = new scala.util.Random(20260815L)
+    def doc() = Seq.fill(8 + rnd.nextInt(20))(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    // 24 base docs; docs 0-2 get a duplicate group of 4 each; plus a
+    // mutated satellite per group; plus the degenerate band.
+    val bases = Seq.tabulate(24)(i => (i.toLong, doc()))
+    val groups = (0 until 3).flatMap { g =>
+      val t = bases(g)._2
+      (1 to 3).map(c => (100L + g * 10 + c, t)) :+
+        (200L + g, t + " extra tail words here")
+    }
+    val degenerate = Seq(
+      (300L, "hi"), (301L, "yo"),          // short: singleton sets
+      (302L, ""), (303L, "!!!"),           // empty-normalized group
+      (304L, null.asInstanceOf[String]), (305L, null.asInstanceOf[String]))
+    val f = (bases ++ groups ++ degenerate).toDF("doc_id", "text")
+      .localCheckpoint()
+    def labels(pairs: DataFrame) =
+      graft.graph.ConnectedComponents.run(
+        f.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def check(engine: String, full: DataFrame, span: DataFrame): Unit = {
+      assert(labels(span) === labels(full), s"$engine closures diverge")
+      // NULL-text docs must be pairless in both.
+      val sp = span.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fu = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sp.subsetOf(fu), s"$engine spanning pairs not a subset")
+      assert(!fu.exists(p => Set(p._1, p._2).exists(Set(304L, 305L))),
+        s"$engine full paired a null-text doc")
+      assert(!sp.exists(p => Set(p._1, p._2).exists(Set(304L, 305L))),
+        s"$engine spanning paired a null-text doc")
+    }
+    check("minhash",
+      Dedup.minhashNearDup(f, "doc_id", "text", minJaccard = 0.5),
+      Dedup.minhashNearDupSpanning(f, "doc_id", "text", minJaccard = 0.5))
+    check("ngram",
+      Dedup.ngramJaccardNearDup(f, "doc_id", "text", minJaccard = 0.5),
+      Dedup.ngramJaccardNearDupSpanning(f, "doc_id", "text", minJaccard = 0.5))
+    check("simhash",
+      Dedup.simhashNearDup(f, "doc_id", "text", maxHamming = 3),
+      Dedup.simhashNearDupSpanning(f, "doc_id", "text", maxHamming = 3))
+  }
+
   test("textDedup: one row per cluster, highest-score keeper, " +
     "singletons (including null-text) keep themselves") {
     val s = spark
