@@ -68,7 +68,12 @@ object TextFunctions {
     val fr = hits(l, """\b(le|la|les|et|est)\b""")
     val nl = hits(l, """\b(de|het|een|en|is)\b""")
     val best = greatest(en, de, fr, nl)
-    when(best === 0, "und")
+    // NULL text must stay NULL: every `when` condition below is NULL
+    // for NULL input, so without this guard the chain would fall
+    // through to the `otherwise` and silently label null docs "fr"
+    // (caught by the degenerate-text contract spec).
+    when(c.isNull, lit(null).cast("string"))
+      .when(best === 0, "und")
       .when(en === best, "en")
       .when(nl === best, "nl")
       .when(de === best, "de")
