@@ -36,12 +36,15 @@ import org.apache.spark.sql.types._
   * only for probes with fewer than k finite candidates in a cell, in
   * which case this path simply omits the degenerate filler rows.
   * Entries whose cosine is NaN (a NaN vector component) are likewise
-  * skipped — a documented DIVERGENCE from the window form, which
-  * ranks NaN ABOVE every finite value (Spark's NaN ordering) and so
-  * returns NaN filler rows at the head; admitting NaN here would
+  * skipped — a documented DIVERGENCE from the raw rank-window form,
+  * which ranks NaN ABOVE every finite value (Spark's NaN ordering)
+  * and so returns NaN rows at the head; admitting NaN here would
   * poison the insertion buffer (every comparison against NaN is
   * false) and silently drop finite candidates, the one behavior
-  * neither form should have.
+  * neither form should have. The library's broadcast search paths
+  * apply the same NaN skip before their windows
+  * ([[graft.sim.Similarity]]'s `dropNanCos`), so the two strategies
+  * stay result-identical on NaN corpora.
   * Entries whose id equals `probeId` are skipped (the
   * `probe_id =!= neighbor_id` filter, applied pre-rank as before). */
 object NativeTopK {

@@ -47,6 +47,16 @@ object Similarity {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Keeps NULL cosines (zero-norm degenerates, ranked NULLS LAST by
+    * the merge windows — the documented filler contract) but drops
+    * NaN (a NaN vector component): under Spark's ordering a NaN
+    * cosine would rank ABOVE every finite candidate, while the bulk
+    * kernels skip NaN ([[graft.functions.NativeTopK]]) — this filter
+    * keeps the broadcast and bulk strategies result-identical on
+    * NaN-poisoned corpora instead of diverging by strategy flag. */
+  private def dropNanCos(df: DataFrame): DataFrame =
+    df.filter(col("cos").isNull || !isnan(col("cos")))
+
   /** Exact cosine top-k per probe. `probes` must be small (it is
     * broadcast). Returns (probe_id, neighbor_id, cos, rank). */
   def bruteTopK(corpus: DataFrame, probes: DataFrame, k: Int,
@@ -55,9 +65,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // Deliberate broadcast cross: |probes| bounded ⇒ BroadcastNestedLoop
     // over one corpus scan, no shuffle of the big side.
-    val scored = c.crossJoin(p)
+    val scored = dropNanCos(c.crossJoin(p)
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("cos", cosine(col("pv"), col("cv"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -393,10 +403,10 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     if (broadcastProbes) {
-      model.indexed.join(broadcast(probeCells), Seq("cell"))
+      dropNanCos(model.indexed.join(broadcast(probeCells), Seq("cell"))
         .filter(col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
-          cosine(col("pv"), col("cv")).as("cos"))
+          cosine(col("pv"), col("cv")).as("cos")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= topK)
         .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -568,10 +578,10 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     if (broadcastProbes) {
-      c.join(broadcast(probeBuckets), Seq("table", "bucket"))
+      dropNanCos(c.join(broadcast(probeBuckets), Seq("table", "bucket"))
         .filter(col("probe_id") =!= col("neighbor_id"))
         .dropDuplicates("probe_id", "neighbor_id")
-        .withColumn("cos", cosine(col("pv"), col("cv")))
+        .withColumn("cos", cosine(col("pv"), col("cv"))))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -1058,6 +1068,7 @@ object Similarity {
           col(model.idCol).as("neighbor_id"), col(model.vecCol).as("cv")),
         Seq("neighbor_id"))
       .withColumn("cos", cosine(col("pv"), col("cv")))
+      .transform(dropNanCos)
       .select(col("probe_id"), col("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

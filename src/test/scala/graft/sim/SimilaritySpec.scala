@@ -369,6 +369,34 @@ class SimilaritySpec extends SparkSuite {
     assert(balanced.chunkedMatrix._1 === 1)
   }
 
+  test("NaN-component corpus vectors are dropped by BOTH search " +
+    "strategies identically, never ranked first") {
+    val s = spark
+    import s.implicits._
+    val poisoned = vecs.unionByName(
+      Seq((666L, Array(Float.NaN, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    // Brute force: the raw window would rank the NaN cosine ABOVE the
+    // exact duplicate; dropNanCos must keep the finite top-k only.
+    val brute = Similarity.bruteTopK(poisoned,
+        poisoned.filter("vec_id = 1"), k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!brute.contains(666L), s"NaN vector ranked: $brute")
+    assert(brute.contains(100L)) // the exact duplicate survives at rank 1
+    // IVF: broadcast (window) and bulk (kernel) must agree on the
+    // poisoned corpus — the NaN skip is applied on both strategies.
+    val m = Similarity.ivfBuild(poisoned, k = 4, nprobe = 4, dim = 8)
+    def run(bc: Boolean) =
+      Similarity.ivfSearch(m, poisoned.filter("vec_id IN (1, 2)"),
+        topK = 3, broadcastProbes = bc)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val bc = run(bc = true)
+    assert(bc === run(bc = false))
+    assert(!bc.exists(_._2 == 666L))
+    assert(bc.forall(e => !e._3.isNaN))
+  }
+
   test("chunkModulus: the GRAFT_ANN_CHUNKS override short-circuits " +
     "BEFORE the occupancy aggregation runs") {
     import org.apache.spark.sql.functions._
