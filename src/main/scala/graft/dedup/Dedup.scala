@@ -854,7 +854,13 @@ object Dedup {
       .join(vecOf.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecOf.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
-      .filter(col("cos") >= minCosine)
+      // !isnan is load-bearing: Spark's nan-safe ordering makes
+      // NaN >= t TRUE, so without it one NaN-component vector (a
+      // routine upstream-embedding failure) would pair with EVERY
+      // co-bucketed vector at cos = NaN and a clustering consumer
+      // would merge — then keeper-drop — unrelated documents. NULL
+      // (zero-norm) cosines fail >= on their own.
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
@@ -887,18 +893,20 @@ object Dedup {
     // Degenerate vectors are excluded up front, matching the full
     // variant's no-pair behavior (the MinHash sibling's empty-set
     // rule, in embedding space): a zero-norm vector's cosine is NULL
-    // (kernel contract), a NaN-component vector's cosine is NaN, and
-    // a NULL vector never survives the bucket equi-join — the full
+    // (kernel contract), a NaN-component vector's cosine is NaN
+    // (dropped by the full variant's explicit !isnan verify), and a
+    // NULL vector never survives the bucket equi-join — the full
     // variant emits no pairs for any of them, so grouping them here
-    // (byte-identical zero/NULL vectors compare equal) would mint
-    // cos=1.0 star pairs the full closure does not have. The filter
-    // below is NULL for a NULL vector, 0 for zero-norm, NaN for
-    // NaN-component — all three fail `> 0` and pass through as
-    // pairless singletons.
+    // (byte-identical zero/NULL/NaN vectors compare equal — Spark
+    // GROUPS NaN as equal to NaN) would mint cos=1.0 star pairs the
+    // full closure does not have. The sum-of-squares below is NULL
+    // for a NULL vector and 0 for zero-norm (both fail `> 0`), but
+    // NaN needs its own test: Spark's nan-safe ordering makes
+    // NaN > 0 TRUE.
     val sq = aggregate(col("v"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .filter(sq > 0)
+      .filter(!isnan(sq) && sq > 0)
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
       .localCheckpoint()
     val stars = keyed.filter(col("id") =!= col("rep"))

@@ -101,6 +101,25 @@ object SpanProbe {
           shingleK = 3, minJaccard = 0.7),
         Dedup.ngramJaccardNearDupSpanning(f, "doc_id", "text",
           shingleK = 3, minJaccard = 0.7))
+      if (engines("embedding")) {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % mod === 0)
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        // d byte-identical copies of one corpus vector — the repeated
+        // default-embedding shape the spanning variant exists for.
+        val ef = emb.unionByName(
+          spark.range(d).select((col("id") + 10000000000L).as("vec_id"))
+            .crossJoin(broadcast(
+              emb.orderBy(col("vec_id")).limit(1).select(col("embedding")))))
+          .localCheckpoint()
+        report("embedding",
+          Dedup.embeddingNearDup(ef, "vec_id", "embedding", dim,
+            minCosine = 0.95),
+          Dedup.embeddingNearDupSpanning(ef, "vec_id", "embedding", dim,
+            minCosine = 0.95))
+        ef.unpersist()
+      }
       f.unpersist()
       spark.catalog.clearCache()
     }

@@ -418,12 +418,16 @@ class DedupSpec extends SparkSuite {
     val v1 = vec()
     val near = v1.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
     // ids 1-3 identical (a group of 3), 4 a near-dup of the group,
-    // 5-8 unrelated, 9-10 byte-identical ZERO vectors: the full
-    // variant's cosine is NULL for them (no pairs), so the spanning
-    // variant must not mint a cos=1.0 star between them.
+    // 5-8 unrelated, 9-10 byte-identical ZERO vectors (NULL cosine),
+    // 11-12 byte-identical NaN-COMPONENT vectors (NaN cosine — and
+    // Spark's nan-safe ordering makes NaN >= t TRUE, so both engines
+    // need their explicit !isnan guards): no pairs for either
+    // degenerate class in either variant.
     val zero = Array.fill(dim)(0f)
+    val nanv = v1.updated(0, Float.NaN)
     val rows = Seq(1L -> v1, 2L -> v1, 3L -> v1, 4L -> near) ++
-      (5L to 8L).map(_ -> vec()) ++ Seq(9L -> zero, 10L -> zero)
+      (5L to 8L).map(_ -> vec()) ++
+      Seq(9L -> zero, 10L -> zero, 11L -> nanv, 12L -> nanv)
     val df = rows.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
     def pairs(f: => org.apache.spark.sql.DataFrame) = f.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -436,9 +440,11 @@ class DedupSpec extends SparkSuite {
     assert(span.contains((1L, 2L)) && span.contains((1L, 3L)))
     assert(!span.contains((2L, 3L)) && full.contains((2L, 3L)))
     assert(span.contains((1L, 4L)) && !span.contains((2L, 4L)))
-    // Zero-norm vectors stay pairless singletons in BOTH variants.
-    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
-    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L))))
+    // Zero-norm AND NaN-component vectors stay pairless singletons in
+    // BOTH variants — a NaN vector must neither star with its twin
+    // nor (the NaN >= t trap) pair with every co-bucketed vector.
+    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
+    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
     def comps(ps: Set[(Long, Long)]) =
       graft.graph.ConnectedComponents.run(
         df.select(col("vec_id").as("id")),
