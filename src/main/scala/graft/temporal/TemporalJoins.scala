@@ -70,7 +70,15 @@ object TemporalJoins {
       StructField(matchedTimeCol, right.schema(rightTime).dataType, nullable = true) +:
         valueCols.map(c => right.schema(c).copy(nullable = true)))
 
-    val r = right.select(
+    // A NULL-timestamped right row has no position in the as-of order
+    // but would SORT FIRST under the window's ascending ordering
+    // (NULLS FIRST) and become the "most recent" match for every left
+    // row before the first real right row — and, tie-breaking by
+    // __side, even for a NULL-timestamped left row. It can never be
+    // a correct match, so it is excluded up front; NULL-timestamped
+    // LEFT rows stay (they sort before every surviving right row and
+    // get the no-match NULL struct).
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(key), col(rightTime).as("__t"), lit(0).as("__side"),
       col(tieCol).cast("long").as("__tie"),
       struct((col(rightTime).as(matchedTimeCol) +: valueCols.map(col)): _*).as("__rv"),

@@ -33,6 +33,31 @@ class TemporalJoinsSpec extends SparkSuite {
       (4L, Some(200L), Some("b2")), (5L, Some(500L), Some("c")), (6L, None, None)))
   }
 
+  test("asOfJoin: NULL-timestamped right rows never match; " +
+    "NULL-timestamped left rows get the no-match NULL struct") {
+    val s = spark
+    import s.implicits._
+    // A null-time quote would sort FIRST under the window's NULLS
+    // FIRST ordering and pose as the "most recent" match for probe 1
+    // (before any real quote) — and for the null-time probe 7.
+    val q = quotes.unionByName(
+      Seq((1L, Option.empty[Long], 99L, "poison"))
+        .toDF("user_id", "qt", "qid", "label"))
+    val p = probes.unionByName(
+      Seq((1L, Option.empty[Long], 7L)).toDF("user_id", "pt", "pid"))
+    val out = TemporalJoins.asOfJoin(p, q, key = "user_id",
+      leftTime = "pt", rightTime = "qt", tieCol = "qid",
+      valueCols = Seq("label"))
+      .select($"pid", $"asof_t", $"label").as[(Long, Option[Long], Option[String])]
+      .collect().sortBy(_._1)
+    assert(out.length === 7) // every left row survives, incl. the null-time one
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === ((None, None)), "pre-first-quote probe matched poison")
+    assert(byId(7L) === ((None, None)), "null-time probe matched poison")
+    assert(byId(3L) === ((Some(200L), Some("b2")))) // real matches unchanged
+    assert(!out.exists(_._3.contains("poison")))
+  }
+
   test("asOfJoin tolerance nulls out stale matches") {
     val out = TemporalJoins.asOfJoin(probes, quotes, key = "user_id",
       leftTime = "pt", rightTime = "qt", tieCol = "qid",
