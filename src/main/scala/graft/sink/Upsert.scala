@@ -27,22 +27,41 @@ import graft.model.{Tables, TableSpec}
   */
 object Upsert {
 
+  /** In-plan NULL-key guard for the merge strategies: a NULL merge key
+    * never survives the anti-join's equi-comparison, so a staged row
+    * with a NULL key would be APPENDED on every merge of the same
+    * batch — silent duplication where the reference target (Postgres,
+    * NOT NULL primary keys) rejects the insert loudly. One codegen'd
+    * when-branch per key column converts that into the loud failure
+    * the reference has; the key columns feed the join, so the check
+    * is never pruned. */
+  private def requireKeys(df: DataFrame, keys: Seq[String],
+                          op: String): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k,
+      when(col(k).isNotNull, col(k)).otherwise(raise_error(lit(
+        s"$op: NULL in merge-key column '$k' — the reference target " +
+          "rejects NULL keys (NOT NULL PK); repair the staged batch " +
+          "upstream")))))
+
   /** Incremental child-table merge: replace *all* rows of every entity
     * touched by the staged batch (database.ts:186-212). Getting this
     * wrong per-PK instead of per-entity silently duplicates child rows
     * (SURVEY.md §7.4). */
   def keyClearMerge(target: DataFrame, staged: DataFrame, entityKey: String): DataFrame = {
-    val touched = staged.select(col(entityKey)).distinct()
+    val checked = requireKeys(staged, Seq(entityKey), "keyClearMerge")
+    val touched = checked.select(col(entityKey)).distinct()
     target.join(touched, Seq(entityKey), "left_anti")
-      .unionByName(staged)
+      .unionByName(checked)
   }
 
   /** PK upsert: staged wins on key collision, untouched target rows
     * survive (MERGE INTO matched→UPDATE / not-matched→INSERT,
     * database.ts:214-223). */
-  def pkMerge(target: DataFrame, staged: DataFrame, pk: Seq[String]): DataFrame =
-    target.join(staged.select(pk.map(col): _*).distinct(), pk, "left_anti")
-      .unionByName(staged)
+  def pkMerge(target: DataFrame, staged: DataFrame, pk: Seq[String]): DataFrame = {
+    val checked = requireKeys(staged, pk, "pkMerge")
+    target.join(checked.select(pk.map(col): _*).distinct(), pk, "left_anti")
+      .unionByName(checked)
+  }
 
   /** Pick the merge strategy the reference would for this table. */
   def merge(target: DataFrame, staged: DataFrame, spec: TableSpec,

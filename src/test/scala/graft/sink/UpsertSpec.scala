@@ -37,6 +37,27 @@ class UpsertSpec extends SparkSuite {
       ("r3", "ie2", "keep"), ("r4", "ie3", "inserted")))
   }
 
+  test("a NULL merge key fails LOUDLY instead of duplicating forever") {
+    // A NULL key never survives the anti-join's equi-comparison, so
+    // pre-guard it would be re-APPENDED by every merge of the same
+    // batch (idempotence silently broken); the reference target
+    // rejects NULL PKs, and so do we.
+    val badPk = df(Seq((null.asInstanceOf[String], "ie9", "poison")))
+    val e1 = intercept[Exception] { rows(Upsert.pkMerge(target, badPk, Seq("id"))) }
+    assert(e1.getMessage.contains("NULL in merge-key column 'id'"),
+      e1.getMessage)
+    val badEk = df(Seq(("r9", null.asInstanceOf[String], "poison")))
+    val e2 = intercept[Exception] {
+      rows(Upsert.keyClearMerge(target, badEk, "intellectual_entity_id"))
+    }
+    assert(e2.getMessage.contains(
+      "NULL in merge-key column 'intellectual_entity_id'"), e2.getMessage)
+    // Non-key NULLs stay legal: only the key columns are guarded.
+    val nullPayload = df(Seq(("r9", "ie9", null.asInstanceOf[String])))
+    assert(rows(Upsert.pkMerge(target, nullPayload, Seq("id")))
+      .exists(_._1 == "r9"))
+  }
+
   test("merges are idempotent: f(f(x)) = f(x)") {
     val once = Upsert.keyClearMerge(target, staged, "intellectual_entity_id")
     val twice = Upsert.keyClearMerge(once, staged, "intellectual_entity_id")
