@@ -28,10 +28,24 @@ object Dedup {
 
   /** Exact dedup on normalized content hash: one row per distinct hash
     * with the keeper (min id) and the duplicate count. A map-side
-    * partial-aggregate groupBy — the cheapest possible full-corpus op. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(TextFunctions.normalize(col(textCol))).as("content_hash"))
+    * partial-aggregate groupBy — the cheapest possible full-corpus op.
+    *
+    * NULL-text docs are NOT grouped with each other: each comes back
+    * as its own singleton keeper (content_hash NULL, dup_cnt 1) — the
+    * same pairless-singleton contract every near-dup/spanning variant
+    * in this family pins for NULL text, so a pipeline composing
+    * exact + near-dup treats NULL docs identically per stage. (A
+    * groupBy alone would fold all NULL hashes into ONE key and
+    * silently drop all but one NULL doc.) The id-valued secondary key
+    * keeps this a single map-side-combining shuffle and — bonus —
+    * means NULL-text volume can never skew one reducer. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(TextFunctions.normalize(col(textCol)))
+    df.groupBy(h.as("content_hash"),
+        when(h.isNull, col(idCol)).as("__nullk"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+      .drop("__nullk")
+  }
 
   /** MinHash signature from an *already materialized* column of base
     * shingle hashes (longs): member i of the hash family is
@@ -901,12 +915,16 @@ object Dedup {
     // GROUPS NaN as equal to NaN) would mint cos=1.0 star pairs the
     // full closure does not have. The sum-of-squares below is NULL
     // for a NULL vector and 0 for zero-norm (both fail `> 0`), but
-    // NaN needs its own test: Spark's nan-safe ordering makes
-    // NaN > 0 TRUE.
+    // NaN needs its own test (Spark's nan-safe ordering makes
+    // NaN > 0 TRUE) and so does Infinity: an Inf-component (or
+    // overflowing) vector has sq = Inf, and the full variant computes
+    // cos = Inf/Inf = NaN for it and drops the pair — grouping
+    // byte-identical Inf vectors here would mint cos=1.0 stars the
+    // full closure does not have. Only finite positive norms group.
     val sq = aggregate(col("v"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .filter(!isnan(sq) && sq > 0)
+      .filter(!isnan(sq) && sq > 0 && sq < lit(Double.PositiveInfinity))
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
       .localCheckpoint()
     val stars = keyed.filter(col("id") =!= col("rep"))
@@ -950,6 +968,10 @@ object Dedup {
     * keeper, "component" = the cluster's min id, scoreCol = the
     * keeper's score); singleton docs — including NULL-text docs, the
     * pairless singletons of the spanning contract — keep themselves.
+    * `scores` may have gaps: unscored docs rank lowest within their
+    * cluster and an all-unscored cluster still keeps its min id with
+    * a NULL score ([[graft.graph.ConnectedComponents.keepersBy]]'s
+    * left-join contract), so partial score coverage never drops docs.
     *
     * Threshold guidance: keep `minJaccard` well above the banding
     * curve's waterline for the geometry (default 16 bands × 4 rows:
@@ -972,13 +994,32 @@ object Dedup {
         col("score").as(scoreCol))
   }
 
+  /** Engine-neutral 64-bit token hash: the md5 digest's first 16 hex
+    * chars as a long (bits 63..32 = hex chars 1-8, bits 31..0 = chars
+    * 9-16). ~20× slower than the default xxhash64 but EXACTLY
+    * reproducible in any engine with md5 — which is what lets the
+    * `q_neardup_simhash_spanning` gate hold the SimHash family to an
+    * independent DuckDB ground truth (the oracle recomputes the
+    * signatures, the hamming pair graph, and its recursive closure
+    * from scratch). Production callers keep the xxhash64 default. */
+  def md5Hash64(c: Column): Column = {
+    val hex = md5(c)
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
   /** 64-bit SimHash: explode tokens, hash each, and for every bit sum
     * +1/-1 across the doc; bit j of the result is 1 iff the sum is
-    * positive. Single explode + one groupBy shuffle, 64 cheap aggs. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * positive. Single explode + one groupBy shuffle, 64 cheap aggs.
+    * `tokenHash` swaps the token-hash family (default xxhash64; the
+    * oracle gate passes [[md5Hash64]]) — every member of the SimHash
+    * family is a pure function of the hashed token stream, so the
+    * choice only re-seeds the signature space. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when((shiftright(col("h"), j).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"b$j")
     }
@@ -999,10 +1040,12 @@ object Dedup {
     * duplicate-heavy corpora should use [[simhashNearDupSpanning]],
     * which collapses exact groups first. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // The signature aggregation feeds both sides of the chunk join —
     // materialize it once (same policy as minhashNearDup).
-    val sh = graft.view.Patterns.ensurePersisted(simhash(df, idCol, textCol),
+    val sh = graft.view.Patterns.ensurePersisted(
+      simhash(df, idCol, textCol, tokenHash),
       graft.view.Patterns.TextInflation)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
@@ -1044,7 +1087,9 @@ object Dedup {
     * and carry the signature of the empty token, so both variants
     * pair them at hamming 0 — one group like any other. */
   def simhashNearDupSpanning(df: DataFrame, idCol: String, textCol: String,
-                             maxHamming: Int = 3): DataFrame = {
+                             maxHamming: Int = 3,
+                             tokenHash: Column => Column = xxhash64(_))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // normalize() is idempotent, so the rep side feeds the normalized
     // text back through the full engine without a second regex pass
@@ -1061,9 +1106,69 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
     simhashNearDup(keyed.filter(col("id") === col("rep")),
-        "id", "ntext", maxHamming)
+        "id", "ntext", maxHamming, tokenHash)
       .unionByName(stars)
   }
+
+  /** One entry point for the duplicate-group-collapsed ("spanning")
+    * near-dup family — four engines, one contract: the returned pair
+    * graph has the SAME transitive closure as the corresponding full
+    * every-pair variant, but exact-duplicate groups cost Σd star pairs
+    * instead of Σd²/2, so clustering consumers
+    * ([[graft.graph.ConnectedComponents]] → keepers) scale through
+    * duplicate-heavy corpora. Engines, their grouping keys, and their
+    * pairless-singleton degenerate classes side by side:
+    *
+    * {{{
+    * engine      grouping key (exact equality)     score col  pairless singletons
+    * ---------   -------------------------------   ---------  ----------------------------
+    * minhash     sorted distinct shingle-hash set  jaccard    NULL text (NULL shingle set)
+    * ngram       sorted distinct shingle-hash set  jaccard    NULL text (NULL shingle set)
+    * simhash     NORMALIZED TEXT (multiplicity!)   hamming    NULL text
+    * embedding   raw vector bytes                  cos        NULL / zero-norm / NaN / Inf
+    * }}}
+    *
+    * Why the keys differ: MinHash/ngram Jaccard are functions of the
+    * shingle SET, so set equality is the widest safe collapse; SimHash
+    * weights token MULTIPLICITY, so only full normalized-text equality
+    * guarantees identical signatures; embeddings collapse on exact
+    * vector equality, with non-finite/zero-norm vectors excluded to
+    * match the full variant's no-pair behavior. Star pairs carry the
+    * score an identical pair provably has (jaccard 1.0 / hamming 0 /
+    * cos 1.0). Per-engine knobs not in an engine's column are ignored
+    * by it; `dim` is required for `embedding`. `contentCol` is the
+    * text column for the three text engines and the vector column for
+    * `embedding`. */
+  def nearDupSpanning(df: DataFrame, idCol: String, contentCol: String,
+                      engine: String = "minhash",
+                      shingleK: Int = 3, minJaccard: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxHamming: Int = 3,
+                      tokenHash: Column => Column = xxhash64(_),
+                      rareFirst: Boolean = true,
+                      maxPosting: Int = Int.MaxValue,
+                      maxCandidates: Long = 0L,
+                      dim: Int = 0, minCosine: Double = 0.95,
+                      planes: Int = -1, seed: Long = 42L,
+                      multiProbe: Boolean = true): DataFrame =
+    engine match {
+      case "minhash" =>
+        minhashNearDupSpanning(df, idCol, contentCol,
+          numHashes, bands, shingleK, minJaccard)
+      case "simhash" =>
+        simhashNearDupSpanning(df, idCol, contentCol, maxHamming, tokenHash)
+      case "ngram" =>
+        ngramJaccardNearDupSpanning(df, idCol, contentCol,
+          shingleK, minJaccard, rareFirst, maxPosting, maxCandidates)
+      case "embedding" =>
+        require(dim > 0, "nearDupSpanning(engine=embedding) requires dim")
+        embeddingNearDupSpanning(df, idCol, contentCol,
+          dim, minCosine, planes, seed, multiProbe)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown spanning engine '$other' " +
+            "(expected minhash | simhash | ngram | embedding)")
+    }
 
   /** Cross-document repeated-span detection — substring-level dedup in
     * the sense of Lee et al. 2022 ("Deduplicating Training Data Makes

@@ -131,13 +131,23 @@ object ConnectedComponents {
     * Scale shape: one equi-join of the component labels with the score
     * frame + one window pick per component — shuffle ∝ nodes, and the
     * window partitions by component so no global sort. Returns
-    * (idCol, "component", scoreCol) for the surviving rows. */
+    * (idCol, "component", scoreCol) for the surviving rows.
+    *
+    * `scores` need not cover every node: the join is a LEFT join and
+    * unscored members rank LOWEST (Spark's `desc` orders NULLs last),
+    * so partial score coverage can never make a document — or a whole
+    * component — vanish from the output. A component none of whose
+    * members is scored still keeps exactly one (its min id), with a
+    * NULL `scoreCol`. This is load-bearing for the packaged
+    * [[graft.dedup.Dedup.textDedup]]/`semanticDedup` contract
+    * ("singleton docs keep themselves") when the caller's score frame
+    * has gaps. */
   def keepersBy(components: DataFrame, scores: DataFrame,
                 idCol: String = "id", scoreCol: String = "score"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col(scoreCol).desc, col(idCol))
-    components.join(scores, Seq(idCol))
+    components.join(scores, Seq(idCol), "left")
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("component"), col(scoreCol))

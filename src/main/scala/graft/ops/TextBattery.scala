@@ -76,15 +76,21 @@ object TextBattery {
   }
 
   /** Exact content dedup: hash-groupBy over normalized text — keeper id
-    * + duplicate count per distinct content hash. */
+    * + duplicate count per distinct content hash. The secondary
+    * grouping term mirrors the engine's NULL contract (each NULL-text
+    * doc is its own singleton keeper, never one collapsed group);
+    * testdata has no NULL text, so it is value-neutral here, but the
+    * oracle states the contract the engine actually has. */
   val dedupExact = Q(
     "q_dedup_exact",
     Some(
       s"SELECT md5($normSql) AS content_hash, min(doc_id) AS keeper_id, " +
-        "count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY 1"),
+        "count(*) AS dup_cnt FROM documents " +
+        s"GROUP BY md5($normSql), " +
+        s"CASE WHEN md5($normSql) IS NULL THEN doc_id END ORDER BY 1, 2"),
     (s, dir) =>
       Dedup.exact(Td(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("content_hash"))
+        .orderBy(col("content_hash"), col("keeper_id"))
   )
 
   /** Quality stats: char/token/punct/stopword counts per document — the
@@ -210,7 +216,7 @@ object TextBattery {
       spanningClosureOk(f,
         Dedup.minhashNearDup(f, "doc_id", "text",
           numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5),
-        Dedup.minhashNearDupSpanning(f, "doc_id", "text",
+        Dedup.nearDupSpanning(f, "doc_id", "text", engine = "minhash",
           numHashes = 64, bands = 16, shingleK = 3, minJaccard = 0.5))
     }
   )
@@ -324,11 +330,40 @@ object TextBattery {
         col("text")))
   }
 
-  private val spanningOracleSql: String =
-    "SELECT doc_id, true AS closure_ok FROM (" +
-      "SELECT doc_id FROM documents WHERE doc_id % 4 = 0 UNION ALL " +
-      "SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 0 UNION ALL " +
-      "SELECT doc_id + 2000000 FROM documents WHERE doc_id % 4 = 0) ORDER BY 1"
+  /** Independent DuckDB ground truth for the spanning gates: a full
+    * pair graph recomputed from scratch in SQL (the `edges` CTE must
+    * define `e(src, dst)` over `fx`) and closed transitively with a
+    * recursive CTE — component = min reachable id, exactly
+    * [[graft.graph.ConnectedComponents.run]]'s label contract. The
+    * Spark side hands in its spanning pair graph's CC labels, so a
+    * bug ANYWHERE in the chain — the spanning collapse, the candidate
+    * machinery, or ConnectedComponents itself — shows as a label
+    * mismatch against a truth that shares no code with it (unlike the
+    * previous pinned-true `closure_ok` self-equivalence). */
+  private def spanningClosureOracleSql(edges: String): String =
+    "WITH RECURSIVE fx AS (" +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0 " +
+      "UNION ALL SELECT doc_id + 1000000, text[12:] FROM documents WHERE doc_id % 4 = 0 " +
+      "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0), " +
+      edges +
+      "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+      "comp AS (SELECT f.doc_id, " +
+      "least(f.doc_id, coalesce(min(r.b), f.doc_id)) AS component " +
+      "FROM fx f LEFT JOIN reach r ON r.a = f.doc_id GROUP BY f.doc_id) " +
+      "SELECT doc_id, component FROM comp ORDER BY 1"
+
+  /** Spark side of the spanning gates: spanning pair graph →
+    * ConnectedComponents labels, compared row-for-row against the
+    * oracle's independently recomputed closure. */
+  private def spanningComponents(f: org.apache.spark.sql.DataFrame,
+                                 pairs: org.apache.spark.sql.DataFrame) =
+    graft.graph.ConnectedComponents.run(
+        f.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
 
   /** One-CC closure-equality check, the cheaper sibling of
     * q_neardup_minhash_spanning's two-label compare: label ONLY the
@@ -418,20 +453,44 @@ object TextBattery {
   )
 
   /** Duplicate-group-collapsed SimHash near-dup
-    * ([[graft.dedup.Dedup.simhashNearDupSpanning]]): the SimHash
-    * sibling of q_neardup_minhash_spanning under the one-CC
-    * [[spanningClosureOk]] equivalence — on the duplicate-heavy
-    * fixture the spanning pair set must be a subset of the full
-    * variant's with an identical transitive closure; the oracle pins
-    * all-true. Star/rep shape is spec-pinned in DedupSpec. */
+    * ([[graft.dedup.Dedup.simhashNearDupSpanning]] via the
+    * [[graft.dedup.Dedup.nearDupSpanning]] dispatcher) under an
+    * INDEPENDENT ground truth (r19; previously a pinned-true
+    * self-equivalence): the oracle recomputes, from scratch in
+    * DuckDB, every doc's 64-bit SimHash over the engine-neutral
+    * [[graft.dedup.Dedup.md5Hash64]] token hash (md5's first 16 hex
+    * chars — the one hash family both engines can evaluate
+    * bit-identically), the FULL hamming ≤ 3 pair graph by brute
+    * force, and its recursive transitive closure; the Spark side must
+    * reproduce those labels from its spanning pair graph. That
+    * equality is the spanning contract itself: spanning closure =
+    * full-engine closure (spec-pinned), and the full engine's
+    * pigeonhole candidates are exact at hamming ≤ 3. The xxhash64
+    * production default stays gated end-to-end by
+    * q_neardup_simhash's recall floor. */
   val neardupSimhashSpanning = Q(
     "q_neardup_simhash_spanning",
-    Some(spanningOracleSql),
+    Some(spanningClosureOracleSql(
+      s"n AS (SELECT doc_id, ${normSqlOf("text")} AS nt FROM fx), " +
+        "t AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM n), " +
+        "h AS (SELECT doc_id, " +
+        "CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS hi, " +
+        "CAST(('0x' || substr(md5(tok), 9, 8)) AS UBIGINT) AS lo FROM t), " +
+        "bj AS (SELECT doc_id, j, CASE WHEN " +
+        "((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1 " +
+        "THEN 1 ELSE -1 END AS sgn FROM h " +
+        "CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jr), " +
+        "bits AS (SELECT doc_id, j, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END " +
+        "AS b FROM bj GROUP BY 1, 2), " +
+        "sig AS (SELECT doc_id, list(b ORDER BY j) AS bl FROM bits GROUP BY 1), " +
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_filter(range(1, 65), i -> a.bl[i] != b.bl[i])) <= 3), ")),
     (s, dir) => {
       val f = spanningFixture(s, dir)
-      spanningClosureOk(f,
-        Dedup.simhashNearDup(f, "doc_id", "text", maxHamming = 3),
-        Dedup.simhashNearDupSpanning(f, "doc_id", "text", maxHamming = 3))
+      spanningComponents(f,
+        Dedup.nearDupSpanning(f, "doc_id", "text", engine = "simhash",
+          maxHamming = 3, tokenHash = Dedup.md5Hash64))
     }
   )
 
@@ -440,19 +499,29 @@ object TextBattery {
     * that matters most at scale — exact duplicates inflate BOTH the
     * SSJoin's output (d²/2 per group) and its candidate volume
     * (Σ|posting|², the measured 90× host-OOM driver), and the
-    * spanning collapse shrinks both before the prefix join runs. Gate:
-    * closure-label agreement with the full (100%-recall, uncapped)
-    * variant on the duplicate-heavy fixture under the one-CC
-    * [[spanningClosureOk]] equivalence; the oracle pins all-true. */
+    * spanning collapse shrinks both before the prefix join runs. Gate
+    * (r19; previously a pinned-true self-equivalence): the oracle
+    * recomputes the FULL exact-Jaccard ≥ 0.7 pair graph over the
+    * fixture's shingle sets in DuckDB — the same independent pair
+    * truth q_neardup_ngram states — plus its recursive transitive
+    * closure, and the Spark side must reproduce those labels from the
+    * spanning pair graph (via the
+    * [[graft.dedup.Dedup.nearDupSpanning]] dispatcher) run through
+    * [[graft.graph.ConnectedComponents]]. The full engine is
+    * 100%-recall at threshold when uncapped, so spanning closure =
+    * full closure = the oracle's brute-force closure. */
   val neardupNgramSpanning = Q(
     "q_neardup_ngram_spanning",
-    Some(spanningOracleSql),
+    Some(spanningClosureOracleSql(
+      s"sh AS (SELECT doc_id, ${shinglesSqlOf("text")} AS s FROM fx), " +
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7), ")),
     (s, dir) => {
       val f = spanningFixture(s, dir)
-      spanningClosureOk(f,
-        Dedup.ngramJaccardNearDup(f, "doc_id", "text",
-          shingleK = 3, minJaccard = 0.7),
-        Dedup.ngramJaccardNearDupSpanning(f, "doc_id", "text",
+      spanningComponents(f,
+        Dedup.nearDupSpanning(f, "doc_id", "text", engine = "ngram",
           shingleK = 3, minJaccard = 0.7))
     }
   )
@@ -776,6 +845,64 @@ object TextBattery {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
   )
+
+  /** The packaged near-dup composition of [[graft.text.CorpusPrep
+    * .prepare]] (`nearDup = true`) under a full independent truth —
+    * the r19 gate for the r18-verdict swap of prepare's near-dup
+    * stage to the SPANNING variant: quality filter → exact-dedup keep
+    * → minhash-SPANNING near-dup → connected components → keep each
+    * component's min id, all recomputed from scratch in DuckDB
+    * (filter conditions restated, keep-min-id rule as a correlated
+    * min, exact shingle-Jaccard ≥ 0.9 pair graph, recursive
+    * transitive closure, survivor ⟺ doc_id = component label). The
+    * fixture plants doubled-text copies — docs exact dedup CANNOT
+    * remove (different normalized text) but whose Jaccard to the
+    * original is ~n/(n+2) ≥ 0.9 — exactly the survivors the near-dup
+    * stage exists to catch; threshold 0.9 keeps every true pair above
+    * the 16×4 banding waterline (recall ≥ 1−4·10⁻⁸, the q_text_dedup
+    * discipline). */
+  val corpusPrepNearDup = {
+    val tokRe = raw"'[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]'"
+    Q(
+      "q_corpus_prep_neardup",
+      Some(
+        "WITH RECURSIVE fx AS (" +
+          "SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id + 1000000, lang, text || ' ' || text " +
+          "FROM documents WHERE doc_id % 5 = 0), " +
+          s"q AS (SELECT doc_id, lang, text, md5(${normSqlOf("text")}) AS h " +
+          "FROM fx WHERE length(text) >= 50 " +
+          s"AND len(regexp_extract_all(text, $tokRe)) >= 10 " +
+          raw"AND len(regexp_extract_all(text, '[^\w\s]')) * 5 <= length(text)), " +
+          "k AS (SELECT doc_id, lang, text FROM q " +
+          "WHERE doc_id = (SELECT min(doc_id) FROM q q2 WHERE q2.h = q.h)), " +
+          s"sh AS (SELECT doc_id, ${shinglesSqlOf("text")} AS s FROM k), " +
+          "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b " +
+          "ON a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+          "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9), " +
+          "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), " +
+          "reach(a, b) AS (SELECT a, b FROM und " +
+          "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+          "comp AS (SELECT k.doc_id, " +
+          "least(k.doc_id, coalesce(min(r.b), k.doc_id)) AS component " +
+          "FROM k LEFT JOIN reach r ON r.a = k.doc_id GROUP BY k.doc_id) " +
+          "SELECT k.doc_id, k.lang FROM k JOIN comp USING (doc_id) " +
+          "WHERE doc_id = component ORDER BY 1"),
+      (s, dir) => {
+        val docs = Td(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .filter(col("doc_id") % 5 === 0)
+        val f = docs.unionByName(docs.select(
+          (col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+        graft.text.CorpusPrep.prepare(f, "doc_id", "text",
+            nearDup = true, minJaccard = 0.9)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      }
+    )
+  }
 
   /** TF-IDF term weighting under the gate: top-3 terms per document by
     * `tf * ln(N/df)`, ties broken by term — both the scores and the
@@ -1153,7 +1280,8 @@ object TextBattery {
     textDedupQ, neardupSimhash, neardupSimhashSpanning, neardupNgram,
     neardupNgramSpanning, decontaminateQ, decontaminateBloomQ,
     sampleStratified, mixSampleQ,
-    packShardsQ, corpusStats, corpusPrep, tfIdfTop, bm25Q, qualityScoreQ,
+    packShardsQ, corpusStats, corpusPrep, corpusPrepNearDup,
+    tfIdfTop, bm25Q, qualityScoreQ,
     fuzzyJoinQ, corpusPipeline, noveltyQ, heavyHittersQ, chunkQ,
     repetitionQ, piiRedactQ, lmScoreQ, repeatedSpansQ, spanClipQ)
 }

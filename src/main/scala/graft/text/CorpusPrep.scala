@@ -29,12 +29,21 @@ object CorpusPrep {
       (size(TextFunctions.regexTokens(textCol)) >= q.minTokens) &&
       (TextFunctions.punctCount(textCol) * q.maxPunctTimes <= length(textCol))
 
-  /** Keep one representative (min id) per exact normalized-content hash. */
+  /** Keep one representative (min id) per exact normalized-content
+    * hash. NULL-text rows all pass through as their own singleton
+    * keepers — the dedup family's shared NULL contract
+    * ([[graft.dedup.Dedup.exact]]); they must NOT feed the grouped
+    * semi-join, whose non-null-safe equality on the NULL hash would
+    * silently drop every one of them. (In [[prepare]] this path is
+    * unreachable — [[qualityFilter]] is NULL-strict — but
+    * exactDedupKeep is public.) */
   def exactDedupKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.withColumn("__h", md5(TextFunctions.normalize(col(textCol))))
-    val keepers = hashed.groupBy(col("__h"))
+    val keepers = hashed.filter(col("__h").isNotNull).groupBy(col("__h"))
       .agg(min(col(idCol)).as(idCol))
-    hashed.join(keepers, Seq("__h", idCol), "left_semi").drop("__h")
+    hashed.join(keepers, Seq("__h", idCol), "left_semi")
+      .unionByName(hashed.filter(col("__h").isNull))
+      .drop("__h")
   }
 
   /** Benchmark decontamination report: per corpus document, how many of
@@ -358,7 +367,18 @@ object CorpusPrep {
     val deduped =
       if (!nearDup) exact
       else {
-        val pairs = Dedup.minhashNearDup(exact, idCol, textCol, minJaccard = minJaccard)
+        // SPANNING variant, deliberately: exactDedupKeep above only
+        // removes byte-identical normalized content, but docs that
+        // normalize to EQUAL SHINGLE SETS (case/punctuation/whitespace
+        // boilerplate variants — the common shape at web scale)
+        // survive it and would re-enter the full variant's d²/2 pair
+        // contract. The spanning collapse keeps such groups linear;
+        // its pair graph is closure-equal to the full contract
+        // (spec-pinned, DedupSpec), and the components consumer below
+        // depends only on the closure — so this swap cannot move the
+        // output, only the pair volume.
+        val pairs = Dedup.minhashNearDupSpanning(exact, idCol, textCol,
+          minJaccard = minJaccard)
         val comps = graft.graph.ConnectedComponents.run(
           exact.select(col(idCol).as("id")), pairs,
           srcCol = "id_a", dstCol = "id_b")

@@ -425,9 +425,15 @@ class DedupSpec extends SparkSuite {
     // degenerate class in either variant.
     val zero = Array.fill(dim)(0f)
     val nanv = v1.updated(0, Float.NaN)
+    // 13-14: byte-identical Inf-COMPONENT vectors — sq = Inf passes a
+    // bare `> 0` test, but the full variant computes cos = Inf/Inf =
+    // NaN and drops the pair, so the spanning filter must require a
+    // FINITE norm or it mints cos=1.0 stars the full closure lacks.
+    val infv = v1.updated(1, Float.PositiveInfinity)
     val rows = Seq(1L -> v1, 2L -> v1, 3L -> v1, 4L -> near) ++
       (5L to 8L).map(_ -> vec()) ++
-      Seq(9L -> zero, 10L -> zero, 11L -> nanv, 12L -> nanv)
+      Seq(9L -> zero, 10L -> zero, 11L -> nanv, 12L -> nanv,
+        13L -> infv, 14L -> infv)
     val df = rows.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
     def pairs(f: => org.apache.spark.sql.DataFrame) = f.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -440,11 +446,14 @@ class DedupSpec extends SparkSuite {
     assert(span.contains((1L, 2L)) && span.contains((1L, 3L)))
     assert(!span.contains((2L, 3L)) && full.contains((2L, 3L)))
     assert(span.contains((1L, 4L)) && !span.contains((2L, 4L)))
-    // Zero-norm AND NaN-component vectors stay pairless singletons in
-    // BOTH variants — a NaN vector must neither star with its twin
-    // nor (the NaN >= t trap) pair with every co-bucketed vector.
-    assert(!full.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
-    assert(!span.exists(p => Set(p._1, p._2).exists(Set(9L, 10L, 11L, 12L))))
+    // Zero-norm, NaN-component AND Inf-component vectors stay pairless
+    // singletons in BOTH variants — a NaN vector must neither star
+    // with its twin nor (the NaN >= t trap) pair with every
+    // co-bucketed vector, and an Inf vector's cos is Inf/Inf = NaN in
+    // the full variant, so the spanning side must not star it either.
+    val degenerate = Set(9L, 10L, 11L, 12L, 13L, 14L)
+    assert(!full.exists(p => Set(p._1, p._2).exists(degenerate)))
+    assert(!span.exists(p => Set(p._1, p._2).exists(degenerate)))
     def comps(ps: Set[(Long, Long)]) =
       graft.graph.ConnectedComponents.run(
         df.select(col("vec_id").as("id")),
@@ -916,5 +925,70 @@ class DedupSpec extends SparkSuite {
           s"clipping token $i of '$t' gave '$clipped'")
       }
     }
+  }
+
+  test("nearDupSpanning dispatcher is the four siblings under one name") {
+    val s = spark
+    import s.implicits._
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.nearDupSpanning(fixture, "doc_id", "text",
+        engine = "minhash", minJaccard = 0.5)) ===
+      rows(Dedup.minhashNearDupSpanning(fixture, "doc_id", "text",
+        minJaccard = 0.5)))
+    assert(rows(Dedup.nearDupSpanning(fixture, "doc_id", "text",
+        engine = "simhash", maxHamming = 8)) ===
+      rows(Dedup.simhashNearDupSpanning(fixture, "doc_id", "text",
+        maxHamming = 8)))
+    assert(rows(Dedup.nearDupSpanning(fixture, "doc_id", "text",
+        engine = "ngram", minJaccard = 0.5)) ===
+      rows(Dedup.ngramJaccardNearDupSpanning(fixture, "doc_id", "text",
+        minJaccard = 0.5)))
+    val dim = 4
+    val v = Array(0.1f, 0.2f, 0.3f, 0.4f)
+    val vecs = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("doc_id", "vec")
+    assert(rows(Dedup.nearDupSpanning(vecs, "doc_id", "vec",
+        engine = "embedding", dim = dim, planes = 4)) ===
+      rows(Dedup.embeddingNearDupSpanning(vecs, "doc_id", "vec",
+        dim = dim, planes = 4)))
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupSpanning(vecs, "doc_id", "vec", engine = "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupSpanning(fixture, "doc_id", "text", engine = "levenshtein")
+    }
+  }
+
+  test("md5Hash64 is the md5 hex prefix convention any engine can " +
+    "reproduce, and simhash accepts it as a token-hash family") {
+    val s = spark
+    import s.implicits._
+    for (t <- Seq("abc", "", "the", "漢字")) {
+      val got = Seq(t).toDF("t")
+        .select(Dedup.md5Hash64(col("t"))).head().getLong(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got === java.lang.Long.parseUnsignedLong(hex.take(16), 16),
+        s"md5Hash64('$t')")
+    }
+    // Same fixture, different hash family: identical docs still hash
+    // equal (the exact-copy star survives any hash), and the spanning
+    // star/closure algebra is hash-agnostic — closure equals the full
+    // variant's under the SAME family. (No exact pair-set pin beyond
+    // the star: a one-token mutation can legitimately land at hamming
+    // 0 under one family and not another.)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val span = pairs(Dedup.simhashNearDupSpanning(fixture, "doc_id", "text",
+      maxHamming = 0, tokenHash = Dedup.md5Hash64))
+    val full = pairs(Dedup.simhashNearDup(fixture, "doc_id", "text",
+      maxHamming = 0, tokenHash = Dedup.md5Hash64))
+    assert(span.contains((1L, 2L)) && span.subsetOf(full))
+    def comps(ps: Set[(Long, Long)]) =
+      graft.graph.ConnectedComponents.run(
+        fixture.select(col("doc_id").as("id")),
+        ps.toSeq.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(span) === comps(full))
   }
 }

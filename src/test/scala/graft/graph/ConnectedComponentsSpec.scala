@@ -84,4 +84,22 @@ class ConnectedComponentsSpec extends SparkSuite {
       2L -> ((3L, 7L)),   // 3 outscores the component minimum 2
       4L -> ((5L, 9L))))  // 5 and 6 tie at 9 → min id 5
   }
+
+  test("keepersBy tolerates score gaps: unscored members rank lowest, " +
+    "an all-unscored component still keeps its min id") {
+    // {1} isolated and UNSCORED; {2,3} joined with only 3 scored;
+    // {4,5} joined, neither scored. With the old inner join, 1 and
+    // the whole {4,5} cluster silently vanished from the output.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val edges = Seq((2L, 3L), (4L, 5L))
+    val scores = Seq(3L -> 1L)
+    val comps = ConnectedComponents.run(nodes.toDF("id"), edges.toDF("src", "dst"))
+    val kept = ConnectedComponents.keepersBy(comps, scores.toDF("id", "score"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(kept === Map(
+      1L -> ((1L, None)),       // unscored singleton keeps itself
+      2L -> ((3L, Some(1L))),   // the one scored member beats unscored 2
+      4L -> ((4L, None))))      // all-unscored cluster keeps min id
+  }
 }

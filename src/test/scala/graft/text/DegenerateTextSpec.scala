@@ -71,19 +71,31 @@ class DegenerateTextSpec extends SparkSuite {
     assert(sh.select("id").as[Long].collect().toSet === Set(2L, 3L, 4L, 5L))
   }
 
-  test("exact dedup groups null-text docs under the NULL hash, " +
+  test("exact dedup keeps each null-text doc as its own singleton, " +
     "empty-normalized docs under md5 of the empty string") {
     val withSecondNull = f.unionByName(
       Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val out = graft.dedup.Dedup.exact(withSecondNull, "doc_id", "text")
       .collect().map(r => (r.getAs[String]("content_hash"),
         r.getAs[Long]("keeper_id"), r.getAs[Long]("dup_cnt"))).toSet
-    // md5(normalize(NULL)) is NULL; groupBy treats NULL as one key, so
-    // the two null docs form a group — the documented exact-dedup
-    // contract ("identical normalized content", and NULL == NULL at
-    // the grouping level even though SQL equality says otherwise).
-    assert(out.exists(g => g._1 == null && g._2 == 1L && g._3 == 2L))
+    // md5(normalize(NULL)) is NULL, and NULL text carries no content
+    // evidence — so the two null docs are NOT duplicates of each
+    // other: each survives as its own singleton keeper, the same
+    // pairless-singleton contract the near-dup/spanning family pins
+    // for NULL text (a pipeline composing exact + near-dup must treat
+    // NULL docs identically per stage).
+    assert(out.exists(g => g._1 == null && g._2 == 1L && g._3 == 1L))
+    assert(out.exists(g => g._1 == null && g._2 == 6L && g._3 == 1L))
     // "" and "!!!" share md5("")'s group.
     assert(out.exists(g => g._2 == 2L && g._3 == 2L))
+    // exactDedupKeep (the row-keeping sibling): null-text rows all
+    // pass through — they must not vanish into the semi-join's
+    // non-null-safe hash equality.
+    val kept = graft.text.CorpusPrep
+      .exactDedupKeep(withSecondNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(6L))
+    assert((kept - 1L - 6L).subsetOf(Set(2L, 3L, 4L, 5L)) &&
+      (kept & Set(2L, 3L)).size == 1 && kept.contains(4L) && kept.contains(5L))
   }
 }
