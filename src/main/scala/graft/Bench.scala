@@ -169,7 +169,13 @@ object Bench {
   // zero-norm singletons) and the NaN skip in the bulk top-k kernel.
   // v9 (r18): + q_text_dedup (packaged textDedup API); the minhash
   // spanning gate swapped to the one-CC closure check.
-  private val WorkloadVersion = 9
+  // v10 (r19): + q_corpus_prep_neardup (prepare's spanning near-dup
+  // composition under a recursive-closure oracle); the simhash/ngram
+  // spanning gates re-shaped around independent DuckDB truths — they
+  // no longer run the full engine in-gate (mins roughly halve, a gate
+  // shape change, not an engine speedup); prepare composes the
+  // spanning variant.
+  private val WorkloadVersion = 10
 
   def main(args: Array[String]): Unit = {
     // All f"" interpolations below format JSON: pin the locale so a

@@ -32,18 +32,22 @@ object CorpusPrep {
   /** Keep one representative (min id) per exact normalized-content
     * hash. NULL-text rows all pass through as their own singleton
     * keepers — the dedup family's shared NULL contract
-    * ([[graft.dedup.Dedup.exact]]); they must NOT feed the grouped
-    * semi-join, whose non-null-safe equality on the NULL hash would
-    * silently drop every one of them. (In [[prepare]] this path is
-    * unreachable — [[qualityFilter]] is NULL-strict — but
+    * ([[graft.dedup.Dedup.exact]]). A NULL hash must not reach the
+    * semi-join (non-null-safe equality would silently drop every
+    * NULL-text row), so it is coalesced to a PER-ROW unique key
+    * ("null:" + id — no collision with 32-hex md5 values): each
+    * NULL-text row is then its own group's trivial keeper through the
+    * one shared groupBy + semi-join path — no second scan branch, and
+    * no all-NULLs-to-one-reducer skew key. (In [[prepare]] NULL text
+    * is unreachable — [[qualityFilter]] is NULL-strict — but
     * exactDedupKeep is public.) */
   def exactDedupKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", md5(TextFunctions.normalize(col(textCol))))
-    val keepers = hashed.filter(col("__h").isNotNull).groupBy(col("__h"))
+    val hashed = df.withColumn("__h",
+      coalesce(md5(TextFunctions.normalize(col(textCol))),
+        concat(lit("null:"), col(idCol).cast("string"))))
+    val keepers = hashed.groupBy(col("__h"))
       .agg(min(col(idCol)).as(idCol))
-    hashed.join(keepers, Seq("__h", idCol), "left_semi")
-      .unionByName(hashed.filter(col("__h").isNull))
-      .drop("__h")
+    hashed.join(keepers, Seq("__h", idCol), "left_semi").drop("__h")
   }
 
   /** Benchmark decontamination report: per corpus document, how many of
