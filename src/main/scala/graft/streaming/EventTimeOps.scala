@@ -60,7 +60,12 @@ object EventTimeOps {
     * documents — the honest cost of exact streaming dedup; bound it
     * upstream by routing only a rolling corpus window through the
     * stream, or accept the one-long-per-distinct-doc footprint (8 GB
-    * per billion distinct docs — fine on any real cluster). */
+    * per billion distinct docs — fine on any real cluster).
+    *
+    * NULL content hashes (NULL content) follow the batch family's
+    * shared contract ([[graft.dedup.Dedup.exact]]): every NULL-hash
+    * doc passes through as its own singleton keeper — never
+    * first-seen-wins-collapsed into one, and never parked in state. */
   def streamingExactDedup(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
     docs
@@ -68,7 +73,8 @@ object EventTimeOps {
       .flatMapGroupsWithState[Long, Doc](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (hash: String, ds: Iterator[Doc], state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
+          if (hash == null) ds
+          else if (state.exists) Iterator.empty
           else {
             // min id within the batch is the keeper — deterministic
             // regardless of arrival order inside the micro-batch
@@ -197,7 +203,10 @@ object EventTimeOps {
       .flatMapGroupsWithState[SeenState, TDoc](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (hash: String, ds: Iterator[TDoc], state: GroupState[SeenState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          // NULL hashes: singleton pass-through, no state — the batch
+          // family's shared NULL contract (see streamingExactDedup).
+          if (hash == null) ds
+          else if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = ds.toSeq
             val newest = batch.map(_.ts.getTime).max

@@ -195,11 +195,15 @@ class EventTimeOpsSpec extends SparkSuite {
       q.processAllAvailable()
       input.addData(TDoc(10L, "y", ts("12:01")))
       q.processAllAvailable()
-      // beyond the retention window the same hash is re-admitted as new
-      input.addData(TDoc(3L, "h", ts("12:05")))
+      // beyond the retention window the same hash is re-admitted as new;
+      // NULL hashes pass through as stateless singletons (the batch
+      // family's NULL contract) — both survive across batches
+      input.addData(TDoc(3L, "h", ts("12:05")), TDoc(50L, null, ts("12:05")))
+      q.processAllAvailable()
+      input.addData(TDoc(51L, null, ts("12:06")))
       q.processAllAvailable()
       val out = spark.table("dedup_ttl").as[TDoc].collect().map(_.doc_id).toSet
-      assert(out == Set(1L, 9L, 10L, 3L))
+      assert(out == Set(1L, 9L, 10L, 3L, 50L, 51L))
     } finally q.stop()
   }
 
@@ -217,11 +221,18 @@ class EventTimeOpsSpec extends SparkSuite {
       // within one batch: min id wins regardless of arrival order
       input.addData(Doc(7L, "h1"), Doc(3L, "h1"), Doc(10L, "h2"))
       q.processAllAvailable()
-      // later batches: duplicates of an already-seen hash are dropped
-      input.addData(Doc(1L, "h1"), Doc(20L, "h2"), Doc(30L, "h3"))
+      // later batches: duplicates of an already-seen hash are dropped;
+      // NULL hashes are singleton pass-throughs (the batch family's
+      // NULL contract) — both NULL docs survive, across batches, and
+      // never collapse into one first-seen keeper
+      input.addData(Doc(1L, "h1"), Doc(20L, "h2"), Doc(30L, "h3"),
+        Doc(40L, null))
+      q.processAllAvailable()
+      input.addData(Doc(41L, null))
       q.processAllAvailable()
       val out = spark.table("dedup_stream").as[Doc].collect().toSet
-      assert(out == Set(Doc(3L, "h1"), Doc(10L, "h2"), Doc(30L, "h3")))
+      assert(out == Set(Doc(3L, "h1"), Doc(10L, "h2"), Doc(30L, "h3"),
+        Doc(40L, null), Doc(41L, null)))
     } finally q.stop()
   }
 
