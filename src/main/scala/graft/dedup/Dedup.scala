@@ -1017,8 +1017,21 @@ object Dedup {
     * choice only re-seeds the signature space. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    // Spread a narrow input before the tokenize+explode+bit-sum chain:
+    // the explode multiplies each doc into its token stream and the 64
+    // per-bit partial aggregations run map-side IN the scan stage, so a
+    // few-split input leaves that heavy stage on a few cores. Shuffling
+    // the raw (id, text) rows first is cheap relative to the work it
+    // parallelizes — measured 0.81× at 30× (B/A, BENCH_NOTES r19; the
+    // same spread on the minhash/ngram shingle paths and the pipeline
+    // melts was a wash-to-regression and is NOT applied there: their
+    // expansion happens after an existing shuffle or the exchange
+    // itself outweighs the kernel). No-op once the scan is wide
+    // (spreadWidth derives from leaf bytes vs core count).
+    val tok = graft.view.Patterns.spreadNarrow(df,
+        graft.view.Patterns.TextInflation)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
       .select(col("id"), tokenHash(col("t")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when((shiftright(col("h"), j).bitwiseAND(1)) === 1, 1).otherwise(-1)).as(s"b$j")

@@ -426,7 +426,16 @@ object QuadBattery {
     (s, dir) => {
       import graft.view.EntityPipeline
       import EntityPipeline.{Vocab => EV}
-      val orders = Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1)
+      // Spread the RAW pre-explode rows when the scan is narrow (one
+      // row group = one task): the ~30-quad melt and the persisted
+      // cache build then parallelize, and every pipeline branch reads
+      // a multi-partition cache instead of a serial one. Shuffling the
+      // pre-explode rows costs ~the input's parquet bytes — the
+      // post-explode repartition alternative measured 1.35× WORSE at
+      // 30× because it shuffles the exploded melt (BENCH_NOTES r19).
+      val orders = graft.view.Patterns.spreadNarrow(
+        Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1),
+        graft.view.Patterns.CacheInflation)
       val e = concat(lit("urn:e/"), col("o_orderkey"))
       val sp = concat(lit("urn:sp/"), col("o_orderkey"))
       val ch = concat(lit("urn:ch/"), col("o_orderkey"))
@@ -569,7 +578,16 @@ object QuadBattery {
     (s, dir) => {
       import graft.view.EntityPipeline
       import EntityPipeline.{Vocab => EV}
-      val orders = Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1)
+      // Spread the RAW pre-explode rows when the scan is narrow (one
+      // row group = one task): the ~30-quad melt and the persisted
+      // cache build then parallelize, and every pipeline branch reads
+      // a multi-partition cache instead of a serial one. Shuffling the
+      // pre-explode rows costs ~the input's parquet bytes — the
+      // post-explode repartition alternative measured 1.35× WORSE at
+      // 30× because it shuffles the exploded melt (BENCH_NOTES r19).
+      val orders = graft.view.Patterns.spreadNarrow(
+        Td(s, dir, "orders").filter(col("o_orderkey") % 8 <= 1),
+        graft.view.Patterns.CacheInflation)
       val ok = col("o_orderkey"); val ck = col("o_custkey")
       val e = concat(lit("urn:e/"), ok)
       val coll = concat(lit("urn:col/"), ck)
