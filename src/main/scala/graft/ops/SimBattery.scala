@@ -196,7 +196,13 @@ object SimBattery {
         "FROM documents ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
-      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+      // Spread the 8-byte id rows before the synth+codec mapPartitions
+      // pass: a one-row-group scan would otherwise run the whole
+      // encode+decode chain in ONE task (r19; no-op once the scan is
+      // wide — see Patterns.spreadWidth).
+      val media = graft.view.Patterns.spreadNarrow(
+          Td(s, dir, "documents").select(col("doc_id")),
+          graft.view.Patterns.TextInflation).as[Long]
         .mapPartitions(_.map(id =>
           Multimodal.MediaRow(id, MediaSynth.synthPng(id), "image/png")))
       val half = (col("width") / 2).cast("int")
@@ -235,7 +241,13 @@ object SimBattery {
         "FROM documents ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
-      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+      // Spread the 8-byte id rows before the synth+codec mapPartitions
+      // pass: a one-row-group scan would otherwise run the whole
+      // encode+decode chain in ONE task (r19; no-op once the scan is
+      // wide — see Patterns.spreadWidth).
+      val media = graft.view.Patterns.spreadNarrow(
+          Td(s, dir, "documents").select(col("doc_id")),
+          graft.view.Patterns.TextInflation).as[Long]
         .mapPartitions(_.map(id =>
           Multimodal.MediaRow(id, MediaSynth.synthPng(id), "image/png")))
       def arrMean(a: org.apache.spark.sql.Column, n: Int) =
@@ -263,6 +275,12 @@ object SimBattery {
         "FROM documents ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
+      // Deliberately NOT spread (unlike the image gates): the
+      // javax.sound decode path pays a per-task SPI/provider lookup
+      // that contends across concurrent tasks — ABAB-measured 3.5×
+      // WORSE at width 32 (3.5-4.0 s vs 1.0-1.3 s serial), while the
+      // javax.imageio gates improve ~0.6× under the identical spread
+      // (OPTIMIZATION_r19.md).
       val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           Multimodal.MediaRow(id, MediaSynth.synthWav(id), "audio/wav")))
