@@ -536,6 +536,16 @@ object Bench {
     val total = results.filter(_.ok).map(_.sec).sum
     val nFail = results.count(!_.ok)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$nFail,"sf":"$sfDir","workload_version":$WorkloadVersion,"env":$envProbe,"load_gate":$gate}""")
+    // Compact per-query-mins repeat line (r19 verdict item 3): the
+    // wide line above lost its HEAD to tail-capture truncation in r18
+    // and the round comparison degraded to totals (PERF n_common: 0).
+    // This line carries ONLY the mins map (~1/2 the width), so a tail
+    // capture that keeps the short total_tail line below almost always
+    // keeps all of this one too — and a diff can then always
+    // reconstruct per-query state. Additions-only: the official line
+    // above and the stats artifact are unchanged; distinct metric name
+    // so no parser double-counts.
+    println(s"""{"metric":"queries_min_tail","unit":"sec","sf":"$sfDir","workload_version":$WorkloadVersion,"failed":$nFail,"queries_min":$qsMin}""")
     // The wide line above can lose its head to log-capture truncation;
     // repeat the headline numbers on a short final line that always
     // survives a tail capture. Distinct metric name so a parser keying

@@ -280,11 +280,16 @@ object Dedup {
     val withSig = sigProjection(df, idCol, textCol, numHashes, shingleK)
       .dropDuplicates("id")
       .localCheckpoint()
+    // The bucket/set checkpoints and the doc count all read ONLY the
+    // just-materialized signature frame — three independent actions,
+    // submitted concurrently (guide §2.6) instead of three serial
+    // job latencies on the ingestion loop's critical path.
+    val (buckets, sets, n) = graft.run.Par.join3(
+      () => bandBuckets(withSig, numHashes, bands).localCheckpoint(),
+      () => withSig.select(col("id"), col("hs")).localCheckpoint(),
+      () => withSig.count())
     MinHashIndexModel(numHashes, bands, shingleK,
-      buckets = bandBuckets(withSig, numHashes, bands).localCheckpoint(),
-      sets = withSig.select(col("id"), col("hs")).localCheckpoint(),
-      idCol = idCol,
-      builtN = withSig.count())
+      buckets = buckets, sets = sets, idCol = idCol, builtN = n)
   }
 
   /** Near-dup pairs between a `delta` batch and an indexed corpus:
@@ -345,24 +350,28 @@ object Dedup {
       model.numHashes, model.shingleK)
       .join(model.sets.select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint()
-    // Rebuild-trigger bookkeeping: count the ADMITTED rows on the
-    // just-materialized delta checkpoint (cheap — delta-sized).
+    // The two union checkpoints and the bookkeeping count read only
+    // the materialized delta + the old (already materialized) index —
+    // independent actions, submitted concurrently (guide §2.6; the
+    // count is cheap — delta-sized — and rides the fork for free).
+    val (buckets, sets, admitted) = graft.run.Par.join3(
+      () => model.buckets
+        .unionByName(bandBuckets(dSig, model.numHashes, model.bands))
+        .localCheckpoint(),
+      () => model.sets.unionByName(dSig.select(col("id"), col("hs")))
+        .localCheckpoint(),
+      () => dSig.count())
+    // Rebuild-trigger bookkeeping on the admitted-row count.
     val extended =
       if (model.builtN < 0) model.extendedN
-      else model.extendedN + dSig.count()
+      else model.extendedN + admitted
     if (model.builtN >= 0 && extended > model.builtN &&
         model.extendedN <= model.builtN)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"minhashExtend: index has grown past its build-time size " +
           s"($extended extended vs ${model.builtN} built) — schedule " +
           "a fresh minhashBuild (needsRebuild = true)")
-    model.copy(
-      buckets = model.buckets
-        .unionByName(bandBuckets(dSig, model.numHashes, model.bands))
-        .localCheckpoint(),
-      sets = model.sets.unionByName(dSig.select(col("id"), col("hs")))
-        .localCheckpoint(),
-      extendedN = extended)
+    model.copy(buckets = buckets, sets = sets, extendedN = extended)
   }
 
   /** Persist a built index: both tables as parquet plus the geometry

@@ -84,12 +84,56 @@ object Multimodal {
     }
   }
 
+  /** Audio SPI providers, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream` re-runs the provider lookup on
+    * EVERY call through a JVM-global synchronized service registry —
+    * measured (r19 ABAB) to contend so badly across 32 concurrent
+    * decode tasks that spreading the audio gate ran 3.5× WORSE than a
+    * single serial task. Caching the resolved readers removes both the
+    * global lock and the per-call ServiceLoader walk from the per-row
+    * path (guide §4.5: initialise heavyweight state once, not per
+    * row), which is what makes the decode parallelizable at all. The
+    * readers themselves are stateless (all per-call state is local),
+    * so sharing instances across tasks is safe. */
+  private lazy val audioFileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Open an audio stream over `bytes` via the cached providers —
+    * same first-accepting-reader semantics as
+    * `AudioSystem.getAudioInputStream` (readers reject foreign formats
+    * with UnsupportedAudioFileException; other errors propagate). Falls
+    * back to the AudioSystem path only when the ServiceLoader saw no
+    * providers at all (an exotic platform). */
+  private def openAudioStream(bytes: Array[Byte]): AudioInputStream = {
+    val in = new ByteArrayInputStream(bytes)
+    val hit = audioFileReaders.iterator.flatMap { r =>
+      in.reset() // back to byte 0 for each candidate reader
+      try Some(r.getAudioInputStream(in))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+    }.take(1).toSeq.headOption
+    hit.getOrElse {
+      if (audioFileReaders.isEmpty)
+        AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      else throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no cached provider accepts the payload")
+    }
+  }
+
   /** Decode one audio payload (any format `javax.sound` has a provider
     * for — WAV/PCM, AIFF, AU); None when unreadable. Amplitude stats
     * are over channel 0 of 16-bit signed PCM frames. */
   def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedAudio] =
     try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val ais = openAudioStream(bytes)
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16) None

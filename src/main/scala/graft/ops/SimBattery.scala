@@ -275,13 +275,17 @@ object SimBattery {
         "FROM documents ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
-      // Deliberately NOT spread (unlike the image gates): the
-      // javax.sound decode path pays a per-task SPI/provider lookup
-      // that contends across concurrent tasks — ABAB-measured 3.5×
-      // WORSE at width 32 (3.5-4.0 s vs 1.0-1.3 s serial), while the
-      // javax.imageio gates improve ~0.6× under the identical spread
-      // (OPTIMIZATION_r19.md).
-      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
+      // Spread like the image gates — viable since r20 hoisted the
+      // javax.sound SPI/provider lookup out of the per-row path
+      // (Multimodal.audioFileReaders): the r19 3.5×-WORSE spread
+      // measurement traced to AudioSystem's JVM-global synchronized
+      // provider registry being hit per decoded row, which 32
+      // concurrent tasks turned into a lock convoy. With the readers
+      // cached per JVM the decode parallelizes like the image codecs
+      // (r20 ABAB table in OPTIMIZATION_r20.md).
+      val media = graft.view.Patterns.spreadNarrow(
+          Td(s, dir, "documents").select(col("doc_id")),
+          graft.view.Patterns.TextInflation).as[Long]
         .mapPartitions(_.map(id =>
           Multimodal.MediaRow(id, MediaSynth.synthWav(id), "audio/wav")))
       Multimodal.decodeAudios(media)

@@ -724,12 +724,19 @@ object StreamBattery {
             val b = batch.filter(quality(col("text"))).localCheckpoint()
             val pairs = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
               minJaccard = 0.5).localCheckpoint()
-            found = if (found == null) pairs
-              else found.unionByName(pairs).localCheckpoint()
             val novel = b.join(
               pairs.select(col("delta_id").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
-            model = Dedup.minhashExtend(model, novel, "doc_id", "text")
+            // The rolling-found fold and the index extend both read
+            // only the materialized pairs/batch — submit them
+            // concurrently (guide §2.6) instead of serializing the
+            // per-batch job chain.
+            val (f2, m2) = graft.run.Par.join2(
+              () => if (found == null) pairs
+                else found.unionByName(pairs).localCheckpoint(),
+              () => Dedup.minhashExtend(model, novel, "doc_id", "text"))
+            found = f2
+            model = m2
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -902,24 +909,43 @@ object StreamBattery {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val b = batch.filter(quality(col("text"))).localCheckpoint()
-            val pairs = Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
-              minJaccard = 0.5).localCheckpoint()
-            if (rebuilds > 0) {
-              // post-rebuild: the twin that only extended must decide
-              // identically — ids AND jaccard values
-              val sp = Dedup.minhashDeltaPairs(shadow, b, "doc_id", "text",
-                minJaccard = 0.5).localCheckpoint()
-              invariant &&= pairs.count() == sp.count() &&
-                pairs.exceptAll(sp).isEmpty && sp.exceptAll(pairs).isEmpty
-            }
-            found = if (found == null) pairs
-              else found.unionByName(pairs).localCheckpoint()
-            val novel = b.join(
-              pairs.select(col("delta_id").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti").localCheckpoint()
-            model = Dedup.minhashExtend(model, novel, "doc_id", "text")
-            shadow = Dedup.minhashExtend(shadow, novel, "doc_id", "text")
-            corpus = corpus.unionByName(novel).localCheckpoint()
+            // The live model's pairing and the shadow twin's pairing
+            // read only the materialized batch + their own (already
+            // materialized) indexes — submit them concurrently (guide
+            // §2.6; same for the dependent action groups below, which
+            // previously ran as one serial ~17-job chain per batch).
+            val (pairs, spOpt) = graft.run.Par.join2(
+              () => Dedup.minhashDeltaPairs(model, b, "doc_id", "text",
+                minJaccard = 0.5).localCheckpoint(),
+              () => if (rebuilds > 0)
+                // post-rebuild: the twin that only extended must decide
+                // identically — ids AND jaccard values
+                Some(Dedup.minhashDeltaPairs(shadow, b, "doc_id", "text",
+                  minJaccard = 0.5).localCheckpoint())
+              else None)
+            // Invariance check fused to ONE action: the symmetric
+            // multiset difference is empty iff both exceptAll sides
+            // are empty, which already implies equal counts — the
+            // previous count()==count() conjunct was redundant (4
+            // driver actions → 1, same boolean).
+            val (novel, f2, _) = graft.run.Par.join3(
+              () => b.join(
+                pairs.select(col("delta_id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti").localCheckpoint(),
+              () => if (found == null) pairs
+                else found.unionByName(pairs).localCheckpoint(),
+              () => spOpt.foreach { sp =>
+                invariant &&= pairs.exceptAll(sp)
+                  .unionByName(sp.exceptAll(pairs)).isEmpty
+              })
+            found = f2
+            val (m2, s2, c2) = graft.run.Par.join3(
+              () => Dedup.minhashExtend(model, novel, "doc_id", "text"),
+              () => Dedup.minhashExtend(shadow, novel, "doc_id", "text"),
+              () => corpus.unionByName(novel).localCheckpoint())
+            model = m2
+            shadow = s2
+            corpus = c2
             if (model.needsRebuild) {
               rebuilds += 1
               model = Dedup.minhashBuild(corpus, "doc_id", "text",
@@ -1055,13 +1081,22 @@ object StreamBattery {
             val pairs = Similarity.ivfSearch(model, b, topK = 1)
               .filter(col("cos") >= 0.9)
               .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
-            found = if (found == null) pairs
-              else found.unionByName(pairs).localCheckpoint()
-            val novel = b.join(
-              pairs.select(col("probe_id").as("vec_id")).distinct(),
-              Seq("vec_id"), "left_anti").localCheckpoint()
-            model = Similarity.ivfExtend(model, novel)
-            corpus = corpus.unionByName(novel).localCheckpoint()
+            // Fold, novel checkpoint, extend and corpus union read
+            // only materialized frames — overlap the independent ones
+            // (guide §2.6; the extend itself forks its union/count
+            // actions internally).
+            val (novel, f2) = graft.run.Par.join2(
+              () => b.join(
+                pairs.select(col("probe_id").as("vec_id")).distinct(),
+                Seq("vec_id"), "left_anti").localCheckpoint(),
+              () => if (found == null) pairs
+                else found.unionByName(pairs).localCheckpoint())
+            found = f2
+            val (m2, c2) = graft.run.Par.join2(
+              () => Similarity.ivfExtend(model, novel),
+              () => corpus.unionByName(novel).localCheckpoint())
+            model = m2
+            corpus = c2
             if (model.needsRebuild) {
               rebuilds += 1
               model = Similarity.ivfBuild(corpus)

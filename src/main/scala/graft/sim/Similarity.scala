@@ -476,14 +476,20 @@ object Similarity {
       .select(col("neighbor_id"), col("cv"),
         nearestCell(col("cv"), model.centroids).as("cell"))
       .localCheckpoint()
-    val indexed = model.indexed.unionByName(fresh).localCheckpoint()
-    // Rebuild-trigger bookkeeping: count the ADMITTED delta checkpoint
-    // and accumulate — O(delta) per extend, like Dedup.minhashExtend,
-    // instead of an O(total-index) count on every extend (which made
-    // frequent small extends pay a growing per-batch cost).
+    // The index-union checkpoint, the bookkeeping count and the matrix
+    // merge below all read only the materialized delta + the old
+    // (already materialized) index — independent actions, submitted
+    // concurrently (guide §2.6) instead of three serial job latencies
+    // per micro-batch on an ingestion loop. The count stays O(delta)
+    // per extend, like Dedup.minhashExtend, instead of an
+    // O(total-index) count on every extend.
+    val (indexed, admitted, seed) = graft.run.Par.join3(
+      () => model.indexed.unionByName(fresh).localCheckpoint(),
+      () => fresh.count(),
+      () => model.builtMatrix.map(mergeCellMatrix(_, fresh, "cv")).orNull)
     val extended =
       if (model.builtN < 0) model.extendedN
-      else model.extendedN + fresh.count()
+      else model.extendedN + admitted
     if (model.builtN >= 0 && extended > model.builtN &&
         model.extendedN <= model.builtN)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -491,13 +497,9 @@ object Similarity {
           s"($extended extended vs ${model.builtN} built) — frozen " +
           "cells/nprobe/centroids are now sized for a minority of the " +
           "corpus; schedule a fresh ivfBuild (needsRebuild = true)")
-    // Incremental matrix maintenance (see
-    // [[IvfIndexModel.chunkedMatrix]] / [[mergeCellMatrix]]): merge
-    // the delta into an already-materialized matrix instead of
-    // letting the next bulk search re-group the whole index —
-    // delta-bound shuffle, O(index) local read, the same posture as
-    // the union checkpoint above.
-    val seed = model.builtMatrix.map(mergeCellMatrix(_, fresh, "cv")).orNull
+    // (The matrix merge — delta-bound shuffle, O(index) local read —
+    // ran on the fork above; see [[IvfIndexModel.chunkedMatrix]] /
+    // [[mergeCellMatrix]] for its contract.)
     model.copy(indexed = indexed, extendedN = extended, seedMatrix = seed)
   }
 
@@ -856,12 +858,20 @@ object Similarity {
       nearestCell(col(model.vecCol), model.coarse).as("cell"),
       array((0 until model.m).map(j =>
         argminL2(subvec(col(model.vecCol), j), model.books(j))): _*).as("codes"))
-    val indexed = model.indexed.unionByName(freshIndexed).localCheckpoint()
-    // Rebuild-trigger bookkeeping (see [[ivfExtend]]): count the
-    // delta checkpoint and accumulate — O(delta), not O(total-index).
+    // Both union checkpoints, the bookkeeping count and the matrix
+    // merge read only the materialized delta + the old (already
+    // materialized) index — independent actions, submitted
+    // concurrently (guide §2.6; see [[ivfExtend]]). The count stays
+    // O(delta), not O(total-index).
+    val (indexed, corpus2, admitted, seed) = graft.run.Par.join4(
+      () => model.indexed.unionByName(freshIndexed).localCheckpoint(),
+      () => model.corpus2.unionByName(fresh).localCheckpoint(),
+      () => fresh.count(),
+      () => model.builtMatrix
+        .map(mergeCellMatrix(_, freshIndexed, "codes")).orNull)
     val extended =
       if (model.builtN < 0) model.extendedN
-      else model.extendedN + fresh.count()
+      else model.extendedN + admitted
     if (model.builtN >= 0 && extended > model.builtN &&
         model.extendedN <= model.builtN)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -870,12 +880,10 @@ object Similarity {
           "cells/nprobe/shortlist/codebooks are now sized and trained " +
           "for a minority of the corpus; schedule a fresh pqBuild " +
           "(needsRebuild = true)")
-    // Incremental matrix maintenance — see [[ivfExtend]] / the
-    // [[IvfIndexModel.chunkedMatrix]] contract.
-    val seed = model.builtMatrix
-      .map(mergeCellMatrix(_, freshIndexed, "codes")).orNull
+    // (Matrix maintenance ran on the fork above — see [[ivfExtend]] /
+    // the [[IvfIndexModel.chunkedMatrix]] contract.)
     model.copy(
-      corpus2 = model.corpus2.unionByName(fresh).localCheckpoint(),
+      corpus2 = corpus2,
       indexed = indexed, extendedN = extended, seedMatrix = seed)
   }
 

@@ -29,6 +29,25 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("cached-provider audio open matches the AudioSystem path " +
+    "(r20 SPI hoist: same format, same frames, same rejections)") {
+    // decodeAudio now opens streams through a per-JVM cached provider
+    // list instead of AudioSystem's per-call synchronized registry
+    // walk; the two paths must agree on accept AND reject.
+    val wav = MediaSynth.synthWav(42L)
+    val viaSystem = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val d = decodeAudio(42L, wav)
+    assert(d.isDefined, "cached providers must accept a WAV payload")
+    assert(d.get.sample_rate == viaSystem.getFormat.getSampleRate.toInt)
+    assert(d.get.channels == viaSystem.getFormat.getChannels)
+    assert(d.get.n_samples == viaSystem.getFrameLength)
+    viaSystem.close()
+    // rejection parity: junk bytes are UnsupportedAudioFile on both
+    assert(decodeAudio(1L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9)).isEmpty)
+    assert(decodeAudio(1L, Array.emptyByteArray).isEmpty)
+  }
+
   test("WAV round trip: header fields and amplitude stats are exact") {
     val s = spark
     import s.implicits._
