@@ -106,16 +106,33 @@ object IndexDocuments {
       date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max"),
       max(when(col("rn_cover") === 1, col("o_orderkey").cast("string")))
         .as("cover_id"),
-      max(when(col("rn_format") === 1, col("o_orderstatus"))).as("top_format"))
+      max(when(col("rn_format") === 1, col("o_orderstatus"))).as("top_format"),
+      // Roles (two-level jsonb_object_agg) FOLDED into this same pass
+      // (r20, guide §2.4): the former separate groupBy(custkey, status)
+      // → groupBy(custkey) subquery re-shuffled the whole child table a
+      // second time and joined it back. The distinct (status, priority)
+      // pair set per entity is tiny (statuses × priorities, both
+      // single-digit), so collect it here and regroup per-row with
+      // higher-order functions — same sorted keys, same sorted distinct
+      // names, zero extra exchanges and one less join.
+      sort_array(collect_set(struct(col("o_orderstatus").as("k"),
+        col("o_orderpriority").as("v")))).as("role_pairs"),
+      // Reuse-category arm 1 (fulfilled orders → priority class) folded
+      // the same way; collect_set skips the non-matching rows' nulls.
+      sort_array(collect_set(when(col("o_orderstatus") === "F",
+        concat(lit("prio:"), col("o_orderpriority"))))).as("prio_cats"))
 
-    // Stage 2: the two-level roles/jsonb_object_agg shape — inner
-    // (entity, type) → sorted distinct names, outer entity → {type: names}.
-    val roles = orders
-      .groupBy(col("o_custkey"), col("o_orderstatus"))
-      .agg(sort_array(collect_set(col("o_orderpriority"))).as("names"))
-      .groupBy(col("o_custkey"))
-      .agg(map_from_entries(array_sort(collect_list(
-        struct(col("o_orderstatus").as("k"), col("names").as("v"))))).as("roles"))
+    // Stage 2 (roles) now rides stage 1's shuffle: build the
+    // {type: sorted distinct names} map from the collected pair set.
+    // Keys ascend (pairs are sorted, array_distinct keeps first
+    // occurrence) and each key's values ascend (filter preserves the
+    // sorted pair order) — byte-identical JSON to the two-level
+    // aggregate it replaces.
+    val rolesFromPairs = map_from_entries(transform(
+      array_distinct(transform(col("role_pairs"), p => p.getField("k"))),
+      k => struct(k.as("k"),
+        transform(filter(col("role_pairs"), p => p.getField("k") === k),
+          p => p.getField("v")).as("v"))))
 
     // Stage 4: grandchild (two-hop) laterals — transcript string_agg
     // ordered by child position, distinct thumbnail set, fragment count.
@@ -132,23 +149,17 @@ object IndexDocuments {
             s => s.getField("t")),
           "\n").as("transcript"),
         sort_array(collect_set(col("l_returnflag"))).as("thumbs"),
-        count(when(col("l_returnflag") === "R", 1)).as("n_fragments"))
-
-    // Reuse-category lateral (update_partition.sql:286-296): two
-    // sources UNION ALL'd — fulfilled orders contribute their priority
-    // class, returned lineitems their ship mode — then one distinct-set
-    // aggregate per entity. The union is map-side; one shuffle.
-    val reuse = orders.filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("k"),
-        concat(lit("prio:"), col("o_orderpriority")).as("cat"))
-      .unionByName(
-        lineitem.filter(col("l_returnflag") === "R")
-          .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
-            Seq("l_orderkey"))
-          .select(col("o_custkey").as("k"),
-            concat(lit("mode:"), col("l_linestatus")).as("cat")))
-      .groupBy(col("k"))
-      .agg(sort_array(collect_set(col("cat"))).as("reuse"))
+        count(when(col("l_returnflag") === "R", 1)).as("n_fragments"),
+        // Reuse-category arm 2 (returned lineitems → ship mode) FOLDED
+        // into this pass (r20, guide §2.4): the former UNION ALL
+        // subquery re-joined lineitem⋈orders a second time and
+        // re-shuffled both sources. The two arms' category sets are
+        // disjoint by prefix ('prio:' vs 'mode:'), so the final frame
+        // concatenates the two per-side distinct sets and sorts — the
+        // same sorted distinct union, minus one lineitem scan, one
+        // orders scan, one join, one shuffle and one final-frame join.
+        sort_array(collect_set(when(col("l_returnflag") === "R",
+          concat(lit("mode:"), col("l_linestatus"))))).as("mode_cats"))
 
     // Location lateral (:298): the collection side-table with an
     // absent branch — only low-key nations carry location data, so the
@@ -161,12 +172,8 @@ object IndexDocuments {
     customer
       .join(perKey, col("c_custkey") === perKey("o_custkey"), "left")
       .drop(perKey("o_custkey"))
-      .join(roles, col("c_custkey") === roles("o_custkey"), "left")
-      .drop(roles("o_custkey"))
       .join(li, col("c_custkey") === li("o_custkey"), "left")
       .drop(li("o_custkey"))
-      .join(reuse, col("c_custkey") === reuse("k"), "left")
-      .drop(reuse("k"))
       .join(location, col("c_custkey") === location("k"), "left")
       .drop(location("k"))
       .select(
@@ -187,7 +194,7 @@ object IndexDocuments {
             .otherwise(RightsPD).as("rights"),
           coalesce(col("top_format"), lit("none")).as("format"),
           coalesce(col("premis"), array().cast("array<map<string,string>>")).as("premis"),
-          coalesce(col("roles"),
+          coalesce(rolesFromPairs,
             typedLit(Map.empty[String, Seq[String]])).as("roles"),
           coalesce(col("thumbs"), array().cast("array<string>")).as("thumbs"),
           coalesce(col("transcript"), lit("")).as("transcript"),
@@ -199,7 +206,12 @@ object IndexDocuments {
             .otherwise("none").as("rights_statement"),
           coalesce(col("date_min"), lit("none")).as("date_created_min"),
           coalesce(col("date_max"), lit("none")).as("date_created_max"),
-          coalesce(col("reuse"), array().cast("array<string>")).as("reuse"),
+          // sorted distinct union of the two folded category sets
+          // (disjoint by prefix, each side already distinct)
+          sort_array(concat(
+            coalesce(col("prio_cats"), array().cast("array<string>")),
+            coalesce(col("mode_cats"), array().cast("array<string>"))))
+            .as("reuse"),
           coalesce(col("location"), lit("unknown")).as("location")
         )).as("document"),
         coalesce(col("n_children"), lit(0L)).as("n_children"),

@@ -39,17 +39,27 @@ object ConnectedComponents {
     *               duplicates/self-loops tolerated
     * @return       (idCol, "component") — component = min reachable id
     */
+  /** Measurement kill-switch: `GRAFT_CC_OBSERVE=0` reverts to the
+    * separate per-round convergence job (max over the checkpointed
+    * blocks) instead of the observe-fused single job, so the fusion
+    * can be A/B-ed on one build. */
+  private val observeFused: Boolean =
+    sys.env.get("GRAFT_CC_OBSERVE").forall(_ != "0")
+
   def run(nodes: DataFrame, edges: DataFrame,
           idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
           maxRounds: Int = 25): DataFrame = {
-    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint() // reused every round — compute the flip once
-
-    var lbl = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    // The edge flip and the initial labels are independent
+    // checkpoints — submit them concurrently (guide §2.6).
+    val (und, lbl0) = graft.run.Par.join2(
+      () => edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(), // reused every round — compute the flip once
+      () => nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+        .localCheckpoint())
+    var lbl = lbl0
     var round = 0
     var converged = false
     // try/finally: on ANY exit — success, non-convergence, or a failed
@@ -66,24 +76,43 @@ object ConnectedComponents {
         .agg(min(col("lbl")).as("lbl"))
       // (2) pointer doubling: adopt the label of my label (parent's
       // label <= parent's id = my label, by the label <= id invariant).
-      // The per-node `changed` flag rides along in the SAME frame, so
-      // the checkpoint action that materializes the round also computes
-      // convergence — reading max(changed) afterwards scans the
-      // checkpointed blocks, no extra join job per round.
-      val next = m1.join(
+      // The per-node `changed` flag rides along in the SAME frame, and
+      // convergence is read from an `observe` metric (CollectMetrics
+      // accumulator): the checkpoint action that materializes the
+      // round ALSO aggregates max(changed) on the way through, so the
+      // round is ONE job, not checkpoint + a second max-scan job (r20,
+      // guide §2.4 — the r19 join-fold attempt regressed because it
+      // widened the round's shuffles; the observe accumulator adds no
+      // shuffle and no plan change beyond a pass-through metrics node).
+      val flagged = m1.join(
         m1.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"))
         .select(col("id"), col("plbl").as("lbl"))
         .join(lbl.select(col("id"), col("lbl").as("prev")), Seq("id"))
         .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("changed"))
-        .localCheckpoint()
-      converged = !next.agg(coalesce(max(col("changed")), lit(false)))
-        .head.getBoolean(0)
+      if (observeFused) {
+        val observed = flagged.observe(s"cc_round_$round",
+          coalesce(max(col("changed")), lit(false)).as("any_changed"))
+        val next = observed.localCheckpoint()
+        // Missing metric must FAIL, not read as converged: a silent
+        // miss would return half-propagated labels as final.
+        val metric = observed.queryExecution.observedMetrics
+          .getOrElse(s"cc_round_$round", throw new IllegalStateException(
+            "CC convergence observe metric missing from the round's " +
+              "checkpoint action"))
+        converged = !metric.getBoolean(0)
+        freeCheckpoint(lbl)
+        lbl = next
+      } else {
+        val next = flagged.localCheckpoint()
+        converged = !next.agg(coalesce(max(col("changed")), lit(false)))
+          .head.getBoolean(0)
       // `next` is materialized (checkpoint is eager), so the previous
       // round's blocks are unreachable from here on — free them, or
       // every round's checkpoint stays in block-manager memory for the
       // application lifetime.
         freeCheckpoint(lbl)
         lbl = next
+      }
         round += 1
       }
       require(converged, s"did not converge in $maxRounds rounds — " +

@@ -334,7 +334,33 @@ object MediaSynth {
     val fmt = new AudioFormat(8000f, 16, 1, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    // Write through the per-JVM cached WAVE writer, not
+    // `AudioSystem.write`: the AudioSystem entry point re-walks the
+    // JVM-global synchronized AudioFileWriter service registry on
+    // EVERY call — the same per-row lock convoy the decode side's
+    // provider hoist removed (r20 ABAB: with only the READ side
+    // hoisted, the spread audio gate still ran ~2× worse than serial;
+    // this was the remaining global walk on the row path). Identical
+    // bytes: AudioSystem.write just dispatches to the first writer
+    // supporting the type.
+    wavWriter match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+      case None    => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
+  }
+
+  /** WAVE `AudioFileWriter` SPI, resolved once per JVM (see
+    * [[synthWav]]); None only on an exotic platform with no WAVE
+    * writer, where the AudioSystem path is the (slow) fallback. */
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (found.isEmpty && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = Some(w)
+    }
+    found
   }
 }

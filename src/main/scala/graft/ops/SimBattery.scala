@@ -275,17 +275,18 @@ object SimBattery {
         "FROM documents ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
-      // Spread like the image gates — viable since r20 hoisted the
-      // javax.sound SPI/provider lookup out of the per-row path
-      // (Multimodal.audioFileReaders): the r19 3.5×-WORSE spread
-      // measurement traced to AudioSystem's JVM-global synchronized
-      // provider registry being hit per decoded row, which 32
-      // concurrent tasks turned into a lock convoy. With the readers
-      // cached per JVM the decode parallelizes like the image codecs
-      // (r20 ABAB table in OPTIMIZATION_r20.md).
-      val media = graft.view.Patterns.spreadNarrow(
-          Td(s, dir, "documents").select(col("doc_id")),
-          graft.view.Patterns.TextInflation).as[Long]
+      // Deliberately NOT spread (unlike the image gates), re-confirmed
+      // r20: r19 measured the spread 3.5× WORSE and blamed the per-row
+      // AudioSystem SPI registry walk; r20 hoisted BOTH global walks
+      // (reader SPI in Multimodal.audioFileReaders, WAVE-writer SPI in
+      // MediaSynth.wavWriter) and re-ran the ABAB — the spread STILL
+      // measured ~2.4× worse (2.87-2.95 s vs 1.16-1.31 s serial, 4-arm
+      // paired), so the convoy sits deeper inside javax.sound's decode
+      // path and the gate stays serial. The hoists are kept: they
+      // remove two per-row global registry walks at no cost. The
+      // javax.imageio gates improve ~0.6× under the identical spread
+      // (OPTIMIZATION_r19.md).
+      val media = Td(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           Multimodal.MediaRow(id, MediaSynth.synthWav(id), "audio/wav")))
       Multimodal.decodeAudios(media)

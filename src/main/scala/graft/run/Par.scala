@@ -60,6 +60,16 @@ object Par {
     (ra, await(fb), await(fc), await(fd))
   }
 
+  /** Run every thunk concurrently (head on the calling thread, rest on
+    * fresh daemon threads); results in input order. See [[join2]] for
+    * the failure contract. */
+  def joinAll[T](thunks: Seq[() => T]): Seq[T] = {
+    if (!enabled || thunks.sizeIs <= 1) return thunks.map(_())
+    val forked = thunks.tail.map(fork)
+    val r0 = runFirst(thunks.head, forked)
+    r0 +: forked.map(await)
+  }
+
   private def fork[T](body: () => T): java.util.concurrent.FutureTask[T] = {
     val task = new java.util.concurrent.FutureTask[T](() => body())
     val t = new Thread(task, "graft-par")
